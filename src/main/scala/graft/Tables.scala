@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver corpus (TESTDATA.md / FIXTURES.md): one parquet
+  * file per table under `sfDir`. Plain DSv2 parquet scans — column pruning
+  * and predicate pushdown happen in Catalyst, so callers should `.select`/
+  * `.filter` as early as possible and let the scan shrink.
+  *
+  * At 100 TB these would be directories partitioned by date (orders,
+  * lineitem, events) and bucketed by join key; the single-file layout here
+  * is the driver's fixture shape, not the production layout (docs/scale.md).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, sf: String): DataFrame    = table(s, sf, "region")
+  def nation(s: SparkSession, sf: String): DataFrame    = table(s, sf, "nation")
+  def customer(s: SparkSession, sf: String): DataFrame  = table(s, sf, "customer")
+  def supplier(s: SparkSession, sf: String): DataFrame  = table(s, sf, "supplier")
+  def part(s: SparkSession, sf: String): DataFrame      = table(s, sf, "part")
+  def orders(s: SparkSession, sf: String): DataFrame    = table(s, sf, "orders")
+  def lineitem(s: SparkSession, sf: String): DataFrame  = table(s, sf, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+    * for: read it as a nanos long (legacy conf) and convert to a
+    * microsecond TimestampType — same truncation DuckDB applies, so the
+    * oracle sees identical instants.
+    */
+  def events(s: SparkSession, sf: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
+  def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** §2.A — scans / sources. Generalizes the reference's whole-entity reads
+  * (cobradb/util.py :: load_tsv; cobradb/parse.py :: load_and_normalize;
+  * GenBank ingest in cobradb/loading/component_loading.py): scan + project
+  * is the base of every loader query, here expressed so Catalyst pushes the
+  * projection into the parquet scan (ReadSchema shows only the kept cols).
+  */
+object Scans extends OpGroup {
+
+  /** Column-pruned scan: the parquet reader materializes only 3 of 6 part
+    * columns (verify via .explain: ReadSchema=struct<p_partkey,p_name,
+    * p_retailprice>). At 100 TB this is the difference between reading the
+    * whole table and a third of it.
+    */
+  private val scanProject = Op(
+    "src_scan_project",
+    (s, sf) =>
+      Tables.part(s, sf)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey"""),
+  )
+
+  /** JSON column decode (cobradb/loading/map_loading.py — EscherMap
+    * `map_data` blob): extract a typed field from `events.props` and
+    * aggregate it. get_json_object stays inside codegen; a full from_json
+    * would build a struct we don't need.
+    */
+  private val jsonDecode = Op(
+    "src_json_decode",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).cast("long").as("sum_k"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("event_type"),
+    Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  val ops: Seq[Op] = Seq(scanProject, jsonDecode)
+}

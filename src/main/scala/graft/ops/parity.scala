@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine parity helpers (SURVEY.md §7.3 rulebook).
+  *
+  * Never hash a raw `sum(DOUBLE)` — partial-aggregation order differs
+  * between Spark partitions and the DuckDB oracle. All summed measures are
+  * cast to DECIMAL(18,6) *before* SUM on both sides (exact, order-free);
+  * unavoidable doubles (averages, cosines) are rounded to 6 digits on both
+  * sides. Every oracled query must end with an ORDER BY on a provably
+  * unique key set.
+  */
+object parity {
+  /** Decimal type used for all exact-sum measures, both engines. */
+  val Dec: DecimalType = DecimalType(18, 6)
+
+  /** Cast a measure for an order-insensitive exact SUM. */
+  def dec(c: Column): Column = c.cast(Dec)
+
+  /** Round an unavoidable double for stable cross-engine comparison. */
+  def r6(c: Column): Column = round(c, 6)
+}
