@@ -15,6 +15,7 @@ object SparkEntry {
     ops.Scans,
     ops.Aggs,
     ops.Joins,
+    ops.SetOps,
   )
 
   private lazy val all: Seq[Op] = {

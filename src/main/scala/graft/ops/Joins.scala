@@ -40,5 +40,135 @@ object Joins extends OpGroup {
     Some("""SELECT r_name, n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
   )
 
-  val ops: Seq[Op] = Seq(multiwayInner)
+  /** Explicit broadcast of small dimensions into the fact join
+    * (BroadcastHashJoinExec, no shuffle of lineitem). The reference's
+    * analog: tiny dims like Compartment joined into every dump query. At
+    * 100 TB the fact side streams through map tasks while the dim rides
+    * along with each executor.
+    */
+  private val broadcastDim = Op(
+    "join_broadcast_dim",
+    (s, sf) => {
+      val l = Tables.lineitem(s, sf)
+      val su = Tables.supplier(s, sf)
+      val n = Tables.nation(s, sf)
+      l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+  )
+
+  /** Left outer join keeping unmatched left rows (reference: Synonym
+    * attach in dump_model — entities may lack synonyms). Parts with zero
+    * sales keep NULL sums and count 0.
+    */
+  private val leftOuter = Op(
+    "join_left_outer",
+    (s, sf) => {
+      val p = Tables.part(s, sf)
+      val l = Tables.lineitem(s, sf)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_outer")
+        .groupBy(col("p_partkey"))
+        .agg(
+          count(col("l_orderkey")).as("n_sold"),
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+        )
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, COUNT(l_orderkey) AS n_sold, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty FROM part LEFT OUTER JOIN lineitem ON p_partkey = l_partkey GROUP BY p_partkey ORDER BY p_partkey"""),
+  )
+
+  /** Existence filter as a semi join — no row multiplication, the right
+    * side only gates (reference: ORM `.filter(exists())` / "model has
+    * genome" checks). Catalyst plans the EXISTS subquery to the same
+    * LeftSemi node.
+    */
+  private val leftSemi = Op(
+    "join_left_semi",
+    (s, sf) => {
+      val c = Tables.customer(s, sf)
+      val o = Tables.orders(s, sf)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"""),
+  )
+
+  /** Absence filter as an anti join (reference: get_or_create's
+    * insert-if-missing = staged-minus-existing; DeprecatedID cleanup).
+    */
+  private val leftAnti = Op(
+    "join_left_anti",
+    (s, sf) => {
+      val p = Tables.part(s, sf)
+      val l = Tables.lineitem(s, sf)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00') ORDER BY p_partkey"""),
+  )
+
+  /** Non-equi range self-join (reference: GenomeRegion interval-overlap
+    * queries on leftpos/rightpos): pairs of events of the same user
+    * within 5 minutes. The equi part (user_id) drives a shuffled
+    * hash/sort-merge join; the range predicate is a residual filter —
+    * crucially NOT a cartesian product, so it scales with per-user
+    * density, not n².
+    */
+  private val rangeInterval = Op(
+    "join_range_interval",
+    (s, sf) => {
+      val a = Tables.events(s, sf).select(
+        col("event_id").as("a_event_id"), col("user_id"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+      val b = Tables.events(s, sf).select(
+        col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
+        col("ts").as("b_ts"), col("event_type").as("b_type"))
+      a.join(b,
+          a("user_id") === b("b_user_id") &&
+          b("b_ts") >= a("a_ts") &&
+          b("b_ts") <= a("a_ts") + expr("INTERVAL 5 MINUTES") &&
+          a("a_event_id") < b("b_event_id"))
+        .select(col("user_id"), col("a_event_id"), col("b_event_id"),
+          col("a_type"), col("b_type"))
+        .orderBy("a_event_id", "b_event_id")
+    },
+    Some("""SELECT a.user_id AS user_id, a.event_id AS a_event_id, b.event_id AS b_event_id, a.event_type AS a_type, b.event_type AS b_type FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE AND a.event_id < b.event_id ORDER BY a_event_id, b_event_id"""),
+  )
+
+  /** As-of join (reference: OldIDSynonym / DatabaseVersion
+    * "latest-version-wins" lookups): for each event, the latest signup of
+    * the same user at-or-before its timestamp. Implemented as the
+    * LINEAR union+window formulation — carry the last non-null signup ts
+    * forward per user — instead of a range join + row_number, which
+    * multiplies each event by all its prior signups before pruning.
+    * rangeBetween (not rowsBetween) makes same-instant signups visible,
+    * matching ASOF's `s.ts <= e.ts`.
+    */
+  private val asof = Op(
+    "join_asof",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, sf)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("sig_ts", when(col("event_type") === "signup", col("ts")))
+        .withColumn("signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts, s.ts AS signup_ts FROM events e ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s ON e.user_id = s.user_id AND s.ts <= e.ts ORDER BY event_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
+    leftAnti, rangeInterval, asof)
 }
