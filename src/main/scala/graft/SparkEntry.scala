@@ -16,6 +16,8 @@ object SparkEntry {
     ops.Aggs,
     ops.Joins,
     ops.SetOps,
+    ops.Windows,
+    ops.Sorts,
   )
 
   private lazy val all: Seq[Op] = {

@@ -36,5 +36,146 @@ object Aggs extends OpGroup {
     Some("""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price, SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
   )
 
-  val ops: Seq[Op] = Seq(groupSummary)
+  /** Child-entity counts per parent — the direct ModelCount analog
+    * (reaction/metabolite/gene counts per model): orders, lineitems and
+    * distinct parts per customer, left joins so childless parents keep
+    * zeros. countDistinct expands + two-phase aggregates; at 100 TB the
+    * approx_hll variant below is the cheap substitute.
+    */
+  private val entityCounts = Op(
+    "agg_entity_counts",
+    (s, sf) => {
+      val c = Tables.customer(s, sf)
+      val o = Tables.orders(s, sf)
+      val l = Tables.lineitem(s, sf)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(col("l_orderkey")).as("n_items"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+        )
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(l_orderkey) AS n_items, COUNT(DISTINCT l_partkey) AS n_parts FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey LEFT OUTER JOIN lineitem ON o_orderkey = l_orderkey GROUP BY c_custkey ORDER BY c_custkey"""),
+  )
+
+  /** Exact distinct users per event type (reference: distinct genes per
+    * model via ModelGene uniqueness).
+    */
+  private val countDistinctOp = Op(
+    "agg_count_distinct",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** Hierarchical totals region → nation → grand total via ROLLUP
+    * (reference: per-model and database-wide summary reporting). NULLS
+    * FIRST is explicit in the oracle — DuckDB defaults to NULLS LAST,
+    * Spark to NULLS FIRST.
+    */
+  private val rollupOp = Op(
+    "agg_rollup",
+    (s, sf) => {
+      val l = Tables.lineitem(s, sf)
+      val su = Tables.supplier(s, sf)
+      val n = Tables.nation(s, sf)
+      val r = Tables.region(s, sf)
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+    Some("""SELECT r_name, n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+  )
+
+  /** CUBE over (returnflag, linestatus) with the grouping-set id bitmask
+    * exposed — grouping_id() in Spark == GROUPING(a, b) in DuckDB.
+    */
+  private val cubeOp = Op(
+    "agg_cube_grouping_sets",
+    (s, sf) =>
+      Tables.lineitem(s, sf)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+  )
+
+  /** Approximate distinct users per day: HyperLogLog++ at 2% target error.
+    * No reference analog (cobradb is exact-only) — this is the 100 TB
+    * substitute for countDistinct: mergeable fixed-size sketch instead of
+    * an exact expand+dedup shuffle. No oracle (sketch internals are
+    * engine-specific); scalatest bounds the error vs exact.
+    */
+  private val approxHll = Op(
+    "agg_approx_hll",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"),
+        )
+        .orderBy("day"),
+    None,
+  )
+
+  /** Per-order assembly of its detail rows into one deterministic string
+    * — the dump_model semantic (grouping ReactionMatrix rows into a
+    * per-reaction stoichiometry dict), rendered sort_array→concat_ws so
+    * both engines hash identical bytes.
+    */
+  private val collectSortedList = Op(
+    "agg_collect_sorted_list",
+    (s, sf) =>
+      Tables.lineitem(s, sf)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",",
+            transform(
+              sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+              x => concat(x("l_linenumber"), lit(":"), x("l_partkey")),
+            )).as("items"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, STRING_AGG(l_linenumber || ':' || l_partkey, ',' ORDER BY l_linenumber, l_partkey) AS items, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
+  )
+
+  /** Long → wide pivot: event_type counts per user (the ReactionMatrix
+    * long-form ↔ dense S-matrix widening). Explicit value list keeps the
+    * plan a single pass (no distinct-values pre-query) — at scale, always
+    * pass the pivot domain.
+    */
+  private val pivotMatrix = Op(
+    "agg_pivot_matrix",
+    (s, sf) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, sf)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(wide)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) FILTER (WHERE event_type = 'click') AS click, COUNT(*) FILTER (WHERE event_type = 'error') AS error, COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, COUNT(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
+    cubeOp, approxHll, collectSortedList, pivotMatrix)
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import parity._
+
+/** §2.E — window functions. The reference's per-group "pick the preferred
+  * row" logic (duplicate-reaction resolution keyed on reaction_hash in
+  * cobradb/loading/model_loading.py; EscherMap.priority selection)
+  * generalizes to rank/row_number windows; running/moving aggregates and
+  * batch sessionization are the analytic surface cobradb delegated to
+  * Postgres. Windows shuffle once on the partition key and sort within
+  * partitions — at 100 TB the partition key must be high-cardinality
+  * (user_id, custkey) so no single partition explodes.
+  */
+object Windows extends OpGroup {
+
+  /** Duplicate-group winner: first doc_id per exact-content hash — the
+    * reaction_hash dedup-resolution pattern as a window. (sf0.01 has no
+    * dup texts, so every row wins its group — the sf0.1 tier has real
+    * dup groups.)
+    */
+  private val dedupRank = Op(
+    "win_dedup_rank",
+    (s, sf) => {
+      val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+      Tables.documents(s, sf)
+        .withColumn("text_hash", md5(lower(col("text"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text_hash"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(lower(text)) AS text_hash, lang FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1 ORDER BY doc_id"""),
+  )
+
+  /** Top-3 orders per customer by totalprice (ties broken by orderkey) —
+    * EscherMap.priority "highest priority per model" pattern.
+    */
+  private val topkPerGroup = Op(
+    "win_topk_per_group",
+    (s, sf) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, sf)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""SELECT o_custkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk, o_orderkey, o_totalprice FROM orders QUALIFY rk <= 3 ORDER BY o_custkey, rk"""),
+  )
+
+  /** Running total of value per user in time order. The measure is
+    * decimal-cast so the cumulative sum is exact (a running DOUBLE sum
+    * is order-sensitive in the last bits and DuckDB evaluates growing
+    * frames with a segment tree — not left-to-right).
+    */
+  private val runningTotal = Op(
+    "win_running_total",
+    (s, sf) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, sf)
+        .withColumn("running_value", sum(dec(col("value"))).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"), col("running_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value FROM events ORDER BY event_id"""),
+  )
+
+  /** Moving average over the trailing 11 rows (10 preceding + current)
+    * per user. Derived from the exact decimal sum / window count so both
+    * engines divide identical numbers (DuckDB AVG returns DOUBLE, Spark
+    * returns DECIMAL — dividing explicitly sidesteps the type skew).
+    */
+  private val movingAvg = Op(
+    "win_moving_avg_rows",
+    (s, sf) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, Window.currentRow)
+      Tables.events(s, sf)
+        .withColumn("moving_avg",
+          r6(sum(dec(col("value"))).over(w).cast("double") / count(lit(1)).over(w)))
+        .select(col("event_id"), col("user_id"), col("ts"), col("moving_avg"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS moving_avg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
+  )
+
+  /** Batch sessionization — the batch dual of §2.J session windows:
+    * lag() gap detection → cumulative new-session flags → per-session
+    * aggregate. 30-minute gap, same constant as stream_session_window.
+    */
+  private val lagSessionize = Op(
+    "win_lag_sessionize",
+    (s, sf) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, sf)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 30 * 60, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(dec(col("value"))).as("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    },
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, SUM(CAST(value AS DECIMAL(18,6))) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
+    lagSessionize)
+}
