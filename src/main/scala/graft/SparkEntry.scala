@@ -18,6 +18,8 @@ object SparkEntry {
     ops.SetOps,
     ops.Windows,
     ops.Sorts,
+    ops.Scalars,
+    ops.Dedup,
   )
 
   private lazy val all: Seq[Op] = {

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import parity._
+
+/** §2.H — scalar function library: string, date, math, JSON, array. The
+  * cobradb ID-normalization pipeline (cobradb/parse.py ::
+  * split_compartment, convert_ids; cobradb/util.py :: scrub_gene_id) and
+  * its date/math/JSON field handling, all as codegen'd built-ins — no
+  * UDFs anywhere in this file, so every expression stays inside
+  * WholeStageCodegen and pushes through the optimizer.
+  */
+object Scalars extends OpGroup {
+
+  /** The cobradb ID pipeline ported: lowercase → scrub non-identifier
+    * chars to `_` → split a trailing compartment-style suffix
+    * (`glc__D_c` → base `glc__D`, compartment `c`). Applied to p_name.
+    * NOTE DuckDB regexp_replace replaces the first match unless the 'g'
+    * flag is passed — Spark is global by default.
+    */
+  private val idNormalize = Op(
+    "str_id_normalize",
+    (s, sf) =>
+      Tables.part(s, sf)
+        .withColumn("norm_id", regexp_replace(lower(col("p_name")), "[^a-z0-9_]", "_"))
+        .withColumn("base_id", regexp_extract(col("norm_id"), "^(.*)_([a-z][a-z0-9]?)$", 1))
+        .withColumn("suffix", regexp_extract(col("norm_id"), "^(.*)_([a-z][a-z0-9]?)$", 2))
+        .select(col("p_partkey"), col("norm_id"), col("base_id"), col("suffix"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, regexp_replace(lower(p_name), '[^a-z0-9_]', '_', 'g') AS norm_id, regexp_extract(regexp_replace(lower(p_name), '[^a-z0-9_]', '_', 'g'), '^(.*)_([a-z][a-z0-9]?)$', 1) AS base_id, regexp_extract(regexp_replace(lower(p_name), '[^a-z0-9_]', '_', 'g'), '^(.*)_([a-z][a-z0-9]?)$', 2) AS suffix FROM part ORDER BY p_partkey"""),
+  )
+
+  /** Whitespace tokenization + word frequency per language — split +
+    * explode is Spark's built-in Generator path (no UDTF needed).
+    */
+  private val tokenizeWordcount = Op(
+    "str_tokenize_wordcount",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "word"),
+    Some("""SELECT lang, word, COUNT(*) AS n FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY lang, word ORDER BY lang, word"""),
+  )
+
+  /** Date bucketing + component extraction + interval arithmetic.
+    * Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6 — the
+    * oracle shifts by one. date_trunc on both sides (never Spark
+    * window() vs DuckDB time_bucket — different origins).
+    */
+  private val dateExtractBucket = Op(
+    "date_extract_bucket",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .select(
+          date_trunc("hour", col("ts")).as("hour_bucket"),
+          dayofweek(col("ts")).as("dow"),
+          month(col("ts")).as("mon"),
+          date_trunc("day", col("ts") + expr("INTERVAL 7 DAYS")).as("day_plus_7"),
+          col("value"),
+        )
+        .groupBy("hour_bucket", "dow", "mon", "day_plus_7")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("hour_bucket"),
+    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(month(ts) AS INT) AS mon, CAST(date_trunc('day', ts + INTERVAL 7 DAY) AS TIMESTAMP) AS day_plus_7, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY 1, 2, 3, 4 ORDER BY hour_bucket"""),
+  )
+
+  /** Arithmetic + rounding + clamping (reference: stoichiometry math and
+    * lower/upper bound clamping in model_loading.py).
+    */
+  private val mathScalarExpr = Op(
+    "math_scalar_expr",
+    (s, sf) =>
+      Tables.lineitem(s, sf)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // 6-digit rounding, not 2: Spark's round() rounds the shortest
+          // decimal repr (BigDecimal.valueOf) while DuckDB rounds the
+          // exact binary — at 2 digits real ties like x.815 diverge.
+          r6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("revenue"),
+          least(greatest(col("l_quantity"), lit(5.0)), lit(45.0)).as("qty_clamped"),
+          r6(abs(col("l_discount") - lit(0.05))).as("disc_dev"),
+        )
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS revenue, LEAST(GREATEST(l_quantity, 5.0), 45.0) AS qty_clamped, ROUND(ABS(l_discount - 0.05), 6) AS disc_dev FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  /** Typed JSON field extraction + numeric aggregation over it
+    * (reference: EscherMap.map_data field access in map_loading.py).
+    */
+  private val jsonExtractTyped = Op(
+    "json_extract_typed",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_high"),
+          r6(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+        )
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_high, ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t WHERE k > 50 GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** Per-embedding L2 norm via higher-order functions only — the
+    * vector surface without UDFs or MLlib. Elements are cast to double
+    * BEFORE multiply on both engines so the sequential accumulation is
+    * bit-identical.
+    */
+  private val arrayHofNorm = Op(
+    "array_hof_norm",
+    (s, sf) =>
+      Tables.embeddings(s, sf)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          r6(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0),
+            (acc, x) => acc + x))).as("l2_norm"),
+        )
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings ORDER BY vec_id"""),
+  )
+
+  /** Per-user map(event_type → count) — the dump_model per-reaction
+    * dict assembly. MapType output is not canonical across engines →
+    * no oracle; scalatest compares sorted entries against
+    * agg_pivot_matrix.
+    */
+  private val mapEntriesBuild = Op(
+    "map_entries_build",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts"))
+        .orderBy("user_id"),
+    None,
+  )
+
+  val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
+    mathScalarExpr, jsonExtractTyped, arrayHofNorm, mapEntriesBuild)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Invariants of the dedup/similarity ops — the properties cobradb's
+  * hash_reaction relies on (SURVEY §5.2.3), checked against the actual
+  * Spark expressions, not a reimplementation.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The exact canonical-hash expression used by dedup_canonical_hash_sorted. */
+  private def canonHash(c: String) = md5(concat_ws(" ", sort_array(split(lower(col(c)), " "))))
+
+  test("canonical hash is invariant under token permutation (scalacheck gen)") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val doc = Gen.nonEmptyListOf(word)
+    val rnd = new scala.util.Random(42)
+    // 50 generated docs, shuffled, hashed in ONE Spark job.
+    val cases = (0 until 50).flatMap { i =>
+      doc.apply(Gen.Parameters.default.withSize(1 + i % 20), org.scalacheck.rng.Seed(i.toLong))
+        .map(ws => (ws.mkString(" "), rnd.shuffle(ws).mkString(" ")))
+    }
+    assert(cases.size >= 40, "generator drought")
+    val bad = cases.toDF("text", "text2")
+      .select(canonHash("text").as("h1"), canonHash("text2").as("h2"))
+      .filter(col("h1") =!= col("h2"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("sim_jaccard_pairs values are in (0.9, 1] range and symmetric keys ordered") {
+    val rows = SparkEntry.queries("sim_jaccard_pairs")(spark, sf)
+      .select("a_doc_id", "b_doc_id", "jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.9 && j <= 1.0)
+    }
+  }
+
+  test("minhash 8/8 agreement implies high exact jaccard on average") {
+    // MinHash is probabilistic: P[all 8 bands agree] = J^8, so individual
+    // false positives are expected (a J=0.44 pair slips through with
+    // p≈1.5e-3, and there are ~10^5 pairs). The sound assertion is on
+    // the aggregate: selected pairs average far above the corpus mean.
+    val mh = SparkEntry.queries("sim_minhash_portable")(spark, sf)
+      .select(col("a_doc_id"), col("b_doc_id"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
+    val joined = mh
+      .join(docs.select(col("doc_id").as("a_doc_id"), col("toks").as("a_toks")), "a_doc_id")
+      .join(docs.select(col("doc_id").as("b_doc_id"), col("toks").as("b_toks")), "b_doc_id")
+      .withColumn("j",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))))
+    val Array(meanJ, minJ) = joined.agg(avg(col("j")), min(col("j")))
+      .first().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(meanJ >= 0.7, s"mean jaccard of 8/8 pairs only $meanJ")
+    assert(minJ >= 0.25, s"8/8 pair with near-zero jaccard $minJ")
+  }
+
+  test("map_entries_build agrees with agg_pivot_matrix counts") {
+    val m = SparkEntry.queries("map_entries_build")(spark, sf)
+      .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "n")))
+    val p = SparkEntry.queries("agg_pivot_matrix")(spark, sf)
+    val fromPivot = p.select(col("user_id"),
+        expr("stack(5, 'click', click, 'error', error, 'purchase', purchase, 'signup', signup, 'view', view) AS (event_type, n)"))
+      .filter(col("n") > 0)
+    assert(m.exceptAll(fromPivot).isEmpty && fromPivot.exceptAll(m).isEmpty)
+  }
+}
