@@ -20,6 +20,9 @@ object SparkEntry {
     ops.Sorts,
     ops.Scalars,
     ops.Dedup,
+    ops.Vectors,
+    ops.TextOps,
+    ops.Multimodal,
   )
 
   private lazy val all: Seq[Op] = {

@@ -81,18 +81,28 @@ object Dedup extends OpGroup {
       // Tiny driver-side action: the vocabulary is bounded (31 words in
       // this corpus); at real scale this would be a frequency-capped dict.
       val maskWords = ((vocab.count() + 63) / 64).toInt
-      val masks = tok.join(broadcast(vocab), "word")
+      val bitsPerDoc = tok.join(broadcast(vocab), "word")
         .groupBy(col("doc_id"))
         .agg(collect_set(col("bit")).as("bits"))
-        .select(
-          col("doc_id"),
-          expr(s"aggregate(bits, array_repeat(0L, $maskWords), (acc, b) -> transform(acc, (x, j) -> if(j = cast(b div 64 as int), x | shiftleft(1L, cast(b % 64 as int)), x)))").as("mask"),
-          size(col("bits")).as("n"),
-        )
+      // V ≤ 64: one long per doc and the pair loop is three codegen'd
+      // integer ops. Wider vocabularies fall back to a long-array mask
+      // with (interpreted) HOF popcount — same semantics, same oracle.
+      val masks =
+        if (maskWords == 1)
+          bitsPerDoc.select(col("doc_id"),
+            expr("aggregate(bits, 0L, (acc, b) -> acc | shiftleft(1L, cast(b as int)))").as("mask"),
+            size(col("bits")).as("n"))
+        else
+          bitsPerDoc.select(col("doc_id"),
+            expr(s"aggregate(bits, array_repeat(0L, $maskWords), (acc, b) -> transform(acc, (x, j) -> if(j = cast(b div 64 as int), x | shiftleft(1L, cast(b % 64 as int)), x)))").as("mask"),
+            size(col("bits")).as("n"))
       val a = masks.select(col("doc_id").as("a_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
       val b = masks.select(col("doc_id").as("b_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
+      val interExpr =
+        if (maskWords == 1) expr("bit_count(a_mask & b_mask)")
+        else expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
       a.join(b, col("a_doc_id") < col("b_doc_id"))
-        .withColumn("i", expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"))
+        .withColumn("i", interExpr)
         .withColumn("jaccard", round(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")), 6))
         .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.9)
         .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
@@ -103,10 +113,13 @@ object Dedup extends OpGroup {
 
   /** Portable MinHash (Broder 1997), k=8, engine-deterministic: band
     * signature i = min over tokens of md5("i|token") — a string min, so
-    * Spark and DuckDB agree byte-for-byte. Candidate pairs = docs whose
-    * signatures agree on all 8 bands, found by an equi-join on
-    * (band, sig) — i.e. LSH band-bucketing, the scale path: candidates
-    * are generated per-bucket, never by an all-pairs loop.
+    * Spark and DuckDB agree byte-for-byte. The match threshold is ALL 8
+    * bands, which is algebraically an equi-join on the concatenated
+    * signature — so candidates come from hash-bucketing on one 128-bit
+    * key (sum of bucket² rows, i.e. exactly the output pairs), not from
+    * the per-band bucket join whose intermediate is ~8× the pair count.
+    * A lower r-of-k threshold would use per-band buckets (LSH banding)
+    * with the same dataflow.
     */
   private val minhashPortable = Op(
     "sim_minhash_portable",
@@ -115,19 +128,69 @@ object Dedup extends OpGroup {
       val sigCols = (0 until K).map(i =>
         min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
       val sigs = docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val long = sigs.select(col("doc_id"),
-        posexplode(array((0 until K).map(i => col(s"s$i")): _*)).as(Seq("band", "sig")))
-      val a = long.select(col("doc_id").as("a_doc_id"), col("band"), col("sig"))
-      val b = long.select(col("doc_id").as("b_doc_id"), col("band").as("b_band"), col("sig").as("b_sig"))
-      a.join(b, col("band") === col("b_band") && col("sig") === col("b_sig") &&
-          col("a_doc_id") < col("b_doc_id"))
-        .groupBy(col("a_doc_id"), col("b_doc_id"))
-        .agg(count(lit(1)).as("n_agree"))
-        .filter(col("n_agree") >= K)
+        .select(col("doc_id"),
+          md5(concat_ws("|", (0 until K).map(i => col(s"s$i")): _*)).as("full_sig"))
+      val a = sigs.select(col("doc_id").as("a_doc_id"), col("full_sig"))
+      val b = sigs.select(col("doc_id").as("b_doc_id"), col("full_sig").as("b_full_sig"))
+      a.join(b, col("full_sig") === col("b_full_sig") && col("a_doc_id") < col("b_doc_id"))
+        .select(col("a_doc_id"), col("b_doc_id"), lit(8L).as("n_agree"))
         .orderBy("a_doc_id", "b_doc_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) bands GROUP BY doc_id, band), cand AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS n_agree FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_doc_id, b_doc_id, n_agree FROM cand WHERE n_agree >= 8 ORDER BY a_doc_id, b_doc_id"""),
   )
 
-  val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs, minhashPortable)
+  /** 60-bit SimHash (Charikar 2002) over the token multiset: each token
+    * hashes to 60 bits (first 15 hex chars of md5 — stays in a signed
+    * long), each bit position accumulates +1/−1 by token frequency, the
+    * sign vector is the fingerprint. Near-dup docs differ in few bits
+    * (Hamming distance), enabling radius search by band-splitting the
+    * fingerprint. Pure HOFs — one linear pass, no explode.
+    */
+  private val simhash = Op(
+    "dedup_simhash",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .withColumn("hs",
+          expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+        .withColumn("simhash",
+          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t ORDER BY doc_id"""),
+  )
+
+  /** Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 — the discriminating
+    * variant of sim_jaccard_pairs: the shingle space is |V|³-sparse, so
+    * candidate pairs come from a shingle-inverted-index equi-join (only
+    * docs sharing a shingle ever meet — sum(df²) stays near-linear),
+    * which is exactly how shingle near-dup scales to 100 TB.
+    */
+  private val ngramJaccard = Op(
+    "dedup_ngram_jaccard",
+    (s, sf) => {
+      val sh = Tables.documents(s, sf)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))).as("s"))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a_doc_id"), col("s"))
+        .join(sh.select(col("doc_id").as("b_doc_id"), col("s")), "s")
+        .filter(col("a_doc_id") < col("b_doc_id"))
+        .groupBy(col("a_doc_id"), col("b_doc_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(n.select(col("doc_id").as("a_doc_id"), col("n").as("a_n")), "a_doc_id")
+        .join(n.select(col("doc_id").as("b_doc_id"), col("n").as("b_n")), "b_doc_id")
+        .withColumn("jaccard", round(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")), 6))
+        .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.5)
+        .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok WHERE len(ts) >= 3), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_doc_id, b_doc_id, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard FROM inter JOIN n na ON na.doc_id = a_doc_id JOIN n nb ON nb.doc_id = b_doc_id WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5 ORDER BY a_doc_id, b_doc_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
+    minhashPortable, simhash, ngramJaccard)
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.functions._
+import parity._
+
+/** Text-analysis surface for training-data pipelines (north-star
+  * extension; the reference's closest analog is synonym/ID string
+  * normalization in cobradb). Everything is built-in expressions — the
+  * whole file stays inside WholeStageCodegen, linear in corpus size, and
+  * oracle-checkable.
+  */
+object TextOps extends OpGroup {
+
+  /** Tiny public stopword lexicons (top function words per language) —
+    * the deterministic n-gram/lexicon-profile heuristic for language ID.
+    */
+  private val lexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "was"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "de", "un", "et", "les", "des", "est", "dans", "que", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta", "zhe"),
+  )
+
+  /** Language ID: score each candidate language by lexicon-hit count
+    * over the token stream, predict the argmax (ties → lexicographic
+    * lang; no hits → 'und'). A real system would use char-n-gram
+    * profiles; the dataflow — explode → broadcast lexicon join → per-doc
+    * argmax window — is identical.
+    */
+  private val langid = Op(
+    "text_langid",
+    (s, sf) => {
+      import s.implicits._
+      val lex = lexicon.flatMap { case (l, ws) => ws.map((l, _)) }.toDF("cand_lang", "word")
+      val hits = Tables.documents(s, sf)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .join(broadcast(lex), "word")
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("n_hits"))
+      val best = hits.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("n_hits").desc, col("cand_lang").asc)))
+        .filter(col("rk") === 1)
+      Tables.documents(s, sf)
+        .join(best, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH lex(cand_lang, word) AS (VALUES ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','you'),('en','that'),('en','it'),('en','was'),('de','der'),('de','die'),('de','und'),('de','den'),('de','von'),('de','zu'),('de','das'),('de','mit'),('de','sich'),('de','des'),('es','de'),('es','la'),('es','que'),('es','el'),('es','en'),('es','y'),('es','los'),('es','del'),('es','se'),('es','las'),('fr','le'),('fr','de'),('fr','un'),('fr','et'),('fr','les'),('fr','des'),('fr','est'),('fr','dans'),('fr','que'),('fr','une'),('zh','de'),('zh','shi'),('zh','bu'),('zh','le'),('zh','ren'),('zh','wo'),('zh','zai'),('zh','you'),('zh','ta'),('zh','zhe')), hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t JOIN lex USING (word) GROUP BY doc_id, cand_lang), best AS (SELECT doc_id, cand_lang, n_hits FROM hits QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) = 1) SELECT d.doc_id AS doc_id, d.lang AS actual_lang, COALESCE(b.cand_lang, 'und') AS pred_lang, COALESCE(b.n_hits, 0) AS n_hits FROM documents d LEFT OUTER JOIN best b ON d.doc_id = b.doc_id ORDER BY doc_id"""),
+  )
+
+  /** Quality scoring: token count, average word length, stopword ratio,
+    * digit ratio, combined into a LINEAR score (deliberately no
+    * exp/log — libm implementations differ across engines in the last
+    * ulp; a linear form is exactly portable after rounding).
+    */
+  private val qualityScore = Op(
+    "text_quality_score",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_stop",
+          size(expr("filter(toks, x -> x IN ('the','and','of','to','in','is','you','that','it','was'))")))
+        .withColumn("n_digit", length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .withColumn("avg_word_len",
+          r6((length(col("text")) - (col("n_tok") - 1)).cast("double") / col("n_tok")))
+        .withColumn("stop_ratio", r6(col("n_stop").cast("double") / col("n_tok")))
+        .withColumn("digit_ratio", r6(col("n_digit").cast("double") / length(col("text"))))
+        .withColumn("quality",
+          r6(least(lit(1.0), greatest(lit(0.0),
+            lit(0.3) + least(col("n_tok").cast("double") / 200, lit(0.35)) +
+              col("n_stop").cast("double") / col("n_tok") * 0.5 -
+              col("n_digit").cast("double") / length(col("text")) * 2.0))))
+        .select(col("doc_id"), col("n_tok"), col("avg_word_len"),
+          col("stop_ratio"), col("digit_ratio"), col("quality"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_word_len, ROUND(CAST(n_stop AS DOUBLE) / len(toks), 6) AS stop_ratio, ROUND(CAST(n_digit AS DOUBLE) / length(text), 6) AS digit_ratio, ROUND(LEAST(1.0, GREATEST(0.0, 0.3 + LEAST(CAST(len(toks) AS DOUBLE) / 200, 0.35) + CAST(n_stop AS DOUBLE) / len(toks) * 0.5 - CAST(n_digit AS DOUBLE) / length(text) * 2.0)), 6) AS quality FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks, len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','you','that','it','was'))) AS n_stop, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit FROM documents) t ORDER BY doc_id"""),
+  )
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other chars) — the
+    * cheap token-budget estimator of a data pipeline.
+    */
+  private val tokenCount = Op(
+    "text_token_count",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("re_tokens"),
+          length(col("text")).as("n_chars_calc"),
+          col("n_chars"),
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens, CAST(length(text) AS INT) AS n_chars_calc, n_chars FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Document fingerprinting: rolling 5-token shingles, md5 per shingle,
+    * min-hash as the fingerprint (winnowing-lite). Same doc content ⇒
+    * same fingerprint regardless of engine.
+    */
+  private val fingerprint = Op(
+    "text_fingerprint",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("shingle_hashes",
+          expr("transform(sequence(1, greatest(size(toks) - 4, 1)), i -> md5(concat_ws(' ', slice(toks, i, 5))))"))
+        .select(
+          col("doc_id"),
+          size(col("shingle_hashes")).as("n_shingles"),
+          array_min(col("shingle_hashes")).as("fp_min"),
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles, list_min(sh) AS fp_min FROM (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 4, 1)), i -> md5(array_to_string(toks[i:i+4], ' '))) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t) t2 ORDER BY doc_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint)
+}

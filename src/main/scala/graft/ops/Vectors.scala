@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import graft.functions.FloatVecDot
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import parity._
+
+/** §2.I vectors — similarity search over `embeddings.embedding`
+  * (Array[Float], 64-dim; deliberately NOT VectorUDT — plain arrays keep
+  * parquet parity and HOF access). No reference analog (cobradb matrices
+  * are unpivoted rows); this is the north-star ANN surface.
+  *
+  * The pair loop uses the codegen'd [[graft.functions.FloatVecDot]]
+  * expression: sequential double accumulation (bit-identical to the
+  * DuckDB list_reduce oracle) in a primitive loop inside
+  * WholeStageCodegen — the interpreted HOF equivalent is ~an order of
+  * magnitude slower over millions of pairs.
+  *
+  * 100 TB design: `vec_cosine_topk` is the exact O(n²) baseline — at
+  * real scale you never run it on the full corpus; `vec_ann_ivf` is the
+  * scale path (coarse-quantizer bucketing → per-bucket exact search →
+  * shuffle keyed on bucket id, each bucket a partition-local top-k).
+  */
+object Vectors extends OpGroup {
+
+  /** vec_id, embedding, precomputed L2 norm — one linear pass. */
+  private def normed(s: SparkSession, sf: String): DataFrame = {
+    FloatVecDot.register(s)
+    Tables.embeddings(s, sf).select(
+      col("vec_id"), col("label"), col("embedding"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+  }
+
+  private def topkSelect(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("a_vec_id"))
+      .orderBy(round(col("sim"), 6).desc, col("b_vec_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("a_vec_id"), col("rk"), col("b_vec_id"),
+        r6(col("sim")).as("cos_sim"))
+      .orderBy("a_vec_id", "rk")
+  }
+
+  /** Exact top-5 cosine neighbors per vector, brute force. Cosine is
+    * symmetric, so each unordered pair's dot is computed once (lower
+    * triangle) and mirrored — half the O(n²) work of the naive a ≠ b
+    * loop.
+    */
+  private val cosineTopk = Op(
+    "vec_cosine_topk",
+    (s, sf) => {
+      val v = normed(s, sf)
+      val a = v.select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = v.select(col("vec_id").as("b_vec_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val lower = a.join(b, col("a_vec_id") < col("b_vec_id"))
+        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+        .select(col("a_vec_id"), col("b_vec_id"), col("sim"))
+      val pairs = lower.union(lower.select(col("b_vec_id"), col("a_vec_id"), col("sim")))
+      topkSelect(pairs, 5)
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
+  )
+
+  /** Per-label element-wise mean vector, long form (label, pos,
+    * centroid_val) — ≈ one k-means maximization step. Exact decimal sums
+    * so the per-dimension mean is engine-identical.
+    */
+  private val centroidPerLabel = Op(
+    "vec_centroid_per_label",
+    (s, sf) =>
+      Tables.embeddings(s, sf)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          // float → DOUBLE → decimal on BOTH engines: DuckDB would cast
+          // FLOAT → DECIMAL via the float's 7-digit shortest repr while
+          // Spark widens through double — real 6th-decimal divergence.
+          r6(sum(dec(col("v").cast("double"))).cast("double") / count(lit(1))).as("centroid_val"),
+          count(lit(1)).as("n_vecs"),
+        )
+        .orderBy("label", "pos"),
+    Some("""SELECT label, CAST(pos AS INT) AS pos, ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_val, COUNT(*) AS n_vecs FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos ORDER BY label, pos"""),
+  )
+
+  /** IVF-style approximate nearest neighbors: the label partitions act
+    * as the coarse quantizer's cells (their mean vectors are the
+    * centroids), each query probes its nprobe=2 closest centroids, and
+    * exact top-5 search runs only within the probed cells — ~nprobe/k of
+    * the pair work, shuffled on the bucket key so each cell's search is
+    * partition-local. No oracle (approximation is engine-specific);
+    * scalatest checks the subset-of-exact property.
+    */
+  private val annIvf = Op(
+    "vec_ann_ivf",
+    (s, sf) => {
+      val v = normed(s, sf)
+      // Coarse centroids: per-label mean, re-assembled into float arrays.
+      val cent = Tables.embeddings(s, sf)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
+        .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+      // Probe assignment: top-2 centroids per query vector.
+      val probes = v.crossJoin(broadcast(cent.select(col("label").as("c_label"), col("cvec"), col("cnrm"))))
+        .withColumn("csim", expr("vec_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label").asc)))
+        .filter(col("crk") <= 2)
+        .select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"),
+          col("nrm").as("a_nrm"), col("c_label").as("bucket"))
+      // Exact search within probed buckets only.
+      val bucketed = v.select(col("label").as("bucket"), col("vec_id").as("b_vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val pairs = probes.join(bucketed, "bucket")
+        .filter(col("a_vec_id") =!= col("b_vec_id"))
+        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+      topkSelect(pairs, 5)
+    },
+    None,
+  )
+
+  val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf)
+}
