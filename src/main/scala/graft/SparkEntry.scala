@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Vectors,
     ops.TextOps,
     ops.Multimodal,
+    ops.Streaming,
   )
 
   private lazy val all: Seq[Op] = {

@@ -1,0 +1,135 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{Op, OpGroup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import parity._
+
+/** §2.J — Structured Streaming surface. The reference is batch-only (a
+  * Postgres loader); this is the north-star extension. Because the
+  * source is a finite parquet file, every op runs the stream to
+  * completion with Trigger.AvailableNow into a memory sink and returns
+  * the result — giving each streaming op a deterministic batch-equal
+  * oracle (the driver's DuckDB SQL is the batch dual).
+  *
+  * Aggregations use COMPLETE output mode: in append mode the windows
+  * newer than (max event time − watermark) are still open when the
+  * finite stream ends and would never emit — batch parity requires the
+  * full state. Watermarks are still declared: they bound state at real
+  * scale (docs/streaming.md covers the late-data policy).
+  */
+object Streaming extends OpGroup {
+
+  /** Memory-sink query names must be unique per invocation. */
+  private val runId = new AtomicInteger
+
+  /** events as a stream: explicit schema (file streams can't infer), ts
+    * read as nanos long (same legacy conf as Tables.events) and
+    * converted to a microsecond timestamp.
+    */
+  private def eventsStream(s: SparkSession, sf: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType),
+    ))
+    // The file stream source wants a directory; glob-filter down to the
+    // events file (the other tables' parquet share the directory).
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a (finite) streaming DataFrame to completion, return the sink. */
+  private def runToCompletion(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour counts per event type. The group key is emitted as
+    * date_trunc (not window().start) so the oracle is a plain batch
+    * GROUP BY — same instants either way for a 1-hour tumble.
+    */
+  private val tumblingCounts = Op(
+    "stream_tumbling_counts",
+    (s, sf) => {
+      val agg = eventsStream(s, sf)
+        .withWatermark("ts", "1 day")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+      runToCompletion(s, agg, "complete").orderBy("hour_bucket", "event_type")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""),
+  )
+
+  /** Sliding windows (1 hour every 15 minutes), average value per
+    * window×type. Spark's window() aligns slides to the unix epoch, so
+    * the batch dual enumerates the 4 covering starts via epoch math.
+    */
+  private val slidingAvg = Op(
+    "stream_sliding_avg",
+    (s, sf) => {
+      val agg = eventsStream(s, sf)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      runToCompletion(s, agg, "complete")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
+        .orderBy("win_start", "event_type")
+    },
+    Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+  )
+
+  /** Session windows, 30-minute gap, per user — the streaming dual of
+    * win_lag_sessionize (same gap constant). session_window's end is
+    * last-event-time + gap; the batch dual mirrors that.
+    */
+  private val sessionWindow = Op(
+    "stream_session_window",
+    (s, sf) => {
+      val agg = eventsStream(s, sf)
+        .withWatermark("ts", "1 day")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+      runToCompletion(s, agg, "complete")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_start"""),
+  )
+
+  /** Streaming dedup on event_id within a 1-hour watermark: state holds
+    * one key per id seen within the horizon; duplicates arriving inside
+    * it are dropped, and state self-expires (bounded memory — the whole
+    * point vs. a global dropDuplicates). The corpus has unique
+    * event_ids (verified), so the batch dual is the identity projection;
+    * the semantics are exercised with injected duplicates in
+    * StreamingSpec.
+    */
+  private val dedupWatermark = Op(
+    "stream_dedup_watermark",
+    (s, sf) => {
+      val deduped = eventsStream(s, sf)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      runToCompletion(s, deduped, "append").orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, event_type FROM events ORDER BY event_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow, dedupWatermark)
+}
