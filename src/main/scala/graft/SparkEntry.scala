@@ -24,6 +24,7 @@ object SparkEntry {
     ops.TextOps,
     ops.Multimodal,
     ops.Streaming,
+    ops.UdfOps,
   )
 
   private lazy val all: Seq[Op] = {
