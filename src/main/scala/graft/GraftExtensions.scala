@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVecDot
+
+/** Session-extension entry point: registers the engine's custom Catalyst
+  * expressions at session build time —
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * This is the deployment path for a cluster (spark.sql.extensions works
+  * from pure config, no code changes at the call site). The operator
+  * library also self-registers via [[graft.functions.FloatVecDot.register]]
+  * so the ops work on any plain session — the two paths install the same
+  * function.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)),
+    ))
+  }
+}

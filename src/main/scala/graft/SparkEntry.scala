@@ -13,6 +13,7 @@ object SparkEntry {
   /** The operator registry: each OpGroup contributes its §2 section. */
   private val groups: Seq[OpGroup] = Seq(
     ops.Scans,
+    ops.Filters,
     ops.Aggs,
     ops.Joins,
     ops.SetOps,

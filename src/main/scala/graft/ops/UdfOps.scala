@@ -1,8 +1,6 @@
 package graft.ops
 
 import graft.{Op, OpGroup, Tables}
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** §2.K — the user-extension surface: a typed Aggregator UDAF and a
@@ -13,31 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object UdfOps extends OpGroup {
 
-  /** Bounded top-k buffer: insert + merge keep only k entries, ordered
-    * by (totalprice DESC, orderkey ASC) — a partial-aggregable heap, so
-    * the shuffle carries k rows per group instead of the group's whole
-    * history the window-sort formulation materializes per partition.
-    */
-  private final class TopKAgg(k: Int)
-      extends Aggregator[(Long, Double), List[(Long, Double)], Seq[(Long, Double)]] {
-    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-    private def insert(buf: List[(Long, Double)], r: (Long, Double)): List[(Long, Double)] = {
-      val (before, after) = buf.span(better(_, r))
-      (before ::: r :: after).take(k)
-    }
-    def zero: List[(Long, Double)] = Nil
-    def reduce(buf: List[(Long, Double)], r: (Long, Double)): List[(Long, Double)] =
-      insert(buf, r)
-    def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
-      b.foldLeft(a)(insert)
-    def finish(buf: List[(Long, Double)]): Seq[(Long, Double)] = buf
-    def bufferEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
-    def outputEncoder: Encoder[Seq[(Long, Double)]] = Encoders.kryo[Seq[(Long, Double)]]
-  }
-
-  /** Exact top-3 orders per customer via the typed Aggregator — must
-    * equal win_topk_per_group row-for-row (shared oracle SQL shape).
+  /** Exact top-3 orders per customer via the typed Aggregator path over
+    * the shared bounded-heap [[graft.functions.TopKAgg]] — must equal
+    * win_topk_per_group row-for-row (shared oracle SQL shape). The
+    * untyped udaf() path over the same class powers the vector top-k.
     */
   private val topkTyped = Op(
     "udaf_topk_typed",
@@ -49,7 +26,7 @@ object UdfOps extends OpGroup {
       orders
         .groupByKey(_._1)
         .mapValues(r => (r._2, r._3))
-        .agg(new TopKAgg(3).toColumn)
+        .agg(new graft.functions.TopKAgg(3).toColumn)
         .flatMap { case (cust, top) =>
           top.iterator.zipWithIndex.map { case ((ok, price), i) => (cust, i + 1, ok, price) }
         }

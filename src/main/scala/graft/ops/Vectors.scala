@@ -33,13 +33,23 @@ object Vectors extends OpGroup {
       sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
   }
 
+  /** Top-k per query via the bounded-heap [[graft.functions.TopKAgg]]
+    * UDAF: the shuffle after partial aggregation carries ≤k entries per
+    * (group × partition) instead of every pair row that a window
+    * row_number plan would shuffle and sort — the difference between
+    * moving O(pairs) and O(groups·k) at 100 TB. Ordering (rounded sim
+    * DESC, b_vec_id ASC) matches the oracle's window exactly.
+    */
   private def topkSelect(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("a_vec_id"))
-      .orderBy(round(col("sim"), 6).desc, col("b_vec_id").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("a_vec_id"), col("rk"), col("b_vec_id"),
-        r6(col("sim")).as("cos_sim"))
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+    pairs.select(col("a_vec_id"), col("b_vec_id"), round(col("sim"), 6).as("simr"))
+      .groupBy(col("a_vec_id"))
+      .agg(topk(col("b_vec_id"), col("simr")).as("top"))
+      .select(col("a_vec_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("a_vec_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("entry._1").as("b_vec_id"), col("entry._2").as("cos_sim"))
       .orderBy("a_vec_id", "rk")
   }
 
