@@ -176,6 +176,43 @@ object Aggs extends OpGroup {
     Some("""SELECT user_id, COUNT(*) FILTER (WHERE event_type = 'click') AS click, COUNT(*) FILTER (WHERE event_type = 'error') AS error, COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, COUNT(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** Exact continuous percentiles (median, p90) per event type — Spark
+    * percentile() and DuckDB quantile_cont share linear-interpolation
+    * semantics; rounding absorbs interpolation ulps.
+    */
+  private val percentileExact = Op(
+    "agg_percentile_exact",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(col("event_type"))
+        .agg(
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.9)")).as("p90"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy("event_type"),
+    Some("""SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50, ROUND(quantile_cont(value, 0.9), 6) AS p90, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
+  /** Approximate percentiles (Greenwald-Khanna sketch) — the mergeable
+    * fixed-size substitute for exact percentile at 100 TB, paired with
+    * agg_approx_hll. No oracle (sketch internals are engine-specific);
+    * AggSpec bounds the rank error against the exact op.
+    */
+  private val approxQuantile = Op(
+    "agg_approx_quantile",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"),
+        )
+        .orderBy("event_type"),
+    None,
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
-    cubeOp, approxHll, collectSortedList, pivotMatrix)
+    cubeOp, approxHll, collectSortedList, pivotMatrix, percentileExact,
+    approxQuantile)
 }

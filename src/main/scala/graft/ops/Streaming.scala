@@ -131,5 +131,54 @@ object Streaming extends OpGroup {
     Some("""SELECT event_id, user_id, ts, event_type FROM events ORDER BY event_id"""),
   )
 
-  val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow, dedupWatermark)
+  /** Custom stateful aggregation via mapGroupsWithState — the escape
+    * hatch under all built-in streaming aggs: per-user running
+    * (count, sum, first/last ts) state, re-emitted each batch in update
+    * mode. The measure is carried as exact integer micros (decimal(18,6)
+    * × 10⁶ fits a long) so state merge is associative and order-free —
+    * the portable-sum discipline applied to hand-rolled state. The
+    * single-file source yields one micro-batch, so the update-mode
+    * memory sink holds exactly one row per user (multi-batch sinks would
+    * take the latest emission per key).
+    */
+  private val statefulAgg = Op(
+    "stream_stateful_agg",
+    (s, sf) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = eventsStream(s, sf)
+        .select(
+          col("user_id"),
+          expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").as("micros"),
+          expr("unix_micros(ts)").as("ts_us"),
+        )
+        .as[(Long, Long, Long)]
+      val updated = src.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, sum, tmin, tmax) =
+            state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, m, t) =>
+            n += 1; sum += m
+            if (t < tmin) tmin = t
+            if (t > tmax) tmax = t
+          }
+          state.update((n, sum, tmin, tmax))
+          (user, n, sum, tmin, tmax)
+      }
+      runToCompletion(s, updated.toDF("user_id", "n_events", "sum_micros", "min_us", "max_us"),
+          OutputMode.Update().toString.toLowerCase)
+        .select(
+          col("user_id"), col("n_events"),
+          r6(col("sum_micros") / 1000000.0).as("sum_value"),
+          expr("timestamp_micros(min_us)").as("first_ts"),
+          expr("timestamp_micros(max_us)").as("last_ts"),
+        )
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
+    dedupWatermark, statefulAgg)
 }

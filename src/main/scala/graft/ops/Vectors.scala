@@ -53,22 +53,38 @@ object Vectors extends OpGroup {
       .orderBy("a_vec_id", "rk")
   }
 
-  /** Exact top-5 cosine neighbors per vector, brute force. Cosine is
-    * symmetric, so each unordered pair's dot is computed once (lower
-    * triangle) and mirrored — half the O(n²) work of the naive a ≠ b
-    * loop.
+  /** Exact top-5 cosine neighbors per vector, brute force via the
+    * broadcast-matrix kernel (graft.functions.CosineKernel): the
+    * comparison matrix ships once per executor and each query scans it
+    * with a primitive loop + bounded insertion heap — no O(n²) pair rows
+    * ever materialize. The collect is bounded by the comparison-set size
+    * (at 100 TB this op only ever runs per-IVF-bucket; see vec_ann_ivf
+    * for the cell-partitioned shape that feeds it).
     */
   private val cosineTopk = Op(
     "vec_cosine_topk",
     (s, sf) => {
-      val v = normed(s, sf)
-      val a = v.select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-      val b = v.select(col("vec_id").as("b_vec_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-      val lower = a.join(b, col("a_vec_id") < col("b_vec_id"))
-        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
-        .select(col("a_vec_id"), col("b_vec_id"), col("sim"))
-      val pairs = lower.union(lower.select(col("b_vec_id"), col("a_vec_id"), col("sim")))
-      topkSelect(pairs, 5)
+      import s.implicits._
+      val rows = Tables.embeddings(s, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ids = rows.map(_._1)
+      val mat = rows.map(_._2)
+      val nrm = mat.map(graft.functions.CosineKernel.l2)
+      val bc = s.sparkContext.broadcast((ids, mat, nrm))
+      Tables.embeddings(s, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val (ids, mat, nrm) = bc.value
+          it.flatMap { case (qid, q) =>
+            graft.functions.CosineKernel
+              .topK(qid, q, graft.functions.CosineKernel.l2(q), ids, mat, nrm, 5)
+              .iterator.map { case (rk, bid, sim) => (qid, rk, bid, sim) }
+          }
+        }
+        .toDF("a_vec_id", "rk", "b_vec_id", "cos_sim")
+        .orderBy("a_vec_id", "rk")
     },
     Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
   )

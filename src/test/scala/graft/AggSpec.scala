@@ -22,6 +22,19 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_quantile is close to the exact percentiles") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+    val exact = SparkEntry.queries("agg_percentile_exact")(spark, sf)
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      // events.value spans roughly [0, 1000]; GK at accuracy 1000 should
+      // land within a small absolute band of the exact quantile.
+      assert(math.abs(r.getAs[Double]("p50_approx") - r.getAs[Double]("p50")) < 10.0)
+      assert(math.abs(r.getAs[Double]("p90_approx") - r.getAs[Double]("p90")) < 10.0)
+    }
+  }
+
   test("agg_pivot_matrix row sums equal per-user event counts") {
     val wide = SparkEntry.queries("agg_pivot_matrix")(spark, sf)
     val total = wide.select(
