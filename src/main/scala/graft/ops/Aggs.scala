@@ -212,7 +212,29 @@ object Aggs extends OpGroup {
     None,
   )
 
+  /** Manual two-phase salted aggregation: append a salt to the group
+    * key, partially aggregate on (key, salt) — spreading one hot key
+    * over 16 reducers — then merge the partials on the bare key. With 5
+    * event types over 100k+ rows the keys here ARE skewed (hash agg
+    * map-side combine also helps, but salting is the explicit fix when a
+    * single key exceeds one reducer, e.g. count-distinct or collect
+    * states that don't combine). Result is key-identical to the plain
+    * GROUP BY, which is the oracle.
+    */
+  private val saltedTwoPhase = Op(
+    "agg_salted_twophase",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("psum")).cast(Dec).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, approxHll, collectSortedList, pivotMatrix, percentileExact,
-    approxQuantile)
+    approxQuantile, saltedTwoPhase)
 }
