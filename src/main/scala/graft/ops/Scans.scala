@@ -48,5 +48,29 @@ object Scans extends OpGroup {
     Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
-  val ops: Seq[Op] = Seq(scanProject, jsonDecode)
+  /** CSV source path (the reference's TSV ingest — cobradb/util.py ::
+    * load_tsv): snapshot the region table to CSV once (cached in /tmp,
+    * deterministic content), read it back with an EXPLICIT schema — file
+    * sources at scale never infer — and aggregate. The oracle reads the
+    * same rows from the parquet table, proving the format round-trip.
+    */
+  private val csvScan = Op(
+    "src_csv_scan",
+    (s, sf) => {
+      import org.apache.spark.sql.types._
+      val dir = s"/tmp/graft_csv/${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/region"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.region(s, sf).orderBy("r_regionkey")
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .orderBy("r_regionkey")
+    },
+    Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan)
 }
