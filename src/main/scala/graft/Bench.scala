@@ -12,11 +12,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths once so the first timed query doesn't
-    // absorb session startup (~3-4 s of JIT + classloading).
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-    catch { case _: Throwable => () }
+    // Warm the JVM/codegen paths once so the first timed queries don't
+    // absorb session startup (JIT, classloading, codegen compiler):
+    // an aggregate, a window, and a HOF/array path cover the hot
+    // expression compilers the suite uses.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      e.selectExpr("vec_id", "aggregate(embedding, 0D, (a, x) -> a + cast(x as double)) s")
+        .orderBy("vec_id").limit(5).collect()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+        .filter(col("rn") === 1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
