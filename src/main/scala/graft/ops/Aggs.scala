@@ -234,7 +234,29 @@ object Aggs extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** Wide → long via the native unpivot (melt) API — the inverse of
+    * agg_pivot_matrix, closing the reshape pair (ReactionMatrix long
+    * form ↔ dense S-matrix both directions). Unpivoting the pivoted
+    * counts and dropping the zero fills reproduces the plain
+    * GROUP BY (user, type) — which is the oracle.
+    */
+  private val unpivotStack = Op(
+    "agg_unpivot_stack",
+    (s, sf) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wideBase = Tables.events(s, sf)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val wide = types.foldLeft(wideBase)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, approxHll, collectSortedList, pivotMatrix, percentileExact,
-    approxQuantile, saltedTwoPhase)
+    approxQuantile, saltedTwoPhase, unpivotStack)
 }
