@@ -146,6 +146,47 @@ object Scalars extends OpGroup {
     None,
   )
 
+  /** String-function breadth: translate, lpad, reverse, levenshtein —
+    * the remaining scalar string surface (edit distance is also the
+    * primitive behind fuzzy synonym matching in the reference's Synonym
+    * lookups).
+    */
+  private val strFunctions = Op(
+    "str_functions_breadth",
+    (s, sf) =>
+      Tables.part(s, sf)
+        .select(
+          col("p_partkey"),
+          translate(col("p_type"), " ", "_").as("type_snake"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_padded"),
+          reverse(col("p_name")).as("name_rev"),
+          levenshtein(col("p_brand"), lit("Brand#11")).as("brand_dist"),
+        )
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, translate(p_type, ' ', '_') AS type_snake, lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded, reverse(p_name) AS name_rev, CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS brand_dist FROM part ORDER BY p_partkey"""),
+  )
+
+  /** Date-function breadth: month arithmetic with end-of-month clamping
+    * (both engines clamp Jan 31 + 1 month to Feb 28/29), last_day,
+    * day-diff, quarter. Spark's add_months/last_day return DATE — cast
+    * back to timestamp for oracle parity.
+    */
+  private val dateFunctions = Op(
+    "date_functions_breadth",
+    (s, sf) =>
+      Tables.orders(s, sf)
+        .select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus_3mo"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"),
+          quarter(col("o_orderdate")).as("qtr"),
+        )
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderdate + INTERVAL 3 MONTH AS plus_3mo, CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end, CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start, CAST(quarter(o_orderdate) AS INT) AS qtr FROM orders ORDER BY o_orderkey"""),
+  )
+
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
-    mathScalarExpr, jsonExtractTyped, arrayHofNorm, mapEntriesBuild)
+    mathScalarExpr, jsonExtractTyped, arrayHofNorm, mapEntriesBuild,
+    strFunctions, dateFunctions)
 }

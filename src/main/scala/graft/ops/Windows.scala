@@ -119,6 +119,28 @@ object Windows extends OpGroup {
     Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, SUM(CAST(value AS DECIMAL(18,6))) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
   )
 
+  /** Rank-distribution analytics per user: quartile bucket, percentile
+    * rank, cumulative distribution, and the following value — the
+    * remaining window-function family (ntile/percent_rank/cume_dist/
+    * lead) in one pass over a single ordered window.
+    */
+  private val rankDistribution = Op(
+    "win_rank_distribution",
+    (s, sf) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, sf)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          r6(percent_rank().over(w)).as("pct_rank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          lead(col("value"), 1).over(w).as("next_value"),
+        )
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdist, lead(value, 1) OVER w AS next_value FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id) ORDER BY event_id"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
-    lagSessionize)
+    lagSessionize, rankDistribution)
 }
