@@ -26,6 +26,7 @@ object SparkEntry {
     ops.Multimodal,
     ops.Streaming,
     ops.UdfOps,
+    ops.SqlFrontend,
   )
 
   private lazy val all: Seq[Op] = {

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL front-end surface: the same engine driven through spark.sql over
+  * temp views — the interactive-catalog entry point of the reference
+  * (ORM session queries in §3.3) for users who speak SQL rather than the
+  * DataFrame API. Both ops also exercise Catalyst's subquery machinery
+  * (RewriteCorrelatedScalarSubquery / decorrelation, SURVEY §4.2), which
+  * the DataFrame operators never hit.
+  */
+object SqlFrontend extends OpGroup {
+
+  private def withViews(s: SparkSession, sf: String, names: String*): Unit =
+    names.foreach(n => Tables.table(s, sf, n).createOrReplaceTempView(n))
+
+  /** Correlated scalar subquery: orders priced above their customer's
+    * own average — decorrelated by Catalyst into an aggregate + join,
+    * not an O(n²) re-execution per row.
+    */
+  private val correlatedScalar = Op(
+    "sql_correlated_subquery",
+    (s, sf) => {
+      withViews(s, sf, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey"""),
+  )
+
+  /** TPC-H Q3 shape (shipping-priority) as literal SQL: segment-filtered
+    * 3-way join, decimal revenue aggregation, top-10 — the flagship
+    * dump_model-style reconstruction through the SQL door.
+    */
+  private val tpchQ3 = Op(
+    "sql_tpch_q3",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders", "lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
+    },
+    Some("""SELECT l_orderkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, o_orderdate, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+  )
+
+  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3)
+}
