@@ -149,5 +149,28 @@ object Vectors extends OpGroup {
     None,
   )
 
-  val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf)
+  /** Embedding-cosine near-duplicate pairs (threshold 0.4 — calibrated
+    * non-vacuous on this corpus: random 64-d gaussians cluster near 0,
+    * p99.9 ≈ 0.38). The declarative lower-triangle join with the
+    * codegen'd dot — at scale the pair loop would be LSH/IVF-blocked
+    * exactly like vec_ann_ivf; the threshold filter then runs per
+    * bucket. Comparison is on the ROUNDED similarity on both engines so
+    * the boundary can't flip on a ulp.
+    */
+  private val embeddingNearDup = Op(
+    "dedup_embedding_cosine",
+    (s, sf) => {
+      val v = normed(s, sf)
+      val a = v.select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = v.select(col("vec_id").as("b_vec_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(b, col("a_vec_id") < col("b_vec_id"))
+        .withColumn("cos_sim", r6(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm"))))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("a_vec_id"), col("b_vec_id"), col("cos_sim"))
+        .orderBy("a_vec_id", "b_vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup)
 }
