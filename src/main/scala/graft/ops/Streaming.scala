@@ -179,6 +179,32 @@ object Streaming extends OpGroup {
     Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** The streaming SINK path: foreachBatch lands each micro-batch as
+    * parquet keyed by batch id — the idempotent (exactly-once on replay)
+    * production pattern for arbitrary sinks — then the landed files are
+    * read back and aggregated. Oracle = the same aggregate over the
+    * source table, proving the sink lost and duplicated nothing.
+    */
+  private val foreachBatchSink = Op(
+    "stream_foreachbatch_sink",
+    (s, sf) => {
+      val dir = s"/tmp/graft_stream_sink/${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${runId.incrementAndGet()}"
+      val q = eventsStream(s, sf).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Overwrite per batch id: a replayed batch lands on the same
+          // path instead of duplicating (idempotent sink contract).
+          batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
-    dedupWatermark, statefulAgg)
+    dedupWatermark, statefulAgg, foreachBatchSink)
 }
