@@ -17,11 +17,11 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   */
 object CosineKernel {
 
-  /** Spark round(col, 6) semantics: HALF_UP on the shortest decimal
-    * representation of the double.
+  /** graft.ops.parity.r6 semantics: the same +1e-9 tie-avoidance shift,
+    * then Spark round() (HALF_UP on the shortest decimal repr).
     */
   def round6(x: Double): Double =
-    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    JBigDecimal.valueOf(x + 1e-9).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   def l2(v: Array[Float]): Double = {
     var acc = 0.0

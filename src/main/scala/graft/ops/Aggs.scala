@@ -33,7 +33,7 @@ object Aggs extends OpGroup {
           count(lit(1)).as("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price, SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+    Some("""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price, SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(1e-9 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
   )
 
   /** Child-entity counts per parent — the direct ModelCount analog
@@ -191,7 +191,7 @@ object Aggs extends OpGroup {
           count(lit(1)).as("n"),
         )
         .orderBy("event_type"),
-    Some("""SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50, ROUND(quantile_cont(value, 0.9), 6) AS p90, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
+    Some("""SELECT event_type, ROUND(1e-9 + quantile_cont(value, 0.5), 6) AS p50, ROUND(1e-9 + quantile_cont(value, 0.9), 6) AS p90, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
   /** Approximate percentiles (Greenwald-Khanna sketch) — the mergeable

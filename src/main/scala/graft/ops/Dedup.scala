@@ -4,6 +4,7 @@ import graft.{Op, OpGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import parity.r6
 
 /** §2.I — dedup & similarity: the content-hash entity-resolution pattern
   * that is cobradb's single most load-bearing semantic
@@ -103,12 +104,12 @@ object Dedup extends OpGroup {
         else expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
       a.join(b, col("a_doc_id") < col("b_doc_id"))
         .withColumn("i", interExpr)
-        .withColumn("jaccard", round(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")), 6))
+        .withColumn("jaccard", r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))))
         .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.9)
         .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
         .orderBy("a_doc_id", "b_doc_id")
     },
-    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 
   /** Portable MinHash (Broder 1997), k=8, engine-deterministic: band
@@ -183,12 +184,12 @@ object Dedup extends OpGroup {
       inter
         .join(n.select(col("doc_id").as("a_doc_id"), col("n").as("a_n")), "a_doc_id")
         .join(n.select(col("doc_id").as("b_doc_id"), col("n").as("b_n")), "b_doc_id")
-        .withColumn("jaccard", round(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")), 6))
+        .withColumn("jaccard", r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))))
         .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.5)
         .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
         .orderBy("a_doc_id", "b_doc_id")
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok WHERE len(ts) >= 3), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_doc_id, b_doc_id, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard FROM inter JOIN n na ON na.doc_id = a_doc_id JOIN n nb ON nb.doc_id = b_doc_id WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5 ORDER BY a_doc_id, b_doc_id"""),
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok WHERE len(ts) >= 3), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard FROM inter JOIN n na ON na.doc_id = a_doc_id JOIN n nb ON nb.doc_id = b_doc_id WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5 ORDER BY a_doc_id, b_doc_id"""),
   )
 
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,

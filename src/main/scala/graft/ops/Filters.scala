@@ -50,7 +50,7 @@ object Filters extends OpGroup {
           when(col("l_tax") > col("l_discount"), lit(1)).otherwise(lit(0)).as("tax_exceeds_disc"),
         )
         .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band, CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END AS tax_exceeds_disc FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    Some("""SELECT l_orderkey, l_linenumber, ROUND(1e-9 + l_extendedprice * (1 - l_discount), 6) AS revenue, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band, CASE WHEN l_tax > l_discount THEN 1 ELSE 0 END AS tax_exceeds_disc FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
   )
 
   val ops: Seq[Op] = Seq(filterPushdown, projDerived)

@@ -85,7 +85,7 @@ object Scalars extends OpGroup {
           r6(abs(col("l_discount") - lit(0.05))).as("disc_dev"),
         )
         .orderBy("l_orderkey", "l_linenumber"),
-    Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS revenue, LEAST(GREATEST(l_quantity, 5.0), 45.0) AS qty_clamped, ROUND(ABS(l_discount - 0.05), 6) AS disc_dev FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    Some("""SELECT l_orderkey, l_linenumber, ROUND(1e-9 + l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS revenue, LEAST(GREATEST(l_quantity, 5.0), 45.0) AS qty_clamped, ROUND(1e-9 + ABS(l_discount - 0.05), 6) AS disc_dev FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
   )
 
   /** Typed JSON field extraction + numeric aggregation over it
@@ -104,7 +104,7 @@ object Scalars extends OpGroup {
           r6(sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
         )
         .orderBy("event_type"),
-    Some("""SELECT event_type, COUNT(*) AS n_high, ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t WHERE k > 50 GROUP BY event_type ORDER BY event_type"""),
+    Some("""SELECT event_type, COUNT(*) AS n_high, ROUND(1e-9 + CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t WHERE k > 50 GROUP BY event_type ORDER BY event_type"""),
   )
 
   /** Per-embedding L2 norm via higher-order functions only — the
@@ -125,7 +125,7 @@ object Scalars extends OpGroup {
             (acc, x) => acc + x))).as("l2_norm"),
         )
         .orderBy("vec_id"),
-    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings ORDER BY vec_id"""),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims, ROUND(1e-9 + sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm FROM embeddings ORDER BY vec_id"""),
   )
 
   /** Per-user map(event_type → count) — the dump_model per-reaction

@@ -89,7 +89,7 @@ object Streaming extends OpGroup {
         .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
         .orderBy("win_start", "event_type")
     },
-    Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+    Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks GROUP BY 1, 2 ORDER BY win_start, event_type"""),
   )
 
   /** Session windows, 30-minute gap, per user — the streaming dual of
@@ -176,7 +176,7 @@ object Streaming extends OpGroup {
         )
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"""),
+    Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events GROUP BY user_id ORDER BY user_id"""),
   )
 
   /** The streaming SINK path: foreachBatch lands each micro-batch as

@@ -79,7 +79,7 @@ object TextOps extends OpGroup {
         .select(col("doc_id"), col("n_tok"), col("avg_word_len"),
           col("stop_ratio"), col("digit_ratio"), col("quality"))
         .orderBy("doc_id"),
-    Some("""SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, ROUND(CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_word_len, ROUND(CAST(n_stop AS DOUBLE) / len(toks), 6) AS stop_ratio, ROUND(CAST(n_digit AS DOUBLE) / length(text), 6) AS digit_ratio, ROUND(LEAST(1.0, GREATEST(0.0, 0.3 + LEAST(CAST(len(toks) AS DOUBLE) / 200, 0.35) + CAST(n_stop AS DOUBLE) / len(toks) * 0.5 - CAST(n_digit AS DOUBLE) / length(text) * 2.0)), 6) AS quality FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks, len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','you','that','it','was'))) AS n_stop, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit FROM documents) t ORDER BY doc_id"""),
+    Some("""SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, ROUND(1e-9 + CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks), 6) AS avg_word_len, ROUND(1e-9 + CAST(n_stop AS DOUBLE) / len(toks), 6) AS stop_ratio, ROUND(1e-9 + CAST(n_digit AS DOUBLE) / length(text), 6) AS digit_ratio, ROUND(1e-9 + LEAST(1.0, GREATEST(0.0, 0.3 + LEAST(CAST(len(toks) AS DOUBLE) / 200, 0.35) + CAST(n_stop AS DOUBLE) / len(toks) * 0.5 - CAST(n_digit AS DOUBLE) / length(text) * 2.0)), 6) AS quality FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks, len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','you','that','it','was'))) AS n_stop, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit FROM documents) t ORDER BY doc_id"""),
   )
 
   /** Token counting two ways: whitespace split and a BPE-ish regex

@@ -44,7 +44,7 @@ object Vectors extends OpGroup {
     val topk = udaf(new graft.functions.TopKAgg(k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
-    pairs.select(col("a_vec_id"), col("b_vec_id"), round(col("sim"), 6).as("simr"))
+    pairs.select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("simr"))
       .groupBy(col("a_vec_id"))
       .agg(topk(col("b_vec_id"), col("simr")).as("top"))
       .select(col("a_vec_id"), posexplode(col("top")).as(Seq("pos", "entry")))
@@ -86,7 +86,7 @@ object Vectors extends OpGroup {
         .toDF("a_vec_id", "rk", "b_vec_id", "cos_sim")
         .orderBy("a_vec_id", "rk")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim + 1e-9, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
   )
 
   /** Per-label element-wise mean vector, long form (label, pos,
@@ -107,7 +107,7 @@ object Vectors extends OpGroup {
           count(lit(1)).as("n_vecs"),
         )
         .orderBy("label", "pos"),
-    Some("""SELECT label, CAST(pos AS INT) AS pos, ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_val, COUNT(*) AS n_vecs FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos ORDER BY label, pos"""),
+    Some("""SELECT label, CAST(pos AS INT) AS pos, ROUND(1e-9 + CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_val, COUNT(*) AS n_vecs FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos ORDER BY label, pos"""),
   )
 
   /** IVF-style approximate nearest neighbors: the label partitions act
@@ -169,7 +169,7 @@ object Vectors extends OpGroup {
         .select(col("a_vec_id"), col("b_vec_id"), col("cos_sim"))
         .orderBy("a_vec_id", "b_vec_id")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, ROUND(list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
   )
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup)

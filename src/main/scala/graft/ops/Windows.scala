@@ -88,7 +88,7 @@ object Windows extends OpGroup {
         .select(col("event_id"), col("user_id"), col("ts"), col("moving_avg"))
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id, ts, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS moving_avg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
+    Some("""SELECT event_id, user_id, ts, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS moving_avg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
   )
 
   /** Batch sessionization — the batch dual of §2.J session windows:
@@ -138,7 +138,7 @@ object Windows extends OpGroup {
         )
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(percent_rank() OVER w, 6) AS pct_rank, ROUND(cume_dist() OVER w, 6) AS cdist, lead(value, 1) OVER w AS next_value FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id) ORDER BY event_id"""),
+    Some("""SELECT event_id, user_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(1e-9 + percent_rank() OVER w, 6) AS pct_rank, ROUND(1e-9 + cume_dist() OVER w, 6) AS cdist, lead(value, 1) OVER w AS next_value FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id) ORDER BY event_id"""),
   )
 
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,

@@ -20,6 +20,18 @@ object parity {
   /** Cast a measure for an order-insensitive exact SUM. */
   def dec(c: Column): Column = c.cast(Dec)
 
-  /** Round an unavoidable double for stable cross-engine comparison. */
-  def r6(c: Column): Column = round(c, 6)
+  /** Round an unavoidable double for stable cross-engine comparison.
+    *
+    * The +1e-9 shift is load-bearing: exact rational quotients (decimal
+    * sum / count) routinely terminate at exactly 7 decimals ending in 5
+    * (e.g. 65.3103125) — a true rounding TIE, where Spark's round
+    * (HALF_UP on the shortest decimal repr) goes up while DuckDB
+    * (rounding the binary double, which sits just below the tie) goes
+    * down. Shifting both engines by the same epsilon — far above double
+    * noise (~1e-14), far below the rounding granularity (5e-7) — moves
+    * every such tie strictly off the boundary, so identical input
+    * doubles round identically. Every oracle ROUND() carries the same
+    * shift.
+    */
+  def r6(c: Column): Column = round(c + lit(1e-9), 6)
 }
