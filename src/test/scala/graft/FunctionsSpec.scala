@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{CosineKernel, TopKAgg}
+
+/** Unit/property coverage for the custom functions — the one area where
+  * internal states (partial-aggregation merges, kernel heaps) exist that
+  * the end-to-end oracle can't isolate.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def gen[T](g: Gen[T], seed: Long): Option[T] =
+    g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+
+  private def referenceTopK(xs: List[(Long, Double)], k: Int): Seq[(Long, Double)] =
+    xs.sortBy { case (id, m) => (-m, id) }.take(k)
+
+  test("TopKAgg merge is split-invariant (scalacheck): any partitioning = global sort-take") {
+    val pair = for {
+      id <- Gen.choose(0L, 50L)
+      m <- Gen.choose(0, 100).map(_ / 10.0) // coarse values force ties
+    } yield (id, m)
+    val rowsGen = Gen.listOfN(40, pair)
+    (0 until 100).foreach { seed =>
+      val rows = gen(rowsGen, seed.toLong).getOrElse(Nil)
+      val splitAt = gen(Gen.choose(0, rows.size), seed + 1000L).getOrElse(0)
+      val agg = new TopKAgg(5)
+      val (l, r) = rows.splitAt(splitAt)
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(bufL, bufR))
+      assert(merged == referenceTopK(rows, 5),
+        s"seed=$seed split=$splitAt rows=$rows")
+    }
+  }
+
+  test("CosineKernel.topK equals an independent sort-based reference") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val ids = Array.tabulate(n)(_.toLong)
+    val mat = Array.fill(n)(Array.fill(8)(rnd.nextFloat() - 0.5f))
+    val nrm = mat.map(CosineKernel.l2)
+    (0 until n).foreach { qi =>
+      val got = CosineKernel.topK(ids(qi), mat(qi), nrm(qi), ids, mat, nrm, 5)
+        .map { case (_, id, sim) => (id, sim) }.toSeq
+      val want = ids.indices.filter(_ != qi).map { j =>
+        var acc = 0.0
+        (0 until 8).foreach(i => acc += mat(qi)(i).toDouble * mat(j)(i).toDouble)
+        (ids(j), CosineKernel.round6(acc / (nrm(qi) * nrm(j))))
+      }.sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(got == want, s"query $qi")
+    }
+  }
+
+  test("vec_dot returns null on null input and errors on wrong types") {
+    graft.functions.FloatVecDot.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(cast(1.0 as float))) AS d")
+      .first()
+    assert(r.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1), array(2))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"))
+  }
+}
