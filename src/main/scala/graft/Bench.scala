@@ -9,6 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle/spill/stream-checkpoint scratch on tmpfs: local-mode
+      // shuffle files otherwise hit real disk on every Exchange.
+      .config("spark.local.dir", "/dev/shm/graft_local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

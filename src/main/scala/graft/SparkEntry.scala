@@ -27,6 +27,7 @@ object SparkEntry {
     ops.Streaming,
     ops.UdfOps,
     ops.SqlFrontend,
+    ops.EtlLoad,
   )
 
   private lazy val all: Seq[Op] = {

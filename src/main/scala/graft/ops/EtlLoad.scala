@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's WRITE path as one composite dataflow
+  * (bin/load_db.py → parse.py normalize → model_loading.py dedup →
+  * SQLAlchemy get_or_create id assignment), re-expressed batch-first:
+  * stage raw entities → canonicalize → content-hash dedup with
+  * preference-ordered winners → assign DENSE surrogate ids
+  * deterministically. This is SURVEY §1.3's "dedup-by-natural-key
+  * replaces upsert": instead of one SELECT-then-INSERT round-trip per
+  * row (the reference's scalability ceiling), the whole load is three
+  * shuffles regardless of corpus size.
+  */
+object EtlLoad extends OpGroup {
+
+  /** Load `documents` as if it were an entity batch: the canonical hash
+    * is the natural key (permutation-invariant, = hash_reaction), the
+    * winner is the smallest doc_id (preference order), and surrogate
+    * entity ids are row_number over the hash ordering — deterministic
+    * and dense, the batch analog of a sequence column. row_number over a
+    * global ordering is a single-partition window: fine for the deduped
+    * entity set (already reduced); at 100 TB you'd zipWithIndex
+    * partition offsets instead — noted here deliberately.
+    */
+  private val dedupLoad = Op(
+    "etl_dedup_load",
+    (s, sf) => {
+      val staged = Tables.documents(s, sf)
+        .withColumn("canon_hash",
+          md5(concat_ws(" ", sort_array(split(lower(col("text")), " ")))))
+      val entities = staged
+        .groupBy(col("canon_hash"))
+        .agg(
+          min(col("doc_id")).as("canonical_doc_id"),
+          count(lit(1)).as("n_members"),
+        )
+      val withIds = entities.withColumn("entity_id",
+        row_number().over(Window.orderBy(col("canon_hash"))).cast("long"))
+      // Attach the winner's attributes (the "loaded" entity row).
+      withIds.join(
+          staged.select(col("doc_id").as("canonical_doc_id"), col("lang"), col("source")),
+          "canonical_doc_id")
+        .select(col("entity_id"), col("canon_hash"), col("canonical_doc_id"),
+          col("n_members"), col("lang"), col("source"))
+        .orderBy("entity_id")
+    },
+    Some("""WITH staged AS (SELECT doc_id, lang, source, md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS canon_hash FROM documents), entities AS (SELECT canon_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_members FROM staged GROUP BY canon_hash), with_ids AS (SELECT canon_hash, canonical_doc_id, n_members, CAST(ROW_NUMBER() OVER (ORDER BY canon_hash) AS BIGINT) AS entity_id FROM entities) SELECT entity_id, w.canon_hash AS canon_hash, w.canonical_doc_id AS canonical_doc_id, n_members, lang, source FROM with_ids w JOIN staged s ON w.canonical_doc_id = s.doc_id ORDER BY entity_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(dedupLoad)
+}
