@@ -188,7 +188,8 @@ object Streaming extends OpGroup {
   private val foreachBatchSink = Op(
     "stream_foreachbatch_sink",
     (s, sf) => {
-      val dir = s"/tmp/graft_stream_sink/${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${runId.incrementAndGet()}"
+      val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream_sink/" +
+        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${runId.incrementAndGet()}"
       val q = eventsStream(s, sf).writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // Overwrite per batch id: a replayed batch lands on the same
