@@ -33,7 +33,22 @@ object Bench {
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
+    // Second warm pass at the bench tier itself: AQE re-plans some joins
+    // differently at sf0.001 (broadcast) vs the bench sf (sort-merge), so
+    // those queries' generated classes are still cold after the small-sf
+    // pass. One untimed pass at sfDir leaves the timed loop measuring
+    // steady-state throughput — the long-lived-session number that is
+    // comparable across rounds.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Collect garbage OUTSIDE the timed region: with a 48g heap the
+      // warm passes leave enough floating garbage that a collection
+      // otherwise lands inside a random timed query (observed as 5x
+      // one-off spikes on otherwise-steady queries).
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

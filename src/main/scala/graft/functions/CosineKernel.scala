@@ -66,4 +66,31 @@ object CosineKernel {
     }
     Array.tabulate(size)(r => (r + 1, topId(r), topSim(r)))
   }
+
+  /** All neighbors of `q` with id > qid (lower triangle) whose rounded
+    * cosine clears `thr` — the near-dup threshold scan. Same sequential
+    * double accumulation + round6 as [[topK]], so the emitted sims are
+    * bit-identical to the declarative FloatVecDot/r6 plan and the DuckDB
+    * list_reduce oracle. `ids` ascending ⇒ output already b-id-ordered.
+    */
+  def thresholdPairs(
+      qid: Long, q: Array[Float], qn: Double,
+      ids: Array[Long], mat: Array[Array[Float]], nrm: Array[Double],
+      thr: Double): Iterator[(Long, Long, Double)] = {
+    val out = Array.newBuilder[(Long, Long, Double)]
+    var j = 0
+    while (j < ids.length) {
+      if (ids(j) > qid) {
+        val b = mat(j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(q.length, b.length)
+        while (i < n) { acc += q(i).toDouble * b(i).toDouble; i += 1 }
+        val sim = round6(acc / (qn * nrm(j)))
+        if (sim >= thr) out += ((qid, ids(j), sim))
+      }
+      j += 1
+    }
+    out.result().iterator
+  }
 }
