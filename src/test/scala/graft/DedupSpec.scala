@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     assert(minJ >= 0.25, s"8/8 pair with near-zero jaccard $minJ")
   }
 
+  test("minhash LSH pairs are a high-recall subset of the brute-force pairs") {
+    // Soundness: every LSH pair must ALSO pass the exact-Jaccard verify,
+    // so LSH ⊆ brute force is a hard invariant (the candidate stage can
+    // only lose pairs, never invent them). Recall is probabilistic:
+    // 1−(1−j⁴)⁴ ≥ 0.986 at the 0.9 threshold — assert ≥ 0.95 observed.
+    val brute = SparkEntry.queries("sim_jaccard_pairs")(spark, sf)
+      .select("a_doc_id", "b_doc_id", "jaccard")
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .select("a_doc_id", "b_doc_id", "jaccard")
+    val extra = lsh.exceptAll(brute).count()
+    assert(extra == 0, s"$extra LSH pairs not in brute-force output")
+    val nBrute = brute.count().toDouble
+    val nLsh = lsh.count().toDouble
+    assert(nLsh / nBrute >= 0.95, s"LSH recall ${nLsh / nBrute}")
+  }
+
   test("map_entries_build agrees with agg_pivot_matrix counts") {
     val m = SparkEntry.queries("map_entries_build")(spark, sf)
       .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "n")))
