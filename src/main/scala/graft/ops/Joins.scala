@@ -224,6 +224,35 @@ object Joins extends OpGroup {
     Some("""SELECT o_orderpriority, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
+  /** Salted skew join — the join-side dual of agg_salted_twophase: the
+    * probe side gets a deterministic salt in 0..S-1, the build side is
+    * replicated S ways (explode over the salt range), and the join runs
+    * on (key, salt) — a hot key's rows now land on S different
+    * partitions instead of one straggler. Semantically identical to the
+    * plain join (each probe row matches exactly one replica), which is
+    * exactly what the oracle checks. At 100 TB this is the manual
+    * fallback when AQE's skew-join split can't help (e.g. the skew is in
+    * the build side's match fan-out, not partition size).
+    */
+  private val skewSalted = Op(
+    "join_skew_salted",
+    (s, sf) => {
+      val S = 8
+      val l = Tables.lineitem(s, sf)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+      val o = Tables.orders(s, sf)
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
-    leftAnti, rangeInterval, asof, bucketedColocated)
+    leftAnti, rangeInterval, asof, bucketedColocated, skewSalted)
 }

@@ -72,5 +72,35 @@ object Scans extends OpGroup {
     Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
   )
 
-  val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan)
+  /** Hive-style partitioned parquet sink + partition-pruned read-back:
+    * orders lands partitioned by o_orderpriority (directory per value —
+    * the production layout for every date/category-keyed 100 TB table),
+    * then the read filters one partition value and aggregates. The
+    * filter must prune at the DIRECTORY level, never touching the other
+    * partitions' files — the scan's PartitionFilters (asserted in
+    * JoinsBucketSpec's plan checks) carry the predicate, PushedFilters
+    * stays empty. Oracle = same filter+aggregate over the source table,
+    * proving the round-trip lost nothing.
+    */
+  private val partitionedSink = Op(
+    "sink_partitioned_parquet",
+    (s, sf) => {
+      val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_part_sink/" +
+        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/orders"
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        Tables.orders(s, sf).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(graft.ops.parity.Dec)).as("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
+  val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan, partitionedSink)
 }

@@ -34,6 +34,16 @@ class JoinsBucketSpec extends SparkSpec {
     // win — no shuffle of either fact table — is what we assert.
   }
 
+  test("partitioned sink read-back prunes at the partition level") {
+    val plan = SparkEntry.queries("sink_partitioned_parquet")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition predicate not in PartitionFilters:\n$plan")
+    // The predicate must NOT degrade to a data filter over all files.
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderpriority"),
+      s"partition predicate leaked into PushedFilters:\n$plan")
+  }
+
   test("bucketed scans report the bucket layout") {
     val plan = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
