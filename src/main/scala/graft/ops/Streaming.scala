@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import graft.{Op, OpGroup}
+import graft.{Op, OpGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -206,6 +206,29 @@ object Streaming extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** Stream-static enrichment join — the canonical streaming-ETL shape:
+    * the event stream joins a static dimension (customer ⋈ nation,
+    * broadcast per micro-batch; the static side is re-planned each
+    * batch, so a slowly-changing dim picks up updates) and aggregates
+    * per nation. The stream side drives; no watermark is needed for a
+    * stream-static INNER join (no state accumulates on the static side).
+    */
+  private val staticJoin = Op(
+    "stream_static_join",
+    (s, sf) => {
+      val dim = Tables.customer(s, sf)
+        .join(Tables.nation(s, sf),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val agg = eventsStream(s, sf)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+      runToCompletion(s, agg, "complete").orderBy("n_name")
+    },
+    Some("""SELECT n_name, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
-    dedupWatermark, statefulAgg, foreachBatchSink)
+    dedupWatermark, statefulAgg, foreachBatchSink, staticJoin)
 }
