@@ -114,7 +114,6 @@ object Dedup extends OpGroup {
       .withColumn("jaccard", r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))))
       .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= thr)
       .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
-      .orderBy("a_doc_id", "b_doc_id")
   }
 
   /** Exact token-set Jaccard ≥ 0.9 over ALL doc pairs — the O(n²)
@@ -129,6 +128,7 @@ object Dedup extends OpGroup {
       val pairs = masks.select(col("doc_id").as("a_doc_id"))
         .join(masks.select(col("doc_id").as("b_doc_id")), col("a_doc_id") < col("b_doc_id"))
       jaccardVerify(pairs, masks, interExpr, 0.9)
+        .orderBy("a_doc_id", "b_doc_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
@@ -183,13 +183,21 @@ object Dedup extends OpGroup {
       val bandKeys = (0 until B).map(b =>
         md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*)))
       val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
+      // Candidates are NOT deduped before verification: a pair colliding
+      // in m bands appears m(≤4) times, but verification is a broadcast
+      // hash-join + popcount (no shuffle), so verifying duplicates is
+      // cheaper than a distinct over the full ~3× larger candidate
+      // stream — the one shuffle (distinct) runs on the verified
+      // survivors instead.
       val cand = bands.select(col("doc_id").as("a_doc_id"), col("band_idx"), col("bkey"))
         .join(bands.select(col("doc_id").as("b_doc_id"), col("band_idx"), col("bkey")),
           Seq("band_idx", "bkey"))
         .filter(col("a_doc_id") < col("b_doc_id"))
-        .select("a_doc_id", "b_doc_id").distinct()
+        .select("a_doc_id", "b_doc_id")
       val (masks, interExpr) = tokenMasks(s, sf)
       jaccardVerify(cand, masks, interExpr, 0.9)
+        .distinct()
+        .orderBy("a_doc_id", "b_doc_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.a_doc_id, c.b_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
