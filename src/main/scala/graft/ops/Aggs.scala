@@ -24,16 +24,19 @@ object Aggs extends OpGroup {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+          // exact decimal sums internally, rounded-double rendering at the
+          // output boundary (Spark DECIMAL(28,6) vs DuckDB DECIMAL(38,6)
+          // sum types canonicalize differently in the comparator).
+          r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"),
+          r6(sum(dec(col("l_extendedprice"))).cast("double")).as("sum_base_price"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("sum_disc_price"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).cast("double")).as("sum_charge"),
           r6(sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           r6(sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus"),
-    Some("""SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price, SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(1e-9 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+    Some("""SELECT l_returnflag, l_linestatus, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base_price, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(1e-9 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
   )
 
   /** Child-entity counts per parent — the direct ModelCount analog
@@ -91,12 +94,12 @@ object Aggs extends OpGroup {
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
           count(lit(1)).as("n_items"),
         )
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
-    Some("""SELECT r_name, n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+    Some("""SELECT r_name, n_name, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
   )
 
   /** CUBE over (returnflag, linestatus) with the grouping-set id bitmask
@@ -109,11 +112,11 @@ object Aggs extends OpGroup {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping_id().as("gid"),
-          sum(dec(col("l_quantity"))).as("sum_qty"),
+          r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"),
           count(lit(1)).as("n"),
         )
         .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
-    Some("""SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    Some("""SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty, COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
   )
 
   /** Approximate distinct users per day: HyperLogLog++ at 2% target error.
@@ -229,9 +232,9 @@ object Aggs extends OpGroup {
         .groupBy(col("event_type"), col("salt"))
         .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
         .groupBy(col("event_type"))
-        .agg(sum(col("pn")).as("n"), sum(col("psum")).cast(Dec).as("sum_value"))
+        .agg(sum(col("pn")).as("n"), r6(sum(col("psum")).cast("double")).as("sum_value"))
         .orderBy("event_type"),
-    Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+    Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
   /** Wide → long via the native unpivot (melt) API — the inverse of

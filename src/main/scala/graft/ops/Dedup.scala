@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Op, OpGroup, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import parity.r6
 
@@ -74,10 +73,20 @@ object Dedup extends OpGroup {
     */
   private def tokenMasks(s: SparkSession, sf: String): (DataFrame, org.apache.spark.sql.Column) = {
     val tok = docTokens(s, sf)
-    val vocab = tok.select("word").distinct()
-      .withColumn("bit", row_number().over(Window.orderBy("word")).cast("long") - 1)
-    // Tiny driver-side action: the vocabulary is bounded (31 words in
-    // this corpus); at real scale this would be a frequency-capped dict.
+    // Dense bit assignment via zipWithIndex partition offsets — any
+    // word→bit BIJECTION yields identical popcount-Jaccard, so no global
+    // ordering (and no single-partition window) is needed; only the
+    // per-partition counts cross the driver. At real scale the vocab is
+    // additionally frequency-capped into a bounded dict.
+    val vocab = {
+      val distinctWords = tok.select("word").distinct()
+      val schema = distinctWords.schema.add("bit", org.apache.spark.sql.types.LongType)
+      s.createDataFrame(
+        distinctWords.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        },
+        schema)
+    }
     val maskWords = ((vocab.count() + 63) / 64).toInt
     val bitsPerDoc = tok.join(broadcast(vocab), "word")
       .groupBy(col("doc_id"))
@@ -109,7 +118,10 @@ object Dedup extends OpGroup {
       interExpr: org.apache.spark.sql.Column, thr: Double): DataFrame = {
     val am = masks.select(col("doc_id").as("a_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
     val bm = masks.select(col("doc_id").as("b_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
-    pairs.join(broadcast(am), "a_doc_id").join(broadcast(bm), "b_doc_id")
+    // No broadcast hint: the mask relation is corpus-sized (unbounded at
+    // 100 TB) — shuffle-hash-join on the doc ids and let AQE demote to a
+    // runtime broadcast only when the actual size allows it.
+    pairs.join(am, "a_doc_id").join(bm, "b_doc_id")
       .withColumn("i", interExpr)
       .withColumn("jaccard", r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))))
       .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= thr)

@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.{Op, OpGroup, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's WRITE path as one composite dataflow
@@ -19,11 +18,13 @@ object EtlLoad extends OpGroup {
   /** Load `documents` as if it were an entity batch: the canonical hash
     * is the natural key (permutation-invariant, = hash_reaction), the
     * winner is the smallest doc_id (preference order), and surrogate
-    * entity ids are row_number over the hash ordering — deterministic
-    * and dense, the batch analog of a sequence column. row_number over a
-    * global ordering is a single-partition window: fine for the deduped
-    * entity set (already reduced); at 100 TB you'd zipWithIndex
-    * partition offsets instead — noted here deliberately.
+    * entity ids are the global rank in hash order — deterministic and
+    * dense, the batch analog of a sequence column — assigned WITHOUT a
+    * single-partition window: range-partition + partition-local sort
+    * puts the data in global order across partitions, then zipWithIndex
+    * numbers each partition from the sum of the preceding partitions'
+    * counts (only the per-partition counts cross the driver). Every
+    * stage stays parallel at 100 TB.
     */
   private val dedupLoad = Op(
     "etl_dedup_load",
@@ -37,8 +38,14 @@ object EtlLoad extends OpGroup {
           min(col("doc_id")).as("canonical_doc_id"),
           count(lit(1)).as("n_members"),
         )
-      val withIds = entities.withColumn("entity_id",
-        row_number().over(Window.orderBy(col("canon_hash"))).cast("long"))
+      val ordered = entities
+        .repartitionByRange(col("canon_hash"))
+        .sortWithinPartitions(col("canon_hash"))
+      val withIds = s.createDataFrame(
+        ordered.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        ordered.schema.add("entity_id", org.apache.spark.sql.types.LongType))
       // Attach the winner's attributes (the "loaded" entity row).
       withIds.join(
           staged.select(col("doc_id").as("canonical_doc_id"), col("lang"), col("source")),

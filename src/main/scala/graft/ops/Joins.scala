@@ -32,12 +32,16 @@ object Joins extends OpGroup {
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          // sum in exact decimal (order-free), render as rounded double —
+          // Spark's sum(DECIMAL(18,6)) widens to DECIMAL(28,6) while
+          // DuckDB's widens to DECIMAL(38,6); the comparator canonicalizes
+          // the two scales differently, so never emit a raw decimal sum.
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
           count(lit(1)).as("n_rows"),
         )
         .orderBy("r_name", "n_name")
     },
-    Some("""SELECT r_name, n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+    Some("""SELECT r_name, n_name, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_rows FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
   )
 
   /** Explicit broadcast of small dimensions into the fact join
@@ -56,12 +60,12 @@ object Joins extends OpGroup {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
           count(lit(1)).as("n_items"),
         )
         .orderBy("n_name")
     },
-    Some("""SELECT n_name, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+    Some("""SELECT n_name, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
   )
 
   /** Left outer join keeping unmatched left rows (reference: Synonym
@@ -77,11 +81,13 @@ object Joins extends OpGroup {
         .groupBy(col("p_partkey"))
         .agg(
           count(col("l_orderkey")).as("n_sold"),
-          sum(dec(col("l_quantity"))).as("sum_qty"),
+          // NULL-sum parity: unmatched parts keep NULL (r6(NULL) = NULL on
+          // both engines), exercising outer-join null semantics.
+          r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"),
         )
         .orderBy("p_partkey")
     },
-    Some("""SELECT p_partkey, COUNT(l_orderkey) AS n_sold, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty FROM part LEFT OUTER JOIN lineitem ON p_partkey = l_partkey GROUP BY p_partkey ORDER BY p_partkey"""),
+    Some("""SELECT p_partkey, COUNT(l_orderkey) AS n_sold, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty FROM part LEFT OUTER JOIN lineitem ON p_partkey = l_partkey GROUP BY p_partkey ORDER BY p_partkey"""),
   )
 
   /** Existence filter as a semi join — no row multiplication, the right
@@ -216,12 +222,12 @@ object Joins extends OpGroup {
       o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
           count(lit(1)).as("n_rows"),
         )
         .orderBy("o_orderpriority")
     },
-    Some("""SELECT o_orderpriority, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    Some("""SELECT o_orderpriority, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
   /** Salted skew join — the join-side dual of agg_salted_twophase: the
@@ -245,12 +251,12 @@ object Joins extends OpGroup {
       l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
         .groupBy(col("o_orderstatus"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
           count(lit(1)).as("n_rows"),
         )
         .orderBy("o_orderstatus")
     },
-    Some("""SELECT o_orderstatus, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    Some("""SELECT o_orderstatus, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,

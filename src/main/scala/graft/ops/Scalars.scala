@@ -63,9 +63,9 @@ object Scalars extends OpGroup {
           col("value"),
         )
         .groupBy("hour_bucket", "dow", "mon", "day_plus_7")
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
         .orderBy("hour_bucket"),
-    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(month(ts) AS INT) AS mon, CAST(date_trunc('day', ts + INTERVAL 7 DAY) AS TIMESTAMP) AS day_plus_7, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY 1, 2, 3, 4 ORDER BY hour_bucket"""),
+    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(month(ts) AS INT) AS mon, CAST(date_trunc('day', ts + INTERVAL 7 DAY) AS TIMESTAMP) AS day_plus_7, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY 1, 2, 3, 4 ORDER BY hour_bucket"""),
   )
 
   /** Arithmetic + rounding + clamping (reference: stoichiometry math and
@@ -129,9 +129,11 @@ object Scalars extends OpGroup {
   )
 
   /** Per-user map(event_type → count) — the dump_model per-reaction
-    * dict assembly. MapType output is not canonical across engines →
-    * no oracle; scalatest compares sorted entries against
-    * agg_pivot_matrix.
+    * dict assembly. The map is BUILT as a genuine MapType column
+    * (map_from_entries proves the surface) but rendered as a sorted
+    * `k:v` entries string at the output boundary: MapType output is not
+    * canonical across engines and crashes pandas-based comparators
+    * (unhashable list), per the §7.3 rulebook "no MapType in output".
     */
   private val mapEntriesBuild = Op(
     "map_entries_build",
@@ -141,9 +143,16 @@ object Scalars extends OpGroup {
         .agg(count(lit(1)).as("n"))
         .groupBy(col("user_id"))
         .agg(map_from_entries(
-          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts"))
+          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("type_counts_map"))
+        .select(
+          col("user_id"),
+          concat_ws(",",
+            transform(map_entries(col("type_counts_map")),
+              e => concat(e("key"), lit(":"), e("value")))).as("type_counts"),
+          size(col("type_counts_map")).as("n_types"),
+        )
         .orderBy("user_id"),
-    None,
+    Some("""SELECT user_id, STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts, CAST(COUNT(*) AS INT) AS n_types FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type) t GROUP BY user_id ORDER BY user_id"""),
   )
 
   /** String-function breadth: translate, lpad, reverse, levenshtein —

@@ -95,11 +95,12 @@ object Scans extends OpGroup {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(graft.ops.parity.Dec)).as("sum_price"),
+          graft.ops.parity.r6(
+            sum(col("o_totalprice").cast(graft.ops.parity.Dec)).cast("double")).as("sum_price"),
         )
         .orderBy("o_orderstatus")
     },
-    Some("""SELECT o_orderstatus, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_price FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan, partitionedSink)

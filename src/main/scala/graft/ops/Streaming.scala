@@ -67,10 +67,10 @@ object Streaming extends OpGroup {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "1 day")
         .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
       runToCompletion(s, agg, "complete").orderBy("hour_bucket", "event_type")
     },
-    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""),
+    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""),
   )
 
   /** Sliding windows (1 hour every 15 minutes), average value per
@@ -102,13 +102,13 @@ object Streaming extends OpGroup {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "1 day")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("session_value"))
+        .agg(count(lit(1)).as("n_events"), r6(sum(dec(col("value"))).cast("double")).as("session_value"))
       runToCompletion(s, agg, "complete")
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"), col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     },
-    Some("""SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_start"""),
+    Some("""SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_start"""),
   )
 
   /** Streaming dedup on event_id within a 1-hour watermark: state holds
@@ -200,10 +200,10 @@ object Streaming extends OpGroup {
       q.awaitTermination()
       s.read.parquet(dir)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
         .orderBy("event_type")
     },
-    Some("""SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+    Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
   /** Stream-static enrichment join — the canonical streaming-ETL shape:
@@ -223,10 +223,10 @@ object Streaming extends OpGroup {
       val agg = eventsStream(s, sf)
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
       runToCompletion(s, agg, "complete").orderBy("n_name")
     },
-    Some("""SELECT n_name, COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+    Some("""SELECT n_name, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
   )
 
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,

@@ -53,38 +53,28 @@ object Vectors extends OpGroup {
       .orderBy("a_vec_id", "rk")
   }
 
-  /** Exact top-5 cosine neighbors per vector, brute force via the
-    * broadcast-matrix kernel (graft.functions.CosineKernel): the
-    * comparison matrix ships once per executor and each query scans it
-    * with a primitive loop + bounded insertion heap — no O(n²) pair rows
-    * ever materialize. The collect is bounded by the comparison-set size
-    * (at 100 TB this op only ever runs per-IVF-bucket; see vec_ann_ivf
-    * for the cell-partitioned shape that feeds it).
+  /** Exact top-5 cosine neighbors per vector, brute force, fully
+    * declarative: the comparison set is a broadcast DataFrame (ships
+    * once per executor, like any dimension), the pair loop is a
+    * codegen'd BroadcastNestedLoopJoin evaluating [[FloatVecDot]], and
+    * the bounded-heap [[graft.functions.TopKAgg]] partial-aggregates so
+    * the shuffle carries ≤k entries per (query × partition) — never the
+    * O(n²) pair rows. No driver collect, no mapPartitions: the executors
+    * stream queries against the broadcast side inside WholeStageCodegen.
+    * At 100 TB the broadcast side is an IVF/LSH bucket, not the corpus
+    * (vec_ann_ivf is that shape); the plan is unchanged either way.
     */
   private val cosineTopk = Op(
     "vec_cosine_topk",
     (s, sf) => {
-      import s.implicits._
-      val rows = Tables.embeddings(s, sf)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ids = rows.map(_._1)
-      val mat = rows.map(_._2)
-      val nrm = mat.map(graft.functions.CosineKernel.l2)
-      val bc = s.sparkContext.broadcast((ids, mat, nrm))
-      Tables.embeddings(s, sf)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val (ids, mat, nrm) = bc.value
-          it.flatMap { case (qid, q) =>
-            graft.functions.CosineKernel
-              .topK(qid, q, graft.functions.CosineKernel.l2(q), ids, mat, nrm, 5)
-              .iterator.map { case (rk, bid, sim) => (qid, rk, bid, sim) }
-          }
-        }
-        .toDF("a_vec_id", "rk", "b_vec_id", "cos_sim")
-        .orderBy("a_vec_id", "rk")
+      val v = normed(s, sf)
+      val a = v.select(col("vec_id").as("a_vec_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = v.select(col("vec_id").as("b_vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val pairs = a.join(broadcast(b), col("a_vec_id") =!= col("b_vec_id"))
+        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+      topkSelect(pairs, 5)
     },
     Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim + 1e-9, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
   )
@@ -151,38 +141,29 @@ object Vectors extends OpGroup {
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.4 — calibrated
     * non-vacuous on this corpus: random 64-d gaussians cluster near 0,
-    * p99.9 ≈ 0.38). Same broadcast-matrix kernel as vec_cosine_topk —
-    * the declarative lower-triangle join (BroadcastNestedLoopJoin +
-    * FloatVecDot) copies both 64-float arrays into every pair row,
-    * ~1 GB of row traffic at sf0.1 for a 59-row result; the kernel
-    * streams each query over the broadcast matrix and emits only the
-    * pairs that clear the threshold. At 100 TB the comparison set is an
-    * LSH/IVF bucket (vec_ann_ivf shape) and this scan runs per bucket.
-    * Comparison is on the ROUNDED similarity on both engines so the
-    * boundary can't flip on a ulp.
+    * p99.9 ≈ 0.38). Declarative lower-triangle broadcast join: the
+    * comparison side broadcasts as a DataFrame, `a_vec_id < b_vec_id`
+    * halves the pair space, [[FloatVecDot]] evaluates inside codegen and
+    * the threshold filter drops non-pairs before anything shuffles (only
+    * the surviving ~dozens of rows reach the final sort). No driver
+    * collect — at 100 TB the comparison set is an LSH/IVF bucket
+    * (vec_ann_ivf shape) and this same plan runs per bucket. Comparison
+    * is on the ROUNDED similarity on both engines so the boundary can't
+    * flip on a ulp.
     */
   private val embeddingNearDup = Op(
     "dedup_embedding_cosine",
     (s, sf) => {
-      import s.implicits._
-      val rows = Tables.embeddings(s, sf)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ids = rows.map(_._1)
-      val mat = rows.map(_._2)
-      val nrm = mat.map(graft.functions.CosineKernel.l2)
-      val bc = s.sparkContext.broadcast((ids, mat, nrm))
-      Tables.embeddings(s, sf)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val (ids, mat, nrm) = bc.value
-          it.flatMap { case (qid, q) =>
-            graft.functions.CosineKernel
-              .thresholdPairs(qid, q, graft.functions.CosineKernel.l2(q), ids, mat, nrm, 0.4)
-          }
-        }
-        .toDF("a_vec_id", "b_vec_id", "cos_sim")
+      val v = normed(s, sf)
+      val a = v.select(col("vec_id").as("a_vec_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = v.select(col("vec_id").as("b_vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(broadcast(b), col("a_vec_id") < col("b_vec_id"))
+        .withColumn("cos_sim",
+          r6(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm"))))
+        .filter(col("cos_sim") >= 0.4)
+        .select(col("a_vec_id"), col("b_vec_id"), col("cos_sim"))
         .orderBy("a_vec_id", "b_vec_id")
     },
     Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),

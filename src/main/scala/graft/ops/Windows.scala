@@ -64,11 +64,11 @@ object Windows extends OpGroup {
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, sf)
-        .withColumn("running_value", sum(dec(col("value"))).over(w))
+        .withColumn("running_value", r6(sum(dec(col("value"))).over(w).cast("double")))
         .select(col("event_id"), col("user_id"), col("ts"), col("running_value"))
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id, ts, SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value FROM events ORDER BY event_id"""),
+    Some("""SELECT event_id, user_id, ts, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value FROM events ORDER BY event_id"""),
   )
 
   /** Moving average over the trailing 11 rows (10 preceding + current)
@@ -112,11 +112,11 @@ object Windows extends OpGroup {
           count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
-          sum(dec(col("value"))).as("session_value"),
+          r6(sum(dec(col("value"))).cast("double")).as("session_value"),
         )
         .orderBy("user_id", "session_id")
     },
-    Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, SUM(CAST(value AS DECIMAL(18,6))) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
   )
 
   /** Rank-distribution analytics per user: quartile bucket, percentile

@@ -79,8 +79,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("map_entries_build agrees with agg_pivot_matrix counts") {
+    // The op renders the map as a sorted "k:v,..." entries string (§7.3
+    // "no MapType in output"); parse it back to rows for the comparison.
     val m = SparkEntry.queries("map_entries_build")(spark, sf)
-      .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "n")))
+      .select(col("user_id"), explode(split(col("type_counts"), ",")).as("kv"))
+      .select(col("user_id"),
+        split(col("kv"), ":").getItem(0).as("event_type"),
+        split(col("kv"), ":").getItem(1).cast("long").as("n"))
     val p = SparkEntry.queries("agg_pivot_matrix")(spark, sf)
     val fromPivot = p.select(col("user_id"),
         expr("stack(5, 'click', click, 'error', error, 'purchase', purchase, 'signup', signup, 'view', view) AS (event_type, n)"))

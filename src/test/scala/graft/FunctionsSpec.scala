@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.functions.{CosineKernel, TopKAgg}
+import graft.functions.TopKAgg
 
 /** Unit/property coverage for the custom functions — the one area where
   * internal states (partial-aggregation merges, kernel heaps) exist that
@@ -36,21 +36,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("CosineKernel.topK equals an independent sort-based reference") {
+  test("vec_dot equals an independent per-element reference on random vectors") {
+    graft.functions.FloatVecDot.register(spark)
     val rnd = new scala.util.Random(7)
     val n = 40
-    val ids = Array.tabulate(n)(_.toLong)
     val mat = Array.fill(n)(Array.fill(8)(rnd.nextFloat() - 0.5f))
-    val nrm = mat.map(CosineKernel.l2)
-    (0 until n).foreach { qi =>
-      val got = CosineKernel.topK(ids(qi), mat(qi), nrm(qi), ids, mat, nrm, 5)
-        .map { case (_, id, sim) => (id, sim) }.toSeq
-      val want = ids.indices.filter(_ != qi).map { j =>
-        var acc = 0.0
-        (0 until 8).foreach(i => acc += mat(qi)(i).toDouble * mat(j)(i).toDouble)
-        (ids(j), CosineKernel.round6(acc / (nrm(qi) * nrm(j))))
-      }.sortBy { case (id, s) => (-s, id) }.take(5)
-      assert(got == want, s"query $qi")
+    import spark.implicits._
+    val df = mat.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "v")
+    val got = df.selectExpr("id", "vec_dot(v, v) AS d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    mat.zipWithIndex.foreach { case (v, i) =>
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      assert(got(i.toLong) == acc, s"vector $i")
     }
   }
 

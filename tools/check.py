@@ -33,7 +33,11 @@ def canon(v):
         return str(v)
     import decimal, datetime
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # Strict: keep the scale as rendered. NOTE the external comparator
+        # is stricter still (it red-flagged Spark DECIMAL(28,6) vs DuckDB
+        # DECIMAL(38,6) sums even with equal values) — the type check
+        # below bans decimal output columns outright.
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -61,6 +65,16 @@ for k in sorted(oracle):
         fails.append((k, "spark output missing"))
         continue
     try:
+        # Parity rulebook §7.3: no DECIMAL and no MAP in any oracled
+        # output — both are canonicalized engine-specifically by the
+        # external pandas-based comparator (decimal sum precision skew;
+        # MapType crashes its sort with "unhashable type").
+        tcur = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')")
+        badtypes = [(c, t) for c, t, *_ in tcur.fetchall()
+                    if "DECIMAL" in t.upper() or "MAP" in t.upper()]
+        if badtypes:
+            fails.append((k, f"banned output column type(s): {badtypes}"))
+            continue
         scols, srows = rows_of(con.execute(f"SELECT * FROM read_parquet('{spark_glob}')"))
         dcols, drows = rows_of(con.execute(oracle[k]))
     except Exception as e:
