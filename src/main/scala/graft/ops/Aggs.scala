@@ -119,6 +119,40 @@ object Aggs extends OpGroup {
     Some("""SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty, COUNT(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
   )
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube are sugar
+    * for (completing §2.D): revenue by region alone, nation alone, and
+    * (region × returnflag), in ONE aggregation pass over a single
+    * shuffle (Catalyst expands the sets via a single Expand node, not
+    * three scans). Per-column grouping flags are emitted instead of the
+    * grouping_id bitmask so parity doesn't depend on the engines' bit
+    * order.
+    */
+  private val groupingSetsExplicit = Op(
+    "agg_grouping_sets_explicit",
+    (s, sf) => {
+      val l = Tables.lineitem(s, sf)
+      val su = Tables.supplier(s, sf)
+      val n = Tables.nation(s, sf)
+      val r = Tables.region(s, sf)
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("n_name")), Seq(col("r_name"), col("l_returnflag"))),
+          col("r_name"), col("n_name"), col("l_returnflag"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(asc("g_region"), asc("g_nation"), asc("g_flag"),
+          asc_nulls_first("r_name"), asc_nulls_first("n_name"), asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT r_name, n_name, l_returnflag, CAST(GROUPING(r_name) AS INT) AS g_region, CAST(GROUPING(n_name) AS INT) AS g_nation, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, l_returnflag)) ORDER BY g_region, g_nation, g_flag, r_name NULLS FIRST, n_name NULLS FIRST, l_returnflag NULLS FIRST"""),
+  )
+
   /** Approximate distinct users per day: HyperLogLog++ at 2% target error.
     * No reference analog (cobradb is exact-only) — this is the 100 TB
     * substitute for countDistinct: mergeable fixed-size sketch instead of
@@ -260,6 +294,6 @@ object Aggs extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
-    cubeOp, approxHll, collectSortedList, pivotMatrix, percentileExact,
-    approxQuantile, saltedTwoPhase, unpivotStack)
+    cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
+    percentileExact, approxQuantile, saltedTwoPhase, unpivotStack)
 }

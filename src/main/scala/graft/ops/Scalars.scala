@@ -155,6 +155,35 @@ object Scalars extends OpGroup {
     Some("""SELECT user_id, STRING_AGG(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts, CAST(COUNT(*) AS INT) AS n_types FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type) t GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** Typed nested JSON decode via from_json(StructType) — the EscherMap
+    * `map_data` blob analog (a *document*, not a single field): the whole
+    * props column decodes once into a struct, fields are accessed
+    * post-decode, and SCHEMA EVOLUTION is exercised by declaring a field
+    * (`tag`) the data does not carry — from_json yields NULL for it, the
+    * forward-compatible read a 100 TB corpus relies on when producers add
+    * fields before readers. Contrast src_json_decode/json_extract_typed,
+    * which pull single paths with get_json_object.
+    */
+  private val jsonStructDecode = Op(
+    "json_struct_decode",
+    (s, sf) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", IntegerType),
+        org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+      Tables.events(s, sf)
+        .withColumn("p", from_json(col("props"), schema))
+        .select(
+          col("event_id"),
+          col("p.k").as("k"),
+          col("p.tag").as("tag"),
+          floor(col("p.k") / 10).cast("int").as("k_bucket"),
+          col("p.k").isNull.as("k_missing"),
+        )
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, json_extract_string(props, '$.tag') AS tag, CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INT) AS k_bucket, json_extract_string(props, '$.k') IS NULL AS k_missing FROM events ORDER BY event_id"""),
+  )
+
   /** String-function breadth: translate, lpad, reverse, levenshtein —
     * the remaining scalar string surface (edit distance is also the
     * primitive behind fuzzy synonym matching in the reference's Synonym
@@ -196,6 +225,6 @@ object Scalars extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
-    mathScalarExpr, jsonExtractTyped, arrayHofNorm, mapEntriesBuild,
-    strFunctions, dateFunctions)
+    mathScalarExpr, jsonExtractTyped, jsonStructDecode, arrayHofNorm,
+    mapEntriesBuild, strFunctions, dateFunctions)
 }
