@@ -13,6 +13,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // Shuffle/spill/stream-checkpoint scratch on tmpfs: local-mode
       // shuffle files otherwise hit real disk on every Exchange.
@@ -53,10 +54,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Driver capture is a bounded TAIL of stdout: one giant line loses its
+    // HEAD (r2 lost the `"metric":"total"` prefix and 22 query times). So
+    // (a) per-query times go out as small individual lines first, (b) the
+    // final line keeps the full map at 3-decimal precision with the total
+    // at the END of the object (survives head-truncation), and (c) the
+    // full-precision JSON also lands in bench_full.json next to the repo.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","value":${r3(v)},"unit":"sec"}""")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs3,"value":${r3(total)}}""")
     spark.stop()
   }
 }

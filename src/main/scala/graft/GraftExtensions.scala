@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, VecTopK}
 
 /** Session-extension entry point: registers the engine's custom Catalyst
   * expressions at session build time —
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("vec_topk"),
+      new ExpressionInfo(classOf[VecTopK].getName, "vec_topk"),
+      (children: Seq[Expression]) => VecTopK(children(0), children(1), children(2)),
     ))
   }
 }

@@ -30,6 +30,11 @@ final class TopKAgg(k: Int)
   def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
     b.foldLeft(a)(insert)
   def finish(buf: List[(Long, Double)]): Seq[(Long, Double)] = buf
-  def bufferEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
+  // ExpressionEncoder (array<struct<bigint,double>>), NOT Encoders.kryo:
+  // the partial-aggregate buffers serialize through this encoder on every
+  // shuffle hand-off, and the kryo path (generic object graph + per-call
+  // stream setup) measured ~3× slower end-to-end on the 4M-pair
+  // vec_cosine_topk loop (BENCH r1 2.2 s → r2 7.0 s regression).
+  def bufferEncoder: Encoder[List[(Long, Double)]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
 }

@@ -74,12 +74,18 @@ object Dedup extends OpGroup {
   private def tokenMasks(s: SparkSession, sf: String): (DataFrame, org.apache.spark.sql.Column) = {
     val tok = docTokens(s, sf)
     // Dense bit assignment via zipWithIndex partition offsets — any
-    // word→bit BIJECTION yields identical popcount-Jaccard, so no global
-    // ordering (and no single-partition window) is needed; only the
-    // per-partition counts cross the driver. At real scale the vocab is
-    // additionally frequency-capped into a bounded dict.
+    // word→bit BIJECTION yields identical popcount-Jaccard, so no
+    // single-partition window is needed; only the per-partition counts
+    // cross the driver. BUT the bijection must be STABLE across
+    // recomputations: the masks relation is consumed twice (a/b sides of
+    // the pair join), and distinct()'s within-partition order varies with
+    // shuffle fetch order on a recompute or stage retry — so the words
+    // are range-partitioned and sorted before numbering (deterministic
+    // global order, still no single-partition stage). At real scale the
+    // vocab is additionally frequency-capped into a bounded dict.
     val vocab = {
       val distinctWords = tok.select("word").distinct()
+        .repartitionByRange(col("word")).sortWithinPartitions("word")
       val schema = distinctWords.schema.add("bit", org.apache.spark.sql.types.LongType)
       s.createDataFrame(
         distinctWords.rdd.zipWithIndex().map { case (r, i) =>

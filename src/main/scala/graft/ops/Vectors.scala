@@ -28,36 +28,40 @@ object Vectors extends OpGroup {
   /** vec_id, embedding, precomputed L2 norm — one linear pass. */
   private def normed(s: SparkSession, sf: String): DataFrame = {
     FloatVecDot.register(s)
+    graft.functions.VecTopK.register(s)
     Tables.embeddings(s, sf).select(
       col("vec_id"), col("label"), col("embedding"),
       sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
   }
 
-  /** Top-k per query via the bounded-heap [[graft.functions.TopKAgg]]
-    * UDAF: the shuffle after partial aggregation carries ≤k entries per
-    * (group × partition) instead of every pair row that a window
-    * row_number plan would shuffle and sort — the difference between
-    * moving O(pairs) and O(groups·k) at 100 TB. Ordering (rounded sim
-    * DESC, b_vec_id ASC) matches the oracle's window exactly.
+  /** Top-k per query via the native bounded-heap
+    * [[graft.functions.VecTopK]] aggregate: the shuffle after partial
+    * aggregation carries ≤k entries per (group × partition) instead of
+    * every pair row that a window row_number plan would shuffle and sort
+    * — the difference between moving O(pairs) and O(groups·k) at 100 TB.
+    *
+    * Ranking is on the RAW sim double (the hot path never rounds):
+    * [[FloatVecDot]] is a sequential left-fold, bit-identical to the
+    * oracle's list_reduce, so both engines rank the exact same doubles —
+    * and exact ties (duplicate vectors) break on b_vec_id identically.
+    * Rounding to 6 digits happens once per SURVIVOR (k per query);
+    * per-pair round() was ~40% of the whole query (BigDecimal path,
+    * BENCH r2).
     */
-  private def topkSelect(pairs: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopKAgg(k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
-    pairs.select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("simr"))
+  private def topkSelect(pairs: DataFrame, k: Int): DataFrame =
+    pairs.select(col("a_vec_id"), col("b_vec_id"), col("sim"))
       .groupBy(col("a_vec_id"))
-      .agg(topk(col("b_vec_id"), col("simr")).as("top"))
+      .agg(expr(s"vec_topk(b_vec_id, sim, $k)").as("top"))
       .select(col("a_vec_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("a_vec_id"), (col("pos") + 1).cast("int").as("rk"),
-        col("entry._1").as("b_vec_id"), col("entry._2").as("cos_sim"))
+        col("entry.id").as("b_vec_id"), r6(col("entry.sim")).as("cos_sim"))
       .orderBy("a_vec_id", "rk")
-  }
 
   /** Exact top-5 cosine neighbors per vector, brute force, fully
     * declarative: the comparison set is a broadcast DataFrame (ships
     * once per executor, like any dimension), the pair loop is a
     * codegen'd BroadcastNestedLoopJoin evaluating [[FloatVecDot]], and
-    * the bounded-heap [[graft.functions.TopKAgg]] partial-aggregates so
+    * the bounded-heap [[graft.functions.VecTopK]] partial-aggregates so
     * the shuffle carries ≤k entries per (query × partition) — never the
     * O(n²) pair rows. No driver collect, no mapPartitions: the executors
     * stream queries against the broadcast side inside WholeStageCodegen.
@@ -76,7 +80,10 @@ object Vectors extends OpGroup {
         .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
       topkSelect(pairs, 5)
     },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY round(sim + 1e-9, 6) DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
+    // Oracle ranks on the RAW sim too (list_reduce fold is bit-identical
+    // to FloatVecDot's sequential loop, so both engines order the same
+    // doubles; exact ties break on b_vec_id) and rounds only survivors.
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id) SELECT a_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY sim DESC, b_vec_id) AS INT) AS rk, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p QUALIFY rk <= 5 ORDER BY a_vec_id, rk"""),
   )
 
   /** Per-label element-wise mean vector, long form (label, pos,
@@ -147,9 +154,11 @@ object Vectors extends OpGroup {
     * the threshold filter drops non-pairs before anything shuffles (only
     * the surviving ~dozens of rows reach the final sort). No driver
     * collect — at 100 TB the comparison set is an LSH/IVF bucket
-    * (vec_ann_ivf shape) and this same plan runs per bucket. Comparison
-    * is on the ROUNDED similarity on both engines so the boundary can't
-    * flip on a ulp.
+    * (vec_ann_ivf shape) and this same plan runs per bucket. The
+    * threshold compares the RAW quotient on both engines (bit-identical
+    * doubles — same discipline as jaccardVerify) and rounds only the
+    * surviving rows: a per-pair round() was half the query's runtime
+    * (BigDecimal path) in BENCH r2.
     */
   private val embeddingNearDup = Op(
     "dedup_embedding_cosine",
@@ -160,13 +169,12 @@ object Vectors extends OpGroup {
       val b = v.select(col("vec_id").as("b_vec_id"),
         col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
       a.join(broadcast(b), col("a_vec_id") < col("b_vec_id"))
-        .withColumn("cos_sim",
-          r6(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm"))))
-        .filter(col("cos_sim") >= 0.4)
-        .select(col("a_vec_id"), col("b_vec_id"), col("cos_sim"))
+        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("cos_sim"))
         .orderBy("a_vec_id", "b_vec_id")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p WHERE sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
   )
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup)

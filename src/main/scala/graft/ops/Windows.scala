@@ -102,9 +102,13 @@ object Windows extends OpGroup {
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, sf)
         .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        // Gap test in exact integer MICROseconds on both engines: a
+        // floor-seconds cast (ts.cast(long)) vs the oracle's fractional
+        // EPOCH() diverges when a gap straddles the 1800 s boundary by
+        // less than a second — integers kill the whole class.
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 30 * 60, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum(col("new_sess")).over(wRun))
         .groupBy(col("user_id"), col("session_id"))
@@ -116,7 +120,11 @@ object Windows extends OpGroup {
         )
         .orderBy("user_id", "session_id")
     },
-    Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    // session_id is CAST AS BIGINT: DuckDB's windowed SUM over integers
+    // returns HUGEINT, which pandas-based comparators render as float64
+    // (`1.0` vs Spark's `1`) — hash-diverging on identical values. Same
+    // discipline as etl_dedup_load's ROW_NUMBER cast.
+    Some("""SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
   )
 
   /** Rank-distribution analytics per user: quartile bucket, percentile

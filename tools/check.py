@@ -75,6 +75,16 @@ for k in sorted(oracle):
         if badtypes:
             fails.append((k, f"banned output column type(s): {badtypes}"))
             continue
+        # Same ban on the ORACLE side, plus HUGEINT: DuckDB widens integer
+        # SUMs (and windowed SUMs) to HUGEINT, which pandas renders as
+        # float64 — the r2 win_lag_sessionize hash failure. Catch the type
+        # mechanically instead of via downstream hash divergence.
+        ocur = con.execute(f"DESCRIBE {oracle[k]}")
+        obad = [(c, t) for c, t, *_ in ocur.fetchall()
+                if any(b in t.upper() for b in ("DECIMAL", "MAP", "HUGEINT"))]
+        if obad:
+            fails.append((k, f"banned ORACLE column type(s): {obad} — CAST it"))
+            continue
         scols, srows = rows_of(con.execute(f"SELECT * FROM read_parquet('{spark_glob}')"))
         dcols, drows = rows_of(con.execute(oracle[k]))
     except Exception as e:
