@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, VecTopK}
+import graft.functions.{ExplodeDnf, FloatVecDot, VecTopK}
 
 /** Session-extension entry point: registers the engine's custom Catalyst
   * expressions at session build time —
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_topk"),
       new ExpressionInfo(classOf[VecTopK].getName, "vec_topk"),
       (children: Seq[Expression]) => VecTopK(children(0), children(1), children(2)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("explode_dnf"),
+      new ExpressionInfo(classOf[ExplodeDnf].getName, "explode_dnf"),
+      (children: Seq[Expression]) => ExplodeDnf(children.head),
     ))
   }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
     ops.UdfOps,
     ops.SqlFrontend,
     ops.EtlLoad,
+    ops.Rules,
   )
 
   private lazy val all: Seq[Op] = {

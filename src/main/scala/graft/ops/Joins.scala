@@ -181,7 +181,11 @@ object Joins extends OpGroup {
     */
   private def bucketedTable(s: org.apache.spark.sql.SparkSession, sf: String,
       name: String, key: String, df: => org.apache.spark.sql.DataFrame): String = {
-    val tbl = s"graft_bkt_${name}_${sf.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // Cache key includes the SOURCE fingerprint (size+mtime): regenerating
+    // a testdata tier invalidates and rebuilds instead of serving stale
+    // buckets from the warehouse dir.
+    val tbl = s"graft_bkt_${name}_${sf.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      graft.Tables.fingerprint(sf, name)
     if (!s.catalog.tableExists(tbl)) {
       // The in-memory catalog forgets tables across JVMs but the
       // warehouse files persist — clear a stale location first

@@ -16,11 +16,14 @@ import parity._
   * the result — giving each streaming op a deterministic batch-equal
   * oracle (the driver's DuckDB SQL is the batch dual).
   *
-  * Aggregations use COMPLETE output mode: in append mode the windows
-  * newer than (max event time − watermark) are still open when the
-  * finite stream ends and would never emit — batch parity requires the
-  * full state. Watermarks are still declared: they bound state at real
-  * scale (docs/streaming.md covers the late-data policy).
+  * Most aggregations use COMPLETE output mode: in append mode the
+  * windows newer than (max event time − watermark) are still open when
+  * the finite stream ends and would never emit — batch parity requires
+  * the full state. Watermarks are still declared: they bound state at
+  * real scale (docs/streaming.md covers the late-data policy). The
+  * APPEND semantics themselves are witnessed by `stream_append_windowed`
+  * (oracled against the closed-window subset) and by
+  * StreamingAppendSpec's two-batch late-row/open-window assertions.
   */
 object Streaming extends OpGroup {
 
@@ -109,6 +112,34 @@ object Streaming extends OpGroup {
         .orderBy("user_id", "session_start")
     },
     Some("""SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_start"""),
+  )
+
+  /** APPEND-mode windowed aggregation — the production late-data
+    * semantics the COMPLETE-mode ops can't witness: windows emit exactly
+    * once, only after the watermark passes their end, and the trailing
+    * still-open windows never emit. Deterministic over a finite source
+    * because AvailableNow runs a final no-data micro-batch after the
+    * data batches, which evicts every window with
+    * `end <= watermark = ms_floor(max event time) − 30 min` (verified
+    * empirically: eviction is INCLUSIVE at end == watermark, and the
+    * watermark is computed in whole milliseconds). The oracle is the
+    * batch dual restricted to exactly those closed windows — so the
+    * late/open-window boundary itself is what the DuckDB gate checks.
+    * State at real scale is bounded by the watermark horizon, unlike the
+    * COMPLETE-mode ops (their trade-off is documented in the header).
+    */
+  private val appendWindowed = Op(
+    "stream_append_windowed",
+    (s, sf) => {
+      val agg = eventsStream(s, sf)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
+      runToCompletion(s, agg, "append")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+    Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 1800000) * 1000 AS wm_us FROM events) SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events, m WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm_us GROUP BY 1, 2 ORDER BY win_start, event_type"""),
   )
 
   /** Streaming dedup on event_id within a 1-hour watermark: state holds
@@ -230,5 +261,5 @@ object Streaming extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
-    dedupWatermark, statefulAgg, foreachBatchSink, staticJoin)
+    appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin)
 }
