@@ -77,11 +77,28 @@ case class VecTopK(
 
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 
+  // The planner binds children to the input schema, so in the common case
+  // both are BoundReferences — read the primitives straight off the row
+  // (no Object boxing on the 4M-pair hot path).
+  private lazy val idOrd: Int = idExpr match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+  private lazy val simOrd: Int = simExpr match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
-    val id = idExpr.eval(input)
-    val sim = simExpr.eval(input)
-    if (id != null && sim != null)
-      buf.insert(id.asInstanceOf[Long], sim.asInstanceOf[Double])
+    if (idOrd >= 0 && simOrd >= 0) {
+      if (!input.isNullAt(idOrd) && !input.isNullAt(simOrd))
+        buf.insert(input.getLong(idOrd), input.getDouble(simOrd))
+    } else {
+      val id = idExpr.eval(input)
+      val sim = simExpr.eval(input)
+      if (id != null && sim != null)
+        buf.insert(id.asInstanceOf[Long], sim.asInstanceOf[Double])
+    }
     buf
   }
 
