@@ -35,6 +35,21 @@ object Tables {
   def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
   def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
 
+  /** Spread a scan across the session's full parallelism before a
+    * compute-heavy narrow stage. The fixture tables are single parquet
+    * files with one row group, so the scan yields ONE partition — and
+    * everything before the first shuffle (similarity pair loops, 16-way
+    * MinHash signatures, shingle explodes) would run on one core
+    * (measured: vec_cosine_topk 2.4 s → 0.9 s at sf0.1 from this alone).
+    * The explicit count pins the fan-out — AQE would coalesce a
+    * sub-64MB shuffle back to one partition. This is the standard move
+    * whenever compute-per-byte is extreme relative to upstream
+    * parallelism; for plain scan→shuffle queries it is pure overhead, so
+    * only the hot operators call it.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Content fingerprint of a source table's file(s) — total byte size +
     * max mtime, hex-hashed. Cached derived artifacts (bucketed tables,
     * CSV snapshots, partitioned sinks) embed this in their cache key so a

@@ -22,9 +22,14 @@ import parity.r6
   */
 object Dedup extends OpGroup {
 
-  /** Distinct tokens per doc — the shared first stage. */
+  /** Distinct tokens per doc — the shared first stage. The scan is
+    * spread BEFORE the explode (shuffles docs, not tokens): the MinHash
+    * signature stage (16 md5s per token instance) and the mask build run
+    * pre-shuffle and would otherwise inherit the single-file scan's one
+    * partition.
+    */
   private def docTokens(s: SparkSession, sf: String): DataFrame =
-    Tables.documents(s, sf)
+    Tables.spread(s, Tables.documents(s, sf))
       .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("word"))
 
   /** Exact content dedup: group by md5 of the lowercased text, keep the
@@ -230,7 +235,7 @@ object Dedup extends OpGroup {
   private val simhash = Op(
     "dedup_simhash",
     (s, sf) =>
-      Tables.documents(s, sf)
+      Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
           expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
         .withColumn("simhash",
@@ -249,7 +254,7 @@ object Dedup extends OpGroup {
   private val ngramJaccard = Op(
     "dedup_ngram_jaccard",
     (s, sf) => {
-      val sh = Tables.documents(s, sf)
+      val sh = Tables.spread(s, Tables.documents(s, sf))
         .withColumn("toks", split(lower(col("text")), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),

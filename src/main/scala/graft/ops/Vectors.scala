@@ -25,11 +25,18 @@ import parity._
   */
 object Vectors extends OpGroup {
 
-  /** vec_id, embedding, precomputed L2 norm — one linear pass. */
+  /** vec_id, embedding, precomputed L2 norm — one linear pass. Spread
+    * across cores first: the O(n²) pair loops below are NARROW stages
+    * over this relation (the comparison side broadcasts), so their
+    * parallelism is exactly this scan's — which is 1 for the single-file
+    * fixture. On a real corpus the scan splits naturally and the
+    * repartition is a cheap no-op safeguard before extreme
+    * compute-per-byte.
+    */
   private def normed(s: SparkSession, sf: String): DataFrame = {
     FloatVecDot.register(s)
     graft.functions.VecTopK.register(s)
-    Tables.embeddings(s, sf).select(
+    Tables.spread(s, Tables.embeddings(s, sf)).select(
       col("vec_id"), col("label"), col("embedding"),
       sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
   }
