@@ -237,6 +237,41 @@ object Streaming extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** STREAM-STREAM inner join — the attribution shape (purchase joined
+    * to the same user's clicks within the preceding 30 minutes). Both
+    * sides are streams: each buffers rows in the state store keyed by
+    * user, and the TIME-RANGE condition is mandatory — it lets the
+    * watermark expire buffered clicks older than (watermark − 30 min),
+    * bounding state; an unbounded-condition stream-stream join would
+    * buffer both streams forever. Inner joins emit on match, so over the
+    * finite source the result equals the batch range join exactly
+    * (nothing is withheld for lateness within a single data batch),
+    * which is what the oracle checks.
+    */
+  private val streamStreamJoin = Op(
+    "stream_stream_join",
+    (s, sf) => {
+      val clicks = eventsStream(s, sf)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 day")
+      val purchases = eventsStream(s, sf)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+        .withWatermark("purchase_ts", "1 day")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+          col("purchase_ts"), col("click_ts"), col("value"))
+      runToCompletion(s, joined, "append").orderBy("purchase_id", "click_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value AS value FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' AND p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE ORDER BY purchase_id, click_id"""),
+  )
+
   /** Stream-static enrichment join — the canonical streaming-ETL shape:
     * the event stream joins a static dimension (customer ⋈ nation,
     * broadcast per micro-batch; the static side is re-planned each
@@ -261,5 +296,6 @@ object Streaming extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
-    appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin)
+    appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin,
+    streamStreamJoin)
 }

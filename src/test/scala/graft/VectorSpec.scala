@@ -27,6 +27,46 @@ class VectorSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("vec_topk partial-aggregates BEFORE the exchange (shuffle carries ≤k per group per partition)") {
+    val plan = SparkEntry.queries("vec_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate(partial vec_topk) must appear BELOW an Exchange
+    // with the final vec_topk above it — the bounded-heap two-phase shape
+    // that keeps the O(n²) pair rows out of the shuffle. A plan that only
+    // aggregates after the exchange would ship every pair row.
+    val lines = plan.split("\n")
+    val partialIdx = lines.indexWhere(l => l.contains("vec_topk") && l.contains("ObjectHashAggregate") && l.contains("partial"))
+    val finalIdx = lines.indexWhere(l => l.contains("vec_topk") && l.contains("ObjectHashAggregate") && !l.contains("partial"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(a_vec_id"))
+    assert(partialIdx >= 0, s"no partial vec_topk aggregate in plan:\n$plan")
+    assert(finalIdx >= 0 && exchangeIdx >= 0, s"missing final agg or exchange:\n$plan")
+    // Plans print top-down: final agg above the exchange, partial below it.
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"vec_topk is not two-phase around the exchange (final=$finalIdx exchange=$exchangeIdx partial=$partialIdx):\n$plan")
+  }
+
+  test("vec_topk equals the window row_number formulation on raw sims") {
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.VecTopK.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"),
+      sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val a = v.select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = v.select(col("vec_id").as("b_vec_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val pairs = a.join(broadcast(b), col("a_vec_id") =!= col("b_vec_id"))
+      .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+      .select(col("a_vec_id"), col("b_vec_id"), col("sim"))
+    val viaAgg = pairs.groupBy(col("a_vec_id"))
+      .agg(expr("vec_topk(b_vec_id, sim, 5)").as("top"))
+      .select(col("a_vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("a_vec_id"), (col("pos") + 1).as("rk"), col("e.id").as("b_vec_id"), col("e.sim").as("sim"))
+    val w = Window.partitionBy(col("a_vec_id")).orderBy(col("sim").desc, col("b_vec_id").asc)
+    val viaWindow = pairs.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
+      .select(col("a_vec_id"), col("rk"), col("b_vec_id"), col("sim"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "bounded-heap top-k diverges from the window formulation")
+  }
+
   test("FloatVecDot matches the interpreted HOF computation exactly") {
     graft.functions.FloatVecDot.register(spark)
     val diff = Tables.embeddings(spark, sf)
