@@ -88,5 +88,33 @@ object EtlLoad extends OpGroup {
     Some("""WITH staged AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS canon_hash FROM documents), catalog AS (SELECT canon_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_members FROM staged WHERE doc_id % 2 = 0 GROUP BY canon_hash), batch AS (SELECT canon_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_members FROM staged WHERE doc_id % 2 = 1 GROUP BY canon_hash) SELECT canon_hash, canonical_doc_id, n_members, 'existing' AS origin FROM catalog UNION ALL SELECT canon_hash, canonical_doc_id, n_members, 'new' AS origin FROM batch b WHERE NOT EXISTS (SELECT 1 FROM catalog c WHERE c.canon_hash = b.canon_hash) ORDER BY canon_hash"""),
   )
 
-  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge)
+  /** SCD2 (type-2 slowly-changing dimension) history build — the
+    * DatabaseVersion/OldIDSynonym "which value was current when"
+    * semantic as the standard warehouse pattern: per user, keep only
+    * STATE CHANGES (consecutive-duplicate suppression via lag), then
+    * close each change's validity interval with the next change's
+    * timestamp (lead) — open interval + is_current for the latest. Two
+    * window passes over one shuffle key: linear, partition-parallel on
+    * user_id at any scale.
+    */
+  private val scd2Build = Op(
+    "etl_scd2_intervals",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, sf)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(wOrd))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      val wChg = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(wChg))
+        .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+    Some("""WITH ch AS (SELECT user_id, event_type AS state, ts, event_id FROM (SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NULL OR prev <> event_type) SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current FROM ch ORDER BY user_id, valid_from, state"""),
+  )
+
+  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build)
 }

@@ -234,6 +234,45 @@ object Joins extends OpGroup {
     Some("""SELECT o_orderpriority, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
+  /** KEYLESS point-in-interval join via temporal BINNING — the scalable
+    * formulation of the reference's GenomeRegion interval queries
+    * (leftpos/rightpos containment, cobradb/base.py): which high-volume
+    * shipments (quantity = 50) fall inside ANY order's 7-day window,
+    * with NO shared equi-key. A naive plan is a nested-loop over
+    * |points|×|intervals|; here both sides map to fixed-width time bins
+    * (intervals explode into every bin they touch, a point into exactly
+    * one), the join becomes an EQUI-join on the bin key, and the precise
+    * containment predicate filters the candidates. Each matching pair
+    * meets exactly once (in the point's bin), so no dedup is needed.
+    * Work is Σ per-bin |points|×|intervals| — linear in data for bounded
+    * interval length — and it shuffles on the bin key like any equi-join:
+    * THE 100 TB interval-join shape (same trick as LSH banding, applied
+    * to time).
+    */
+  private val intervalBinned = Op(
+    "join_interval_binned",
+    (s, sf) => {
+      val binUs = 7L * 86400L * 1000000L // 7-day bins = interval length
+      val pts = Tables.lineitem(s, sf)
+        .filter(col("l_quantity") === 50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        // l_shipdate is TIMESTAMP_NTZ; the session is pinned UTC so the
+        // cast to TIMESTAMP is an identity relabeling for binning.
+        .withColumn("bin", floor(unix_micros(col("l_shipdate").cast("timestamp")) / binUs))
+      val ivs = Tables.orders(s, sf)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("bin", explode(sequence(
+          floor(unix_micros(col("o_orderdate").cast("timestamp")) / binUs),
+          floor((unix_micros(col("o_orderdate").cast("timestamp")) + binUs) / binUs))))
+      pts.join(ivs, Seq("bin"))
+        .filter(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, o_orderkey FROM lineitem JOIN orders ON l_quantity = 50 AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY ORDER BY l_orderkey, l_linenumber, o_orderkey"""),
+  )
+
   /** Salted skew join — the join-side dual of agg_salted_twophase: the
     * probe side gets a deterministic salt in 0..S-1, the build side is
     * replicated S ways (explode over the salt range), and the join runs
@@ -264,5 +303,5 @@ object Joins extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
-    leftAnti, rangeInterval, asof, bucketedColocated, skewSalted)
+    leftAnti, rangeInterval, asof, bucketedColocated, intervalBinned, skewSalted)
 }
