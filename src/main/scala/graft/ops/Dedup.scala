@@ -245,6 +245,52 @@ object Dedup extends OpGroup {
     Some("""SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t ORDER BY doc_id"""),
   )
 
+  /** Hamming-radius search over the 60-bit SimHash — the EXACT banded
+    * companion to [[simhash]] (scale.md's "band-split into radius+1
+    * bands"): all pairs within Hamming distance ≤ 8. Pigeonhole: two
+    * hashes differing in ≤ 8 of 60 bits agree EXACTLY on at least one of
+    * 9 disjoint bands, so candidates = docs sharing any (band, value)
+    * bucket — an equi-join, Σ bucket² work — and the codegen'd
+    * `bit_count(a ^ b) ≤ 8` verify is exact, making the whole pipeline
+    * deterministic (100% recall by construction, unlike MinHash LSH's
+    * probabilistic curve) and therefore fully oracle-able with the same
+    * banding in SQL. The one-long simhash rides the band explode as
+    * payload, so verification needs no second join.
+    */
+  private val simhashHamming = Op(
+    "dedup_simhash_hamming",
+    (s, sf) => {
+      val R = 8
+      val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
+      val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
+      val sh = Tables.spread(s, Tables.documents(s, sf))
+        .withColumn("hs",
+          expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+        .withColumn("simhash",
+          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
+        .select(col("doc_id"), col("simhash"))
+      val bandCols = offs.zipWithIndex.map { case ((o, l), i) =>
+        struct(lit(i).as("band_idx"),
+          expr(s"shiftright(simhash, $o) & ${(1L << l) - 1}").as("bval"))
+      }
+      val bands = sh
+        .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.bval").as("bval"))
+      val cand = bands
+        .select(col("doc_id").as("a_doc_id"), col("simhash").as("a_sh"), col("band_idx"), col("bval"))
+        .join(bands.select(col("doc_id").as("b_doc_id"), col("simhash").as("b_sh"),
+          col("band_idx"), col("bval")), Seq("band_idx", "bval"))
+        .filter(col("a_doc_id") < col("b_doc_id"))
+      cand
+        .filter(expr("bit_count(a_sh ^ b_sh)") <= R)
+        .select(col("a_doc_id"), col("b_doc_id"),
+          expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
+        .distinct()
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+    Some("""WITH sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), bands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN bands), cand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.simhash AS a_sh, b.simhash AS b_sh FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 8 ORDER BY a_doc_id, b_doc_id"""),
+  )
+
   /** Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 — the discriminating
     * variant of sim_jaccard_pairs: the shingle space is |V|³-sparse, so
     * candidate pairs come from a shingle-inverted-index equi-join (only
@@ -278,5 +324,5 @@ object Dedup extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
-    minhashPortable, minhashLsh, simhash, ngramJaccard)
+    minhashPortable, minhashLsh, simhash, simhashHamming, ngramJaccard)
 }

@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
     assert(nLsh / nBrute >= 0.95, s"LSH recall ${nLsh / nBrute}")
   }
 
+  test("banded simhash Hamming search is EXACT (equals the all-pairs filter)") {
+    import org.apache.spark.sql.functions._
+    // Pigeonhole: ≤8 differing bits over 9 disjoint bands forces ≥1
+    // identical band, so the band-bucketed op must return EXACTLY the
+    // brute-force all-pairs result — not a probabilistic subset.
+    val banded = SparkEntry.queries("dedup_simhash_hamming")(spark, sf)
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf)
+    val a = sh.select(col("doc_id").as("a_doc_id"), col("simhash").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_doc_id"), col("simhash").as("b_sh"))
+    val brute = a.join(b, col("a_doc_id") < col("b_doc_id"))
+      .filter(expr("bit_count(a_sh ^ b_sh)") <= 8)
+      .select(col("a_doc_id"), col("b_doc_id"),
+        expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "banded Hamming search diverges from brute force")
+    assert(banded.count() > 0, "radius-8 search is vacuous at this tier")
+  }
+
   test("map_entries_build agrees with agg_pivot_matrix counts") {
     // The op renders the map as a sorted "k:v,..." entries string (§7.3
     // "no MapType in output"); parse it back to rows for the comparison.
