@@ -266,9 +266,23 @@ object Dedup extends OpGroup {
       val sh = Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
           expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
-        .withColumn("simhash",
-          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
+        // coalesce is LOAD-BEARING, not defensive: it makes the HOF
+        // expression non-nullable, so the join below cannot infer an
+        // `isnotnull(bval)` constraint — which Catalyst would rewrite as
+        // isnotnull(<the entire inlined simhash fold>) and push below the
+        // spread exchange onto the SINGLE-PARTITION scan: 60×tokens md5
+        // work, once per doc, on one core (measured 25 s instead of ~3 s
+        // at sf0.1).
+        .withColumn("simhash", coalesce(
+          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"),
+          lit(0L)))
         .select(col("doc_id"), col("simhash"))
+        // Materialization barrier: without it CollapseProject inlines the
+        // 60×tokens interpreted HOF into the Generate stage, re-evaluating
+        // it per exploded band row on BOTH join sides (~90× per doc). The
+        // exchange pins simhash to one evaluation per doc; O(docs × 16
+        // bytes) through the wire — linear at any scale.
+        .repartition(col("doc_id"))
       val bandCols = offs.zipWithIndex.map { case ((o, l), i) =>
         struct(lit(i).as("band_idx"),
           expr(s"shiftright(simhash, $o) & ${(1L << l) - 1}").as("bval"))
