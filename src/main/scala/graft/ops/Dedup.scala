@@ -196,32 +196,36 @@ object Dedup extends OpGroup {
     * scheme as sim_minhash_portable, so candidates are engine-portable
     * and the whole pipeline oracles exactly.
     */
+  /** The LSH pipeline through verification, pre-sort — shared between the
+    * keyed op and [[Clusters]]' near-dup graph build.
+    */
+  private[ops] def minhashLshPairs(s: SparkSession, sf: String): DataFrame = {
+    val K = 16; val R = 4; val B = K / R
+    val sigCols = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
+    val sigs = docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until B).map(b =>
+      md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*)))
+    val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
+    // Candidates are NOT deduped before verification: a pair colliding
+    // in m bands appears m(≤4) times, but verification is a broadcast
+    // hash-join + popcount (no shuffle), so verifying duplicates is
+    // cheaper than a distinct over the full ~3× larger candidate
+    // stream — the one shuffle (distinct) runs on the verified
+    // survivors instead.
+    val cand = bands.select(col("doc_id").as("a_doc_id"), col("band_idx"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_doc_id"), col("band_idx"), col("bkey")),
+        Seq("band_idx", "bkey"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
+      .select("a_doc_id", "b_doc_id")
+    val (masks, interExpr) = tokenMasks(s, sf)
+    jaccardVerify(cand, masks, interExpr, 0.9)
+      .distinct()
+  }
+
   private val minhashLsh = Op(
     "dedup_minhash_lsh",
-    (s, sf) => {
-      val K = 16; val R = 4; val B = K / R
-      val sigCols = (0 until K).map(i =>
-        min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
-      val sigs = docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandKeys = (0 until B).map(b =>
-        md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*)))
-      val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
-      // Candidates are NOT deduped before verification: a pair colliding
-      // in m bands appears m(≤4) times, but verification is a broadcast
-      // hash-join + popcount (no shuffle), so verifying duplicates is
-      // cheaper than a distinct over the full ~3× larger candidate
-      // stream — the one shuffle (distinct) runs on the verified
-      // survivors instead.
-      val cand = bands.select(col("doc_id").as("a_doc_id"), col("band_idx"), col("bkey"))
-        .join(bands.select(col("doc_id").as("b_doc_id"), col("band_idx"), col("bkey")),
-          Seq("band_idx", "bkey"))
-        .filter(col("a_doc_id") < col("b_doc_id"))
-        .select("a_doc_id", "b_doc_id")
-      val (masks, interExpr) = tokenMasks(s, sf)
-      jaccardVerify(cand, masks, interExpr, 0.9)
-        .distinct()
-        .orderBy("a_doc_id", "b_doc_id")
-    },
+    (s, sf) => minhashLshPairs(s, sf).orderBy("a_doc_id", "b_doc_id"),
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.a_doc_id, c.b_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 
@@ -257,9 +261,10 @@ object Dedup extends OpGroup {
     * banding in SQL. The one-long simhash rides the band explode as
     * payload, so verification needs no second join.
     */
-  private val simhashHamming = Op(
-    "dedup_simhash_hamming",
-    (s, sf) => {
+  /** The pigeonhole pipeline through verification, pre-sort — shared
+    * between the keyed op and [[Clusters]]' near-dup graph build.
+    */
+  private[ops] def simhashHammingPairs(s: SparkSession, sf: String): DataFrame = {
       val R = 8
       val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
       val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
@@ -300,8 +305,11 @@ object Dedup extends OpGroup {
         .select(col("a_doc_id"), col("b_doc_id"),
           expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
         .distinct()
-        .orderBy("a_doc_id", "b_doc_id")
-    },
+  }
+
+  private val simhashHamming = Op(
+    "dedup_simhash_hamming",
+    (s, sf) => simhashHammingPairs(s, sf).orderBy("a_doc_id", "b_doc_id"),
     Some("""WITH sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), bands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN bands), cand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, a.simhash AS a_sh, b.simhash AS b_sh FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, CAST(bit_count(xor(a_sh, b_sh)) AS INT) AS hamming FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 8 ORDER BY a_doc_id, b_doc_id"""),
   )
 

@@ -111,9 +111,15 @@ object EtlLoad extends OpGroup {
         .withColumn("valid_to", lead(col("ts"), 1).over(wChg))
         .select(col("user_id"), col("state"), col("ts").as("valid_from"),
           col("valid_to"), col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "valid_from", "state")
+        // valid_to disambiguates A→B→A flips at one identical timestamp:
+        // (user_id, valid_from, state) alone is not a unique key there,
+        // and the driver compares rows positionally (r3 advice). NULLS
+        // LAST explicitly — Spark's asc default is nulls FIRST, DuckDB's
+        // is nulls LAST.
+        .orderBy(col("user_id"), col("valid_from"), col("state"),
+          col("valid_to").asc_nulls_last)
     },
-    Some("""WITH ch AS (SELECT user_id, event_type AS state, ts, event_id FROM (SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NULL OR prev <> event_type) SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current FROM ch ORDER BY user_id, valid_from, state"""),
+    Some("""WITH ch AS (SELECT user_id, event_type AS state, ts, event_id FROM (SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NULL OR prev <> event_type) SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current FROM ch ORDER BY user_id, valid_from, state, valid_to NULLS LAST"""),
   )
 
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build)

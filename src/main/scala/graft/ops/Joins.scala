@@ -184,18 +184,20 @@ object Joins extends OpGroup {
     // Cache key includes the SOURCE fingerprint (size+mtime): regenerating
     // a testdata tier invalidates and rebuilds instead of serving stale
     // buckets from the warehouse dir.
-    val tbl = s"graft_bkt_${name}_${sf.replaceAll("[^a-zA-Z0-9]", "_")}_" +
-      graft.Tables.fingerprint(sf, name)
+    val prefix = s"graft_bkt_${name}_${sf.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val tbl = prefix + graft.Tables.fingerprint(sf, name)
     if (!s.catalog.tableExists(tbl)) {
       // The in-memory catalog forgets tables across JVMs but the
-      // warehouse files persist — clear a stale location first
-      // (LOCATION_ALREADY_EXISTS otherwise).
+      // warehouse files persist — clear the target location plus any
+      // superseded same-prefix generations (old fingerprints would
+      // otherwise accumulate in the warehouse forever), then build.
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh, tbl))
+      Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix))
+        .foreach { f =>
+          if (f.getName != tbl) s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
+          graft.Tables.rmTree(f)
+        }
       // repartition on the key with one shuffle partition per bucket
       // (same Murmur3 pmod both layers) → exactly ONE file per bucket,
       // the precondition for the scan to expose the sortBy order and let

@@ -24,26 +24,33 @@ object Rules extends OpGroup {
     "rule_expand_dnf",
     (s, sf) => {
       graft.functions.ExplodeDnf.register(s)
-      val li = Tables.lineitem(s, sf)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          concat(lit("P"), col("l_partkey")).as("gene"))
+      // spread: the single-file scan is one partition, and the PARTIAL
+      // collect_set otherwise runs there — 600k rows of set-building on
+      // one core was the dominant cost of the r3 plan (3.3 s driver-run).
+      val li = Tables.spread(s, Tables.lineitem(s, sf))
+        .select(col("l_orderkey"),
+          // Pre-tag each gene with its complex (0 = positions ≤3, 1 = >3)
+          // so ONE collect_set carries both groups; struct sort order
+          // (g, gene) makes each group's slice sorted after sort_array.
+          struct(when(col("l_linenumber") <= 3, 0).otherwise(1).as("g"),
+            concat(lit("P"), col("l_partkey")).as("gene")).as("item"))
       val rules = li.groupBy(col("l_orderkey"))
-        .agg(
-          sort_array(collect_set(when(col("l_linenumber") <= 3, col("gene")))).as("g1"),
-          sort_array(collect_set(when(col("l_linenumber") > 3, col("gene")))).as("g2"))
-        .withColumn("rule",
-          // Either complex can be empty (the synthetic corpus has orders
-          // whose line numbers are all >3 or all ≤3) — emit only the
-          // non-empty alternatives.
-          when(size(col("g2")) === 0,
-            concat(lit("("), array_join(col("g1"), " and "), lit(")")))
-            .when(size(col("g1")) === 0,
-              concat(lit("("), array_join(col("g2"), " and "), lit(")")))
-            .otherwise(concat(
-              lit("("), array_join(col("g1"), " and "),
-              lit(") or ("), array_join(col("g2"), " and "), lit(")"))))
-      rules.select(col("l_orderkey").as("o_orderkey"), col("rule"))
-        .selectExpr("o_orderkey", "explode_dnf(rule) AS (combo_idx, genes)")
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(col("l_orderkey").as("o_orderkey"),
+          // Either complex can be empty (orders whose line numbers are
+          // all >3 or all ≤3): concat_ws skips the null alternative, so
+          // the rule is built in one projection with each array_join
+          // evaluated exactly once.
+          concat_ws(" or ",
+            when(expr("exists(items, x -> x.g = 0)"),
+              concat(lit("("),
+                array_join(expr("transform(filter(items, x -> x.g = 0), x -> x.gene)"), " and "),
+                lit(")"))),
+            when(expr("exists(items, x -> x.g = 1)"),
+              concat(lit("("),
+                array_join(expr("transform(filter(items, x -> x.g = 1), x -> x.gene)"), " and "),
+                lit(")")))).as("rule"))
+      rules.selectExpr("o_orderkey", "explode_dnf(rule) AS (combo_idx, genes)")
         .orderBy("o_orderkey", "combo_idx")
     },
     // The oracle reconstructs the same combos relationally: the ≤3 and >3

@@ -60,8 +60,9 @@ object Scans extends OpGroup {
       import org.apache.spark.sql.types._
       // Fingerprinted cache dir: a regenerated region.parquet invalidates
       // the CSV snapshot instead of silently re-reading the stale one.
-      val dir = s"/tmp/graft_csv/${sf.replaceAll("[^a-zA-Z0-9.]", "_")}_" +
-        s"${graft.Tables.fingerprint(sf, "region")}/region"
+      val dir = graft.Tables.cachedDir("/tmp/graft_csv",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "region")) + "/region"
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.region(s, sf).orderBy("r_regionkey")
           .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
@@ -88,9 +89,10 @@ object Scans extends OpGroup {
   private val partitionedSink = Op(
     "sink_partitioned_parquet",
     (s, sf) => {
-      val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_part_sink/" +
-        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}_" +
-        s"${graft.Tables.fingerprint(sf, "orders")}/orders"
+      val dir = graft.Tables.cachedDir(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_part_sink",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "orders")) + "/orders"
       if (!new java.io.File(dir, "_SUCCESS").exists())
         Tables.orders(s, sf).write.mode("overwrite")
           .partitionBy("o_orderpriority").parquet(dir)
