@@ -30,6 +30,7 @@ object SparkEntry {
     ops.SqlFrontend,
     ops.EtlLoad,
     ops.Rules,
+    ops.Polymorphic,
   )
 
   private lazy val all: Seq[Op] = {

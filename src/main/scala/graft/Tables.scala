@@ -45,7 +45,11 @@ object Tables {
     * sub-64MB shuffle back to one partition. This is the standard move
     * whenever compute-per-byte is extreme relative to upstream
     * parallelism; for plain scan→shuffle queries it is pure overhead, so
-    * only the hot operators call it.
+    * only the hot operators call it. SINGLE-FILE FIXTURES ONLY: a
+    * production multi-file layout parallelizes natively and needs no
+    * spread — witnessed by `src_partitioned_multifile` +
+    * PartitionedScanSpec (date-partitioned events, per-day files, >1
+    * native scan partitions, directory-level pruning).
     */
   def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)

@@ -76,6 +76,45 @@ object Scans extends OpGroup {
     Some("""SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""),
   )
 
+  /** Day-partitioned MULTI-FILE source witness (r3 verdict "what's
+    * missing" #3): every driver fixture is one single-row-group parquet
+    * file, so scans yield ONE partition and hot operators need
+    * [[Tables.spread]]. This op writes events once as the PRODUCTION
+    * layout — `event_date=…/` directory per day, 30 dirs at either sf,
+    * fingerprint-cached like the bucketed tables — then runs a
+    * date-range aggregate against it. The interior 7-day filter must
+    * prune at the DIRECTORY level (PartitionFilters on the scan;
+    * PushedFilters stays empty) and the scan parallelizes NATIVELY
+    * across the per-day files — no spread anywhere on this path
+    * (both plan-asserted in PartitionedScanSpec).
+    */
+  def partitionedEventsDir(s: org.apache.spark.sql.SparkSession, sf: String): String = {
+    val dir = graft.Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_part_events",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      graft.Tables.fingerprint(sf, "events")) + "/events"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.events(s, sf)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    dir
+  }
+
+  private val partitionedMultifile = Op(
+    "src_partitioned_multifile",
+    (s, sf) => {
+      val week = s.read.parquet(partitionedEventsDir(s, sf))
+        .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+      week
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(graft.ops.parity.dec(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("event_date", "event_type")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14' GROUP BY 1, 2 ORDER BY event_date, event_type"""),
+  )
+
   /** Hive-style partitioned parquet sink + partition-pruned read-back:
     * orders lands partitioned by o_orderpriority (directory per value —
     * the production layout for every date/category-keyed 100 TB table),
@@ -109,5 +148,6 @@ object Scans extends OpGroup {
     Some("""SELECT o_orderstatus, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_price FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
-  val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan, partitionedSink)
+  val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
+    partitionedMultifile, partitionedSink)
 }

@@ -16,14 +16,20 @@ import parity._
   * the result — giving each streaming op a deterministic batch-equal
   * oracle (the driver's DuckDB SQL is the batch dual).
   *
-  * Most aggregations use COMPLETE output mode: in append mode the
-  * windows newer than (max event time − watermark) are still open when
-  * the finite stream ends and would never emit — batch parity requires
-  * the full state. Watermarks are still declared: they bound state at
-  * real scale (docs/streaming.md covers the late-data policy). The
-  * APPEND semantics themselves are witnessed by `stream_append_windowed`
-  * (oracled against the closed-window subset) and by
-  * StreamingAppendSpec's two-batch late-row/open-window assertions.
+  * All windowed aggregations run APPEND output mode — the production
+  * semantics whose state is bounded by the watermark horizon: windows
+  * emit exactly once, only after the watermark passes their end, and
+  * the trailing still-open windows never emit (r3 ran these COMPLETE
+  * for batch parity; the r3 verdict correctly called that unbounded
+  * state at 100 TB, and the closed-window oracle pattern proved out on
+  * `stream_append_windowed`, so r4 re-oracled the family). Each oracle
+  * is the batch dual restricted to windows with
+  * `end <= watermark = ms_floor(max event time) − delay` (inclusive —
+  * verified empirically; AvailableNow runs a final no-data micro-batch
+  * that evicts exactly those windows). Two-micro-batch late-row/open-
+  * window behavior is additionally asserted in StreamingAppendSpec.
+  * The one non-windowed stateful agg (`stream_stateful_agg`) runs
+  * update mode — its state is per-key bounded, not time-bounded.
   */
 object Streaming extends OpGroup {
 
@@ -60,58 +66,71 @@ object Streaming extends OpGroup {
     s.table(name)
   }
 
-  /** Tumbling 1-hour counts per event type. The group key is emitted as
-    * date_trunc (not window().start) so the oracle is a plain batch
-    * GROUP BY — same instants either way for a 1-hour tumble.
+  /** Tumbling 15-minute counts per event type, append mode: each window
+    * emits once when the 1-hour watermark passes its end; the ~4 windows
+    * inside the final watermark horizon stay open and never emit, which
+    * is exactly what the oracle's closed-window predicate checks. (The
+    * 1-hour-tumble/30-min-delay point of the config space is
+    * `stream_append_windowed`; this op covers a different window:delay
+    * ratio so the two keys aren't the same query.)
     */
   private val tumblingCounts = Op(
     "stream_tumbling_counts",
     (s, sf) => {
       val agg = eventsStream(s, sf)
-        .withWatermark("ts", "1 day")
-        .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
-      runToCompletion(s, agg, "complete").orderBy("hour_bucket", "event_type")
+      runToCompletion(s, agg, "append")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
     },
-    Some("""SELECT date_trunc('hour', ts) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""),
+    Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 3600000) * 1000 AS wm_us FROM events) SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events, m WHERE epoch_us(to_timestamp(floor(epoch(ts) / 900) * 900) + INTERVAL 15 MINUTE) <= wm_us GROUP BY 1, 2 ORDER BY win_start, event_type"""),
   )
 
   /** Sliding windows (1 hour every 15 minutes), average value per
-    * window×type. Spark's window() aligns slides to the unix epoch, so
-    * the batch dual enumerates the 4 covering starts via epoch math.
+    * window×type, append mode. Spark's window() aligns slides to the
+    * unix epoch, so the batch dual enumerates the 4 covering starts via
+    * epoch math, then keeps only windows closed by the 30-minute
+    * watermark (win_start + 1 h ≤ wm).
     */
   private val slidingAvg = Op(
     "stream_sliding_avg",
     (s, sf) => {
       val agg = eventsStream(s, sf)
-        .withWatermark("ts", "1 day")
+        .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           r6(sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
-      runToCompletion(s, agg, "complete")
+      runToCompletion(s, agg, "append")
         .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
         .orderBy("win_start", "event_type")
     },
-    Some("""SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+    Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 1800000) * 1000 AS wm_us FROM events) SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks, m WHERE epoch_us(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900) + INTERVAL 1 HOUR) <= wm_us GROUP BY 1, 2 ORDER BY win_start, event_type"""),
   )
 
-  /** Session windows, 30-minute gap, per user — the streaming dual of
-    * win_lag_sessionize (same gap constant). session_window's end is
-    * last-event-time + gap; the batch dual mirrors that.
+  /** Session windows, 30-minute gap, per user, append mode — the
+    * streaming dual of win_lag_sessionize (same gap constant).
+    * session_window's end is last-event-time + gap; a session emits
+    * once the 30-minute watermark passes that end, so the batch dual
+    * sessionizes and keeps sessions with end ≤ wm. (Merging of
+    * out-of-order session fragments happens inside the state store;
+    * over the finite source the merged result equals the batch
+    * sessionization exactly.)
     */
   private val sessionWindow = Op(
     "stream_session_window",
     (s, sf) => {
       val agg = eventsStream(s, sf)
-        .withWatermark("ts", "1 day")
+        .withWatermark("ts", "30 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), r6(sum(dec(col("value"))).cast("double")).as("session_value"))
-      runToCompletion(s, agg, "complete")
+      runToCompletion(s, agg, "append")
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"), col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     },
-    Some("""SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id ORDER BY user_id, session_start"""),
+    Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 1800000) * 1000 AS wm_us FROM events), sess AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM (SELECT user_id, ts, value, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t) t2 GROUP BY user_id, session_id) SELECT user_id, session_start, session_end, n_events, session_value FROM sess, m WHERE epoch_us(session_end) <= wm_us ORDER BY user_id, session_start"""),
   )
 
   /** APPEND-mode windowed aggregation — the production late-data
@@ -146,20 +165,31 @@ object Streaming extends OpGroup {
     * one key per id seen within the horizon; duplicates arriving inside
     * it are dropped, and state self-expires (bounded memory — the whole
     * point vs. a global dropDuplicates). The corpus has unique
-    * event_ids (verified), so the batch dual is the identity projection;
-    * the semantics are exercised with injected duplicates in
-    * StreamingSpec.
+    * event_ids, so the stream UNIONs a deterministic duplicate of every
+    * 10th event shifted +5 minutes (inside the horizon) — the r3 oracle
+    * was an identity projection that a no-op would also have passed;
+    * now the oracle's DISTINCT-on-id is only reachable if the operator
+    * actually drops the injected rows. Two-batch arrival-order behavior
+    * stays covered in StreamingSpec.
     */
   private val dedupWatermark = Op(
     "stream_dedup_watermark",
     (s, sf) => {
-      val deduped = eventsStream(s, sf)
+      val src = eventsStream(s, sf)
+      val dups = src.filter(pmod(col("event_id"), lit(10)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES"))
+      // ts is dropped from the OUTPUT (not the stream): which of the two
+      // same-id rows wins is shuffle-arrival-order dependent, and they
+      // differ only in ts — projecting it away makes the kept row
+      // deterministic while the dedup still had to fire to collapse
+      // them.
+      val deduped = src.union(dups)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
       runToCompletion(s, deduped, "append").orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id, ts, event_type FROM events ORDER BY event_id"""),
+    Some("""SELECT DISTINCT event_id, user_id, event_type FROM (SELECT event_id, user_id, event_type FROM events UNION ALL SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 0) u ORDER BY event_id"""),
   )
 
   /** Custom stateful aggregation via mapGroupsWithState — the escape

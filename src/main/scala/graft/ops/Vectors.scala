@@ -114,37 +114,67 @@ object Vectors extends OpGroup {
     Some("""SELECT label, CAST(pos AS INT) AS pos, ROUND(1e-9 + CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_val, COUNT(*) AS n_vecs FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos ORDER BY label, pos"""),
   )
 
-  /** IVF-style approximate nearest neighbors: the label partitions act
-    * as the coarse quantizer's cells (their mean vectors are the
-    * centroids), each query probes its nprobe=2 closest centroids, and
-    * exact top-5 search runs only within the probed cells — ~nprobe/k of
-    * the pair work, shuffled on the bucket key so each cell's search is
-    * partition-local. No oracle (approximation is engine-specific);
-    * scalatest checks the subset-of-exact property.
+  /** Nearest-`nprobe` centroids per vector: K-way broadcast crossJoin
+    * (K centroid rows — the correct plan for a coarse quantizer) +
+    * per-vector rank. Ties break on cid ascending, deterministically.
+    */
+  private[graft] def nearestCells(v: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("vec_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crk") <= nprobe)
+
+  /** Lloyd maximization step: element-wise mean of each cell's members,
+    * re-assembled into a float centroid vector (posexplode → avg →
+    * regroup — the `vec_centroid_per_label` machinery generalized to
+    * arbitrary cell assignments).
+    */
+  private[graft] def meanCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cv"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
+      .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+
+  /** IVF approximate nearest neighbors with a TRAINED coarse quantizer
+    * (r3 verdict next-round #6 — previously the label column stood in
+    * for the cells): centroids seed from the per-label means
+    * (deterministic, K = #labels) and 2 Lloyd iterations — assign to
+    * nearest centroid, re-average — expressed entirely as DataFrame ops
+    * refine them into geometry-correlated Voronoi cells. Each query
+    * probes its nprobe=2 closest centroids and exact top-5 search runs
+    * only within the probed cells — ~nprobe/K of the pair work,
+    * shuffled on the bucket key so each cell's search is
+    * partition-local. Centroids localCheckpoint between iterations: K
+    * tiny rows, keeps the training lineage out of the search plan. No
+    * oracle (approximation is engine-specific); scalatest checks the
+    * recall band and subset-of-exact property.
     */
   private val annIvf = Op(
     "vec_ann_ivf",
     (s, sf) => {
       val v = normed(s, sf)
-      // Coarse centroids: per-label mean, re-assembled into float arrays.
-      val cent = Tables.embeddings(s, sf)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
+      var cent = Tables.embeddings(s, sf)
+        .select(col("label").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x").cast("double")).as("cv"))
-        .groupBy(col("label"))
+        .groupBy(col("cid"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
         .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
-      // Probe assignment: top-2 centroids per query vector.
-      val probes = v.crossJoin(broadcast(cent.select(col("label").as("c_label"), col("cvec"), col("cnrm"))))
-        .withColumn("csim", expr("vec_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label").asc)))
-        .filter(col("crk") <= 2)
+        .localCheckpoint()
+      for (_ <- 1 to 2)
+        cent = meanCentroids(
+          nearestCells(v, cent, 1).select(col("cid"), col("embedding")))
+          .localCheckpoint()
+      val probes = nearestCells(v, cent, 2)
         .select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"),
-          col("nrm").as("a_nrm"), col("c_label").as("bucket"))
-      // Exact search within probed buckets only.
-      val bucketed = v.select(col("label").as("bucket"), col("vec_id").as("b_vec_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+          col("nrm").as("a_nrm"), col("cid").as("bucket"))
+      // Cell membership under the SAME trained quantizer (top-1 cell).
+      val bucketed = nearestCells(v, cent, 1)
+        .select(col("cid").as("bucket"), col("vec_id").as("b_vec_id"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
       val pairs = probes.join(bucketed, "bucket")
         .filter(col("a_vec_id") =!= col("b_vec_id"))
         .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
