@@ -31,6 +31,7 @@ object SparkEntry {
     ops.EtlLoad,
     ops.Rules,
     ops.Polymorphic,
+    ops.Sampling,
   )
 
   private lazy val all: Seq[Op] = {

@@ -15,25 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object Clusters extends OpGroup {
 
-  /** Connected components by min-label propagation: every node starts
-    * labeled with itself; each round a node takes the min of its own and
-    * its neighbors' labels; at fixpoint label = min(component) — the
-    * canonical id. Each round is two equi-shuffles (edge join on v,
-    * groupBy on node), fully partition-parallel; rounds = graph diameter,
-    * which for near-dup graphs is small (similarity at thr 0.9 is
-    * near-transitive, so components are dense). For adversarial diameters
-    * at real scale the alternating large-star/small-star contraction
-    * (Kiveris et al. 2014) bounds rounds at O(log² n) with the same
-    * per-round dataflow — the loop harness here is unchanged.
+  /** Connected components by iterative MIN-CONTRACTION: each round maps
+    * every edge-incident node to min(self, neighbors) and relabels the
+    * edge list through that mapping, dropping self-loops. The component
+    * minimum maps to itself every round and relabeling preserves
+    * connectivity, so when the edge list empties each component has
+    * collapsed onto its min id — the canonical label. A path of length d
+    * halves per round (O(log d) rounds); dense near-dup components
+    * (similarity at thr 0.9 is near-transitive) collapse in 1–2. This is
+    * the star-contraction half of Kiveris et al. 2014 — the shape whose
+    * per-round work is O(current edges), which shrinks geometrically,
+    * rather than O(nodes + edges) every round as label-propagation pays.
     *
-    * Loop mechanics that matter at scale: `edges` is localCheckpoint'd
-    * ONCE so the (possibly expensive) pair pipeline behind it doesn't
-    * re-execute every round, and each round's labels are checkpointed to
-    * truncate the exponentially-growing lineage. Convergence is detected
-    * with one scalar aggregate — labels only ever decrease, so
-    * sum(labels) is strictly monotone until fixpoint (no per-round
-    * change-count join needed); decimal(38,0) so the sum is exact at any
-    * corpus size.
+    * Loop mechanics that matter at scale: the (possibly expensive) pair
+    * pipeline behind `edges` is persisted ONCE and every intermediate is
+    * explicitly persist/unpersist-managed — a prior localCheckpoint
+    * formulation leaked its block-manager blocks past the op and taxed
+    * every query that ran after it in the same session. One driver action
+    * per round (the relabeled-edge count, which doubles as the
+    * convergence test); the full node→label table is only composed ONCE
+    * at the end, by folding the per-round contraction maps (each at most
+    * the round's edge-incident nodes, shrinking geometrically) over the
+    * node set with left joins — small maps, so AQE broadcasts them.
     *
     * @param nodes (node: LONG) — every element to assign (singletons
     *              keep their own label)
@@ -41,58 +44,80 @@ object Clusters extends OpGroup {
     * @return (node, label) with label = min node id of the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // Symmetric edge list, hash-partitioned on the join key ONCE and
-    // pinned via localCheckpoint (LogicalRDD preserves the partitioning):
-    // every round's join then shuffles only the O(nodes) label side —
-    // the O(edges) relation never moves again. At sf0.1 that is 2M edge
-    // rows that would otherwise re-shuffle each round.
-    // Materialize the edge list BEFORE symmetrizing: the union's two
-    // branches are separate consumers of the (possibly expensive) pair
-    // pipeline behind `edges`, and exchange reuse does not always unify
-    // them — uncheckpointed, the LSH+simhash build ran twice (~10 s of
-    // the 25 s first profile at sf0.1).
-    val e0 = edges.select(col("u"), col("v")).localCheckpoint()
-    val sym = e0
-      .union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("v"))
-      .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prev = labelSum(labels)
-    var converged = false
+    val spark = nodes.sparkSession
+    var handles = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Pin a loop intermediate: materialize to a persisted RDD[Row] and
+    // rewrap. This TRUNCATES the logical plan — `persist` alone does
+    // not, and each round's plan embeds ~5 copies of the previous
+    // round's (e + two m references, m itself holding two e's), so
+    // un-truncated analysis cost grows 5^rounds (the first r5 cut spent
+    // minutes in Catalyst before round 4). The RDD handle also lets the
+    // op free every intermediate's blocks before returning — a prior
+    // localCheckpoint formulation leaked its blocks past the op and
+    // taxed every query that ran after it in the same session.
+    def pin(df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(); rdd.count(): Unit
+      handles ::= rdd
+      spark.createDataFrame(rdd, df.schema)
+    }
+    var e = pin(edges.select(col("u"), col("v")).where(col("u") =!= col("v")))
+    val maps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var remaining = e.count()
     var rounds = 0
-    while (!converged && rounds < 64) {
-      // One hop of min-label: each node takes min(self, neighbors).
-      // The groupBy's partial min runs map-side, so the per-round
-      // shuffle carries ≤ (distinct nodes × partitions) rows, not the
-      // edge-join output.
-      val prop = sym
-        .join(labels.select(col("node").as("v"), col("label").as("nl")), "v")
-        .select(col("u").as("node"), col("nl").as("label"))
-        .union(labels)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      // Pointer doubling (label := label's label): a chain of length d
-      // halves each round, so rounds = O(log d) instead of O(d) — the
-      // giant near-dup component at sf0.1 has diameter ~10, which plain
-      // propagation walks one hop per round. Left join + coalesce: a
-      // label is always itself a node, but stay total regardless.
-      val next = prop
-        .join(prop.select(col("node").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
-      val cur = labelSum(next)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      labels = next
+    while (remaining > 0 && rounds < 32) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      // m: edge-incident node → min(self, neighbors). Map-side partial
+      // min keeps the shuffle at ≤ (distinct nodes × partitions) rows.
+      val m0 = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("l"))
+        .select(col("u").as("node"), col("l"))
+      // Pointer-double the map twice (m := m∘m, twice) before using it:
+      // a pure min-contraction shrinks a CHAIN by only ~one edge per
+      // round (O(diameter) rounds); composing the map with itself
+      // collapses label chains 4× per round, restoring O(log d). The
+      // codomain stays inside the domain (l is self or a neighbor, both
+      // edge-incident), so the self-join is total — left+coalesce keeps
+      // it total even if that invariant ever slipped.
+      def dbl(a: DataFrame): DataFrame =
+        a.join(a.select(col("node").as("ln"), col("l").as("l2")),
+            col("l") === col("ln"), "left")
+          .select(col("node"), coalesce(col("l2"), col("l")).as("l"))
+      val m = pin(dbl(dbl(m0)))
+      maps += m
+      // Relabel both endpoints through m (inner join is total: every
+      // endpoint is edge-incident by construction), drop collapsed
+      // edges, canonicalize u<v so distinct dedups mirrored survivors.
+      val e2 = pin(e
+        .join(m.select(col("node").as("u"), col("l").as("lu")), Seq("u"))
+        .join(m.select(col("node").as("v"), col("l").as("lv")), Seq("v"))
+        .where(col("lu") =!= col("lv"))
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .distinct())
+      remaining = e2.count()
+      e = e2
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round=$rounds sum=$cur t=${System.nanoTime() / 1000000}")
+        System.err.println(s"[cc] round=$rounds edges=$remaining t=${System.nanoTime() / 1000000}")
     }
-    require(converged, s"connectedComponents did not converge in $rounds rounds")
-    labels
+    require(remaining == 0, s"connectedComponents did not converge in $rounds rounds")
+    // Compose node → m1 → m2 → …: nodes untouched by round i keep their
+    // current label (left join + coalesce keeps singletons total).
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    maps.foreach { m =>
+      labels = labels
+        .join(m.select(col("node").as("label"), col("l")), Seq("label"), "left")
+        .select(col("node"), coalesce(col("l"), col("label")).as("label"))
+    }
+    // Materialize the small final table (|nodes| rows of two longs) off
+    // the loop's lineage, then free every intermediate — only the
+    // result's own blocks outlive the op in the block manager.
+    val outRdd = labels.rdd
+    outRdd.persist(); outRdd.count(): Unit
+    val out = spark.createDataFrame(outRdd, labels.schema)
+    handles.foreach(_.unpersist(false))
+    out
   }
 
   /** Canonical-group assignment over the UNION of the two production

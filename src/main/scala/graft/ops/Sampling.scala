@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.M (round 5) — dataset curation operators a training-data pipeline
+  * runs between dedup and export: deterministic train/val/test splitting,
+  * per-stratum quota sampling, token-budget sequence packing, and
+  * single-pass column profiling. No reference analog (cobradb is a
+  * loader); these extend §2.L's LLM-pipeline family with the selection /
+  * batching stages.
+  *
+  * Determinism rule: anything "random" keys off md5(doc_id) — a fixed,
+  * engine-portable hash — never rand(). A split must be reproducible
+  * across runs AND engines or downstream eval is meaningless; this is the
+  * same discipline the reference's deterministic loaders imply and the
+  * portable-md5 scheme the dedup family already uses.
+  */
+object Sampling extends OpGroup {
+
+  /** 28-bit integer hash of a column, identical in both engines:
+    * first 7 hex digits of md5 of the value's string form.
+    */
+  private def hash28(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 7), 16, 10).cast("bigint")
+
+  /** Deterministic train/val/test split (80/10/10) by hashed doc_id:
+    * every engine, run, and scale assigns each doc the same bucket —
+    * the reproducible-split contract of a training pipeline. Pure
+    * per-row projection: embarrassingly parallel, no shuffle before the
+    * output sort at any scale.
+    */
+  private val hashSplit = Op(
+    "sample_hash_split",
+    (s, sf) =>
+      Tables.documents(s, sf)
+        .select(col("doc_id"), pmod(hash28(col("doc_id")), lit(100)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 80 THEN 'train' WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Stratified quota sample: exactly min(quota, |stratum|) docs per
+    * (lang, source) stratum, chosen by hash order (deterministic, no
+    * rand()), doc_id as the total tiebreak. The per-stratum window
+    * parallelizes across strata; a single giant stratum at 100 TB would
+    * use the two-phase bounded-heap shape instead ([[graft.functions
+    * .VecTopK]] — partial top-q per partition, merge q), which is why
+    * the quota, not the stratum, bounds what this shuffles.
+    */
+  private val stratified = Op(
+    "sample_stratified",
+    (s, sf) => {
+      val q = 200
+      Tables.documents(s, sf)
+        .select(col("doc_id"), col("lang"), col("source"),
+          hash28(col("doc_id")).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"), col("source"))
+            .orderBy(col("hk"), col("doc_id"))).cast("int"))
+        .filter(col("rk") <= q)
+        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+        .orderBy("lang", "source", "rk")
+    },
+    Some("""SELECT lang, source, CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id) AS INT) AS rk, doc_id FROM documents QUALIFY rk <= 200 ORDER BY lang, source, rk"""),
+  )
+
+  /** Token-budget sequence packing — the batching stage before training:
+    * docs are laid out in a deterministic order (doc_id) within each
+    * lang shard and cut into bins of ~2048 tokens; a doc lands in the
+    * bin where its span STARTS (chunked next-fit — the streaming layout
+    * a concat-and-chunk packer produces). Running cumsum per shard via
+    * window; shards (not the corpus) bound the window partition, so the
+    * layout parallelizes across shards at any scale. Token count =
+    * whitespace tokens, same formula both engines.
+    */
+  private val packSequences = Op(
+    "pack_sequences_budget",
+    (s, sf) => {
+      val budget = 2048
+      Tables.documents(s, sf)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("bin_id"),
+          (col("cum") - col("n_tokens") - floor((col("cum") - col("n_tokens")) / budget) * budget)
+            .as("bin_offset"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM documents) SELECT lang, doc_id, n_tokens, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id, CAST(cum - n_tokens - CAST(floor((cum - n_tokens) / 2048) AS BIGINT) * 2048 AS BIGINT) AS bin_offset FROM t ORDER BY lang, doc_id"""),
+  )
+
+  /** Single-pass column profile of `documents` — the sanity gate a
+    * pipeline runs on every new data drop: per column, row count, null
+    * count, exact NDV, lexical min/max (string-rendered). ONE scan
+    * computes every aggregate (15 aggs in one partial-agg pass), then a
+    * stack() pivots to long form — vs the naive per-column UNION of
+    * scans, which reads the table once per column.
+    */
+  private val columnProfile = Op(
+    "stats_column_profile",
+    (s, sf) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_ndv"),
+          // Typed min/max, THEN string-render: lexical min of the cast
+          // would rank "99" over "499" for numeric columns.
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"),
+        )
+      }
+      val total = count(lit(1)).as("n_rows")
+      val wide = Tables.documents(s, sf).agg(total, aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+      wide.select(col("n_rows"),
+          expr(s"stack(${cols.size}, $stackArgs) as (column_name, n_non_null, ndv, min_value, max_value)"))
+        .select(col("column_name"), col("n_non_null"),
+          (col("n_rows") - col("n_non_null")).as("n_null"),
+          col("ndv"), col("min_value"), col("max_value"))
+        .orderBy("column_name")
+    },
+    Some("""WITH w AS (SELECT COUNT(*) AS n_rows, COUNT(doc_id) AS doc_id_n, COUNT(DISTINCT doc_id) AS doc_id_ndv, CAST(MIN(doc_id) AS VARCHAR) AS doc_id_min, CAST(MAX(doc_id) AS VARCHAR) AS doc_id_max, COUNT(lang) AS lang_n, COUNT(DISTINCT lang) AS lang_ndv, CAST(MIN(lang) AS VARCHAR) AS lang_min, CAST(MAX(lang) AS VARCHAR) AS lang_max, COUNT(source) AS source_n, COUNT(DISTINCT source) AS source_ndv, CAST(MIN(source) AS VARCHAR) AS source_min, CAST(MAX(source) AS VARCHAR) AS source_max, COUNT(n_chars) AS n_chars_n, COUNT(DISTINCT n_chars) AS n_chars_ndv, CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max FROM documents) SELECT column_name, n_non_null, n_rows - n_non_null AS n_null, ndv, min_value, max_value FROM (SELECT 'doc_id' AS column_name, doc_id_n AS n_non_null, n_rows, doc_id_ndv AS ndv, doc_id_min AS min_value, doc_id_max AS max_value FROM w UNION ALL SELECT 'lang', lang_n, n_rows, lang_ndv, lang_min, lang_max FROM w UNION ALL SELECT 'source', source_n, n_rows, source_ndv, source_min, source_max FROM w UNION ALL SELECT 'n_chars', n_chars_n, n_rows, n_chars_ndv, n_chars_min, n_chars_max FROM w) t ORDER BY column_name"""),
+  )
+
+  val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile)
+}

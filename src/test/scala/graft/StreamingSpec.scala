@@ -45,11 +45,19 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
-  test("stream_session_window agrees with win_lag_sessionize (batch dual)") {
+  test("stream_session_window = win_lag_sessionize restricted to closed sessions") {
+    // Append mode (r4) withholds sessions still open at the final
+    // watermark: a session emits iff last_event + 30min gap ≤
+    // wm = ms_floor(max event time) − 30min delay (inclusive). The
+    // batch dual restricted to exactly that subset must match.
     val stream = SparkEntry.queries("stream_session_window")(spark, sf)
       .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+    val wmUs = (graft.Tables.events(spark, sf)
+      .agg(expr("unix_micros(max(ts)) div 1000")).head.getLong(0) - 30L * 60 * 1000) * 1000
     val batch = SparkEntry.queries("win_lag_sessionize")(spark, sf)
+      .filter(unix_micros(col("session_end")) + 1800L * 1000000 <= wmUs)
       .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+    assert(stream.count() > 0)
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 }
