@@ -55,23 +55,33 @@ object Clusters extends OpGroup {
     // op free every intermediate's blocks before returning — a prior
     // localCheckpoint formulation leaked its blocks past the op and
     // taxed every query that ran after it in the same session.
-    def pin(df: DataFrame): DataFrame = {
+    def pinN(df: DataFrame): (DataFrame, Long) = {
       val rdd = df.rdd
-      rdd.persist(); rdd.count(): Unit
+      rdd.persist()
+      val n = rdd.count() // materializes AND doubles as the loop's count
       handles ::= rdd
-      spark.createDataFrame(rdd, df.schema)
+      (spark.createDataFrame(rdd, df.schema), n)
     }
-    var e = pin(edges.select(col("u"), col("v")).where(col("u") =!= col("v")))
+    def pin(df: DataFrame): DataFrame = pinN(df)._1
+    def dbg(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] $msg t=${System.nanoTime() / 1000000}")
+    dbg("start")
+    var (e, remaining) =
+      pinN(edges.select(col("u"), col("v")).where(col("u") =!= col("v")))
+    dbg("edges pinned")
     val maps = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var remaining = e.count()
     var rounds = 0
     while (remaining > 0 && rounds < 32) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // m: edge-incident node → min(self, neighbors). Map-side partial
       // min keeps the shuffle at ≤ (distinct nodes × partitions) rows.
-      val m0 = sym.groupBy("u")
+      // Pinned BEFORE pointer-doubling: dbl(dbl(m0)) embeds four copies
+      // of this plan, and exchange reuse does not reliably unify them —
+      // unpinned, round 1 ran the 2M-row groupBy shuffle 4×.
+      val m0 = pin(sym.groupBy("u")
         .agg(least(col("u"), min(col("v"))).as("l"))
-        .select(col("u").as("node"), col("l"))
+        .select(col("u").as("node"), col("l")))
       // Pointer-double the map twice (m := m∘m, twice) before using it:
       // a pure min-contraction shrinks a CHAIN by only ~one edge per
       // round (O(diameter) rounds); composing the map with itself
@@ -88,18 +98,17 @@ object Clusters extends OpGroup {
       // Relabel both endpoints through m (inner join is total: every
       // endpoint is edge-incident by construction), drop collapsed
       // edges, canonicalize u<v so distinct dedups mirrored survivors.
-      val e2 = pin(e
+      val (e2, n2) = pinN(e
         .join(m.select(col("node").as("u"), col("l").as("lu")), Seq("u"))
         .join(m.select(col("node").as("v"), col("l").as("lv")), Seq("v"))
         .where(col("lu") =!= col("lv"))
         .select(least(col("lu"), col("lv")).as("u"),
           greatest(col("lu"), col("lv")).as("v"))
         .distinct())
-      remaining = e2.count()
+      remaining = n2
       e = e2
       rounds += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round=$rounds edges=$remaining t=${System.nanoTime() / 1000000}")
+      dbg(s"round=$rounds edges=$remaining")
     }
     require(remaining == 0, s"connectedComponents did not converge in $rounds rounds")
     // Compose node → m1 → m2 → …: nodes untouched by round i keep their
@@ -115,6 +124,7 @@ object Clusters extends OpGroup {
     // result's own blocks outlive the op in the block manager.
     val outRdd = labels.rdd
     outRdd.persist(); outRdd.count(): Unit
+    dbg("labels composed")
     val out = spark.createDataFrame(outRdd, labels.schema)
     handles.foreach(_.unpersist(false))
     out

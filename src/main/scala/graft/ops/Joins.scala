@@ -304,6 +304,40 @@ object Joins extends OpGroup {
     Some("""SELECT o_orderstatus, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, COUNT(*) AS n_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** FULL OUTER reconciliation — the two-source diff every ETL audit
+    * runs: per-order lineitem revenue vs the orders ledger total, FULL
+    * OUTER on the order key with presence flags, so orders missing from
+    * either side surface instead of silently dropping (the inner-join
+    * family can't witness this). Shuffles both sides on the key — full
+    * outer can't broadcast (NULL-extension needs both sides partitioned)
+    * — which at 100 TB is the bucketed-table case (join_bucketed_
+    * colocated kills this shuffle).
+    */
+  private val fullOuterRecon = Op(
+    "join_full_outer_recon",
+    (s, sf) => {
+      val l = Tables.lineitem(s, sf)
+        .groupBy(col("l_orderkey"))
+        .agg(r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double"))
+          .as("line_revenue"))
+      val o = Tables.orders(s, sf)
+        // Sampled ledger side (every 7th order) so BOTH unmatched
+        // directions exist: line-side-only rows (filtered ledger) and
+        // ledger-only rows would appear with a source gap in production.
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), r6(dec(col("o_totalprice")).cast("double")).as("ledger_total"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("l_orderkey"), col("o_orderkey")).as("orderkey"),
+          col("l_orderkey").isNotNull.as("in_lines"),
+          col("o_orderkey").isNotNull.as("in_ledger"),
+          col("line_revenue"), col("ledger_total"))
+        .orderBy("orderkey")
+    },
+    Some("""WITH l AS (SELECT l_orderkey, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS line_revenue FROM lineitem GROUP BY l_orderkey), o AS (SELECT o_orderkey, ROUND(1e-9 + CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6) AS ledger_total FROM orders WHERE o_orderkey % 7 = 0) SELECT COALESCE(l.l_orderkey, o.o_orderkey) AS orderkey, l.l_orderkey IS NOT NULL AS in_lines, o.o_orderkey IS NOT NULL AS in_ledger, line_revenue, ledger_total FROM l FULL OUTER JOIN o ON l.l_orderkey = o.o_orderkey ORDER BY orderkey"""),
+  )
+
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
-    leftAnti, rangeInterval, asof, bucketedColocated, intervalBinned, skewSalted)
+    leftAnti, rangeInterval, asof, bucketedColocated, intervalBinned, skewSalted,
+    fullOuterRecon)
 }
