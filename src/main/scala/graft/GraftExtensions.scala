@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ExplodeDnf, FloatVecDot, VecTopK}
+import graft.functions.{ExplodeDnf, FloatVecDot, SimHash60, VecTopK}
 
 /** Session-extension entry point: registers the engine's custom Catalyst
   * expressions at session build time —
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         checkArity("vec_topk", "vec_topk(id BIGINT, measure DOUBLE, k INT literal)", 3, children)
         VecTopK(children(0), children(1), children(2))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        checkArity("simhash60", "simhash60(hashes ARRAY<BIGINT>)", 1, children)
+        SimHash60(children.head)
       },
     ))
     ext.injectFunction((

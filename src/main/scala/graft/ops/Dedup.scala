@@ -156,6 +156,20 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 
+  /** Per-doc K-permutation MinHash signature (s0..s{K-1}): K md5s per
+    * (doc, word) pair, min-aggregated map-side. A dedup-by-distinct-word
+    * variant (compute 16×vocab digests, join back to pairs) was A/B'd
+    * and is SLOWER here (5.6 s vs 4.6 s at sf0.1): codegen'd md5 on
+    * short strings costs less than the extra distinct + join shuffles
+    * it saves. Revisit only if the hash gets expensive (e.g. longer
+    * shingles) or the vocab/pair ratio collapses.
+    */
+  private def minhashSigs(s: SparkSession, sf: String, k: Int): DataFrame = {
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
+    docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
   /** Portable MinHash (Broder 1997), k=8, engine-deterministic: band
     * signature i = min over tokens of md5("i|token") — a string min, so
     * Spark and DuckDB agree byte-for-byte. The match threshold is ALL 8
@@ -170,9 +184,7 @@ object Dedup extends OpGroup {
     "sim_minhash_portable",
     (s, sf) => {
       val K = 8
-      val sigCols = (0 until K).map(i =>
-        min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
-      val sigs = docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sigs = minhashSigs(s, sf, K)
         .select(col("doc_id"),
           md5(concat_ws("|", (0 until K).map(i => col(s"s$i")): _*)).as("full_sig"))
       val a = sigs.select(col("doc_id").as("a_doc_id"), col("full_sig"))
@@ -201,9 +213,7 @@ object Dedup extends OpGroup {
     */
   private[ops] def minhashLshPairs(s: SparkSession, sf: String): DataFrame = {
     val K = 16; val R = 4; val B = K / R
-    val sigCols = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
-    val sigs = docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = minhashSigs(s, sf, K)
     val bandKeys = (0 until B).map(b =>
       md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*)))
     val bands = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_idx", "bkey")))
@@ -238,14 +248,17 @@ object Dedup extends OpGroup {
     */
   private val simhash = Op(
     "dedup_simhash",
-    (s, sf) =>
+    (s, sf) => {
+      graft.functions.SimHash60.register(s)
       Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
           expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
-        .withColumn("simhash",
-          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"))
+        // Native one-pass codegen'd fold (graft.functions.SimHash60) —
+        // bit-identical to the oracle's per-bit list_reduce dual.
+        .withColumn("simhash", expr("simhash60(hs)"))
         .select(col("doc_id"), col("simhash"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some("""SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t ORDER BY doc_id"""),
   )
 
@@ -265,22 +278,23 @@ object Dedup extends OpGroup {
     * between the keyed op and [[Clusters]]' near-dup graph build.
     */
   private[ops] def simhashHammingPairs(s: SparkSession, sf: String): DataFrame = {
+      graft.functions.SimHash60.register(s)
       val R = 8
       val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
       val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
       val sh = Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
           expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
-        // coalesce is LOAD-BEARING, not defensive: it makes the HOF
-        // expression non-nullable, so the join below cannot infer an
+        // Native one-pass codegen'd fold (graft.functions.SimHash60) in
+        // place of the 60-pass interpreted HOF. coalesce is
+        // LOAD-BEARING, not defensive: it makes the expression
+        // non-nullable, so the join below cannot infer an
         // `isnotnull(bval)` constraint — which Catalyst would rewrite as
         // isnotnull(<the entire inlined simhash fold>) and push below the
-        // spread exchange onto the SINGLE-PARTITION scan: 60×tokens md5
-        // work, once per doc, on one core (measured 25 s instead of ~3 s
-        // at sf0.1).
-        .withColumn("simhash", coalesce(
-          expr("aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L))"),
-          lit(0L)))
+        // spread exchange onto the SINGLE-PARTITION scan: tokens×60
+        // md5+fold work, once per doc, on one core (measured 25 s
+        // instead of ~3 s at sf0.1 with the HOF; same trap applies).
+        .withColumn("simhash", coalesce(expr("simhash60(hs)"), lit(0L)))
         .select(col("doc_id"), col("simhash"))
         // Materialization barrier: without it CollapseProject inlines the
         // 60×tokens interpreted HOF into the Generate stage, re-evaluating

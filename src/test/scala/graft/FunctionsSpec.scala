@@ -64,4 +64,24 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("simhash60 equals the per-bit HOF formulation on random token hashes") {
+    graft.functions.SimHash60.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(40))(rnd.nextLong() & ((1L << 60) - 1)))
+    }
+    val df = rows.toDF("id", "hs")
+    val got = df.selectExpr("id", "simhash60(hs) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.selectExpr("id",
+      "aggregate(sequence(0, 59), 0L, (acc, j) -> acc | if(aggregate(hs, 0, (a, h) -> a + if(((h >> j) & 1) = 1, 1, -1)) > 0, shiftleft(1L, j), 0L)) AS sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // Interpreted path (eval) agrees with codegen: force via a literal.
+    val one = spark.sql("SELECT simhash60(array(CAST(7 AS BIGINT))) AS sh").first().getLong(0)
+    assert(one == 7L)
+    assert(spark.sql("SELECT simhash60(CAST(NULL AS ARRAY<BIGINT>)) AS sh").first().isNullAt(0))
+  }
 }
