@@ -70,6 +70,15 @@ object Clusters extends OpGroup {
     var (e, remaining) =
       pinN(edges.select(col("u"), col("v")).where(col("u") =!= col("v")))
     dbg("edges pinned")
+    // The loop's shuffles carry the shrinking edge/label tables — small
+    // from round 1 on — so run them at few partitions (same state-volume
+    // rationale as the streaming family): per-partition task overhead
+    // dominates sub-million-row shuffles at core-count fan-out. At real
+    // scale this constant is sized to the edge volume instead. Restored
+    // before returning.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val maps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var rounds = 0
     while (remaining > 0 && rounds < 32) {
@@ -128,6 +137,7 @@ object Clusters extends OpGroup {
     val out = spark.createDataFrame(outRdd, labels.schema)
     handles.foreach(_.unpersist(false))
     out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Canonical-group assignment over the UNION of the two production
