@@ -121,5 +121,65 @@ object TextOps extends OpGroup {
     Some("""SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles, list_min(sh) AS fp_min FROM (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 4, 1)), i -> md5(array_to_string(toks[i:i+4], ' '))) AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) t) t2 ORDER BY doc_id"""),
   )
 
-  val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint)
+  /** PII redaction — the compliance pass every training corpus runs
+    * before export: emails and phone-shaped digit runs replaced with
+    * typed placeholders, plus per-doc hit counts so a pipeline can
+    * quarantine high-PII docs instead of silently rewriting them. Pure
+    * regexp built-ins (codegen, linear); the patterns are deliberately
+    * in the RE2-compatible subset both engines interpret identically
+    * (character classes + bounded repetition, no lookaround).
+    */
+  private val piiRedact = Op(
+    "text_pii_redact",
+    (s, sf) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+      Tables.documents(s, sf)
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"),
+          size(split(col("text"), email, -1)).minus(1).as("n_emails"),
+          size(split(col("text"), phone, -1)).minus(1).as("n_phones"),
+        )
+        .withColumn("redacted_hash", md5(col("redacted")))
+        .select("doc_id", "redacted_hash", "n_emails", "n_phones")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g')) AS redacted_hash, CAST(len(string_split_regex(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_emails, CAST(len(string_split_regex(text, '[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) - 1 AS INT) AS n_phones FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Top-k word 3-grams per language — corpus phrase statistics (the
+    * boilerplate/template detector's first stage): explode each doc's
+    * consecutive word triples, count per (lang, ngram), keep the top 10
+    * per lang by count (ties lexicographic). The per-lang window
+    * parallelizes across languages and ranks only the aggregated
+    * (lang, ngram) counts — never the raw explode stream.
+    */
+  private val ngramTopk = Op(
+    "text_ngram_topk",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      // Docs under 3 tokens are FILTERED, not clamped: Spark's
+      // sequence(1, 0) yields a DESCENDING [1, 0] (DuckDB's
+      // generate_series is empty) — a greatest()-clamp would fabricate
+      // partial n-grams on one engine only.
+      val toks = Tables.spread(s, Tables.documents(s, sf))
+        .select(col("lang"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("ngram"))
+      toks.groupBy(col("lang"), col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("ngram").asc)).cast("int"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("ngram"), col("n"))
+        .orderBy("lang", "rk")
+    },
+    Some("""WITH g AS (SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram FROM (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents) t WHERE len(toks) >= 3), c AS (SELECT lang, ngram, COUNT(*) AS n FROM g GROUP BY lang, ngram) SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, ngram ASC) AS INT) AS rk, ngram, n FROM c QUALIFY rk <= 10 ORDER BY lang, rk"""),
+  )
+
+  val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
+    piiRedact, ngramTopk)
 }
