@@ -32,6 +32,7 @@ object SparkEntry {
     ops.Rules,
     ops.Polymorphic,
     ops.Sampling,
+    ops.Analytics,
   )
 
   private lazy val all: Seq[Op] = {
