@@ -33,6 +33,7 @@ object SparkEntry {
     ops.Polymorphic,
     ops.Sampling,
     ops.Analytics,
+    ops.Sketches,
   )
 
   private lazy val all: Seq[Op] = {

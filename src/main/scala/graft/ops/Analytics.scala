@@ -73,5 +73,29 @@ object Analytics extends OpGroup {
     Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events FROM events GROUP BY 1, 2), spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id) t) SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events, d.n_events IS NULL AS is_gap FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day ORDER BY s.user_id, s.day"""),
   )
 
-  val ops: Seq[Op] = Seq(funnelStages, gapfillDaily)
+  /** Weekly retention cohorts: users keyed by the week of their FIRST
+    * event; n_active = distinct users of cohort c active in week
+    * c + offset. The canonical growth-analytics matrix. Two shuffles
+    * (per-user min, then the cohort×offset distinct-count); the
+    * per-user cohort table joins back on user_id — hash-co-partitioned
+    * with the activity rows at 100 TB, AQE-broadcast at fixture scale.
+    * Week arithmetic stays in exact DATE math (datediff / 7 — always an
+    * integer, weeks truncate to Mondays in both engines).
+    */
+  private val retentionCohort = Op(
+    "analytics_retention_cohort",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id) SELECT c.cohort_week, CAST((e.wk - c.cohort_week) // 7 AS INT) AS week_offset, COUNT(DISTINCT e.user_id) AS n_active FROM ev e JOIN cohort c ON e.user_id = c.user_id GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
+  val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort)
 }

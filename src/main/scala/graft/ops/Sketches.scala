@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.N (round 5) — sketch-prefiltered exact aggregation: the
+  * approximate-candidates → exact-verify dataflow that keeps heavy-key
+  * discovery bounded-memory at 100 TB. The suite's other approximate ops
+  * (HLL, quantile) emit approximate VALUES; this family uses the sketch
+  * only to bound state, so the final output is exact and fully oracled.
+  */
+object Sketches extends OpGroup {
+
+  /** Misra-Gries (1982) frequent-items summary of one partition's
+    * stream: at most `k` counters; when full, an unseen item debits
+    * every counter (zeros evicted). Any item with partition frequency
+    * > n_p/(k+1) is guaranteed to survive — so with k ≥ n/T and
+    * balanced partitions, every item with GLOBAL count ≥ T survives in
+    * at least one partition summary (pigeonhole: its best partition
+    * holds ≥ T/P ≥ n_p/(k+1) occurrences). Amortized O(1) per item:
+    * each full decrement pass destroys k count-units that k increments
+    * paid for. Exposed for the scalacheck superset-guarantee property.
+    */
+  private[graft] def misraGries(k: Int)(it: Iterator[String]): Iterator[String] = {
+    val counts = new java.util.HashMap[String, Long](k * 2)
+    it.foreach { w =>
+      val c = counts.get(w)
+      if (c != 0L) counts.put(w, c + 1)
+      else if (counts.size < k) counts.put(w, 1L)
+      else {
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val en = e.next()
+          if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala
+  }
+
+  /** Corpus-global heavy bigrams (boilerplate/template detection, the
+    * corpus-wide sibling of `text_ngram_topk`): word bigrams with exact
+    * count ≥ 30. Phase 1 runs Misra-Gries per partition (k = 16384,
+    * sized ≥ n/T so the summaries are a guaranteed SUPERSET of the true
+    * heavy hitters — SketchSpec proves the bound on adversarial
+    * streams); phase 2 exact-counts ONLY the candidate bigrams. At
+    * fixture NDV the sketch map never fills, but at 100 TB this is the
+    * load-bearing difference: phase 2's per-partition hash state is
+    * bounded by the (tiny) candidate set instead of the corpus NDV, so
+    * the group-by cannot spill no matter how wide the key space gets —
+    * the exact plan's failure mode that makes one-pass heavy-hitters a
+    * sketch problem in the first place. mapPartitions is deliberate
+    * (genuine per-partition imperative state, SURVEY §2.K's criterion).
+    */
+  private val heavyHitters = Op(
+    "agg_heavy_hitters",
+    (s, sf) => {
+      import s.implicits._
+      val T = 30L
+      val bigrams = Tables.spread(s, Tables.documents(s, sf))
+        .select(split(lower(col("text")), " ").as("ws"))
+        .select(expr(
+          "explode(transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1])))").as("bigram"))
+      val cands = bigrams.select("bigram").as[String]
+        .mapPartitions(misraGries(16384)).toDF("bigram").distinct()
+      bigrams.join(broadcast(cands), "bigram")
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= T)
+        .orderBy("bigram")
+    },
+    Some("""WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents), b AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)) SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram HAVING COUNT(*) >= 30 ORDER BY bigram"""),
+  )
+
+  val ops: Seq[Op] = Seq(heavyHitters)
+}

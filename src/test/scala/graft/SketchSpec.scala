@@ -1,0 +1,43 @@
+package graft
+
+import org.scalacheck.Gen
+
+/** Misra-Gries guarantee + heavy-hitters op checks (SURVEY §5.2.2). */
+class SketchSpec extends SparkSpec {
+
+  test("misra-gries summary is a superset of items above n/(k+1), even adversarially skewed") {
+    // Zipf-ish streams with NDV far above k, so the summary actually
+    // fills and the decrement path runs — the regime the fixture corpus
+    // (NDV 31) never reaches.
+    val gen = for {
+      n <- Gen.choose(500, 4000)
+      zipf <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.choose(0, 4).map(i => s"hot$i")),
+        (4, Gen.choose(0, 5000).map(i => s"cold$i")),
+      ))
+    } yield zipf
+    (0 until 50).foreach { i =>
+      val stream = gen(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)).get
+      val k = 16
+      val out = graft.ops.Sketches.misraGries(k)(stream.iterator).toSet
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      val thr = stream.size.toDouble / (k + 1)
+      counts.foreach { case (w, c) =>
+        if (c > thr) assert(out.contains(w), s"seed=$i: $w count=$c > $thr missing from summary")
+      }
+    }
+  }
+
+  test("agg_heavy_hitters equals the exact plan at smoke scale") {
+    val op = SparkEntry.queries("agg_heavy_hitters")(spark, sf)
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .select(split(lower(col("text")), " ").as("ws"))
+      .select(expr(
+        "explode(transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1])))").as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 30)
+      .orderBy("bigram")
+    assert(op.collect().toSeq == exact.collect().toSeq)
+  }
+}
