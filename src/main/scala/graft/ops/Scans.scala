@@ -148,6 +148,38 @@ object Scans extends OpGroup {
     Some("""SELECT o_orderstatus, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_price FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** ORC round-trip (r5): snapshot customer to ORC once
+    * (fingerprint-cached), read it back via the native ORC source with a
+    * pushed-down predicate, aggregate. Completes the columnar-format
+    * family next to parquet/CSV/JSON — Spark's ORC reader is the same
+    * DSv2 machinery (vectorized scan, predicate pushdown into ORC
+    * row-group stats, column pruning), so the engine speaks the second
+    * warehouse format with zero custom code. Oracle = identical
+    * filter+aggregate over the parquet source, proving the round-trip
+    * lost nothing.
+    */
+  private val orcRoundtrip = Op(
+    "src_orc_roundtrip",
+    (s, sf) => {
+      val dir = graft.Tables.cachedDir(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_orc",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "customer")) + "/customer"
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        Tables.customer(s, sf).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("c_acctbal") > 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(col("c_acctbal").cast(graft.ops.parity.Dec)).cast("double")).as("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_bal FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
-    partitionedMultifile, partitionedSink)
+    partitionedMultifile, partitionedSink, orcRoundtrip)
 }

@@ -214,5 +214,33 @@ object Vectors extends OpGroup {
     Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id) SELECT a_vec_id, b_vec_id, ROUND(1e-9 + sim, 6) AS cos_sim FROM p WHERE sim >= 0.4 ORDER BY a_vec_id, b_vec_id"""),
   )
 
-  val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup)
+  /** Per-dimension symmetric int8 quantization (r5) — the embedding
+    * compression stage before ANN index build / training export (4×
+    * smaller than float32, SIMD-dot-friendly). scale_d = 127 / max|x_d|
+    * is a corpus-global per-dimension aggregate (64 groups, map-side
+    * combined), broadcast back onto the exploded values; q = round(x ·
+    * scale) never exceeds ±127 by construction. Emitted in long form
+    * (vec_id, dim, q) — exact INTs, no float-array hashing. The r6-style
+    * +1e-9 tie shift keeps the integer rounding engine-portable
+    * (parity.r6's argument at integer granularity).
+    */
+  private val quantizeInt8 = Op(
+    "vec_quantize_int8",
+    (s, sf) => {
+      val e = Tables.embeddings(s, sf)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      val scales = e.groupBy("dim").agg(max(abs(col("x"))).as("mx"))
+      e.join(broadcast(scales), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("mx") > 0,
+            round(col("x") * lit(127.0) / col("mx") + lit(1e-9), 0))
+            .otherwise(lit(0.0)).cast("int").as("q"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), sc AS (SELECT dim, MAX(ABS(x)) AS mx FROM e GROUP BY dim) SELECT e.vec_id, e.dim AS dim, CAST(ROUND(CASE WHEN sc.mx > 0 THEN e.x * 127.0 / sc.mx + 1e-9 ELSE 0 END) AS INT) AS q FROM e JOIN sc ON e.dim = sc.dim ORDER BY e.vec_id, e.dim"""),
+  )
+
+  val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
+    quantizeInt8)
 }
