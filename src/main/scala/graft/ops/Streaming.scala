@@ -346,7 +346,53 @@ object Streaming extends OpGroup {
     Some("""SELECT n_name, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events JOIN customer ON user_id = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
   )
 
+  /** CDC APPLY (r5) — the change-data-capture materialization shape:
+    * events replay as an ordered op-log per user (event_type 'error' =
+    * DELETE tombstone, anything else = UPSERT of value), applied through
+    * per-key state to a final alive-rows snapshot. The within-key apply
+    * ORDER is the semantic core — the group iterator is unordered, so
+    * each group buffers and sorts by (ts, event_id) before folding; at
+    * real scale the same op runs continuously and the snapshot is the
+    * state itself. Value is carried UNTOUCHED in state (last-wins needs
+    * no associativity) and r6-rounded only at the edge. Single-file
+    * source ⇒ one micro-batch ⇒ the update-mode memory sink holds one
+    * row per key (same contract as stream_stateful_agg); tombstoned
+    * keys emit alive=false and are filtered after the sink.
+    */
+  private val cdcApply = Op(
+    "stream_cdc_apply",
+    (s, sf) => withStateParts(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val src = eventsStream(s, sf)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+      // state: (alive, lastValue, lastTsUs, nOpsApplied)
+      val applied = src.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Boolean, Double, Long, Long)]) =>
+          var (alive, v, ts, n) = state.getOption.getOrElse((false, 0.0, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, tsUs, op, value) =>
+            n += 1
+            if (op == "error") { alive = false; v = 0.0; ts = tsUs }
+            else { alive = true; v = value; ts = tsUs }
+          }
+          state.update((alive, v, ts, n))
+          (user, alive, v, ts, n)
+      }
+      runToCompletion(s,
+          applied.toDF("user_id", "alive", "last_value", "ts_us", "n_ops"),
+          OutputMode.Update().toString.toLowerCase)
+        .filter(col("alive"))
+        .select(col("user_id"), r6(col("last_value")).as("last_value"),
+          expr("timestamp_micros(ts_us)").as("last_ts"), col("n_ops"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ranked AS (SELECT user_id, event_type, value, ts, COUNT(*) OVER (PARTITION BY user_id) AS n_ops, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) SELECT user_id, ROUND(1e-9 + value, 6) AS last_value, ts AS last_ts, n_ops FROM ranked WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
     appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin,
-    streamStreamJoin)
+    streamStreamJoin, cdcApply)
 }
