@@ -337,7 +337,57 @@ object Joins extends OpGroup {
     Some("""WITH l AS (SELECT l_orderkey, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS line_revenue FROM lineitem GROUP BY l_orderkey), o AS (SELECT o_orderkey, ROUND(1e-9 + CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6) AS ledger_total FROM orders WHERE o_orderkey % 7 = 0) SELECT COALESCE(l.l_orderkey, o.o_orderkey) AS orderkey, l.l_orderkey IS NOT NULL AS in_lines, o.o_orderkey IS NOT NULL AS in_ledger, line_revenue, ledger_total FROM l FULL OUTER JOIN o ON l.l_orderkey = o.o_orderkey ORDER BY orderkey"""),
   )
 
+  /** The RUNTIME BLOOM-FILTER join (r5): Catalyst's InjectRuntimeFilter
+    * builds a bloom filter from the SELECTIVE side's join keys at runtime
+    * and pushes `might_contain` onto the big side's scan — at 100 TB this
+    * is the row-level complement of partition pruning, cutting the fact
+    * shuffle to ~the selectivity of the dim filter before the join even
+    * starts. Fixture sizes sit far under the production thresholds, so
+    * the op lowers them (and disables auto-broadcast — a broadcast join
+    * would not need the filter) INSIDE a conf scope; the plan must
+    * execute inside that scope too, so the result is pinned (persist +
+    * count) before the confs are restored — the CC loop's pattern. The
+    * 12-row result's blocks are the only thing that outlives the op.
+    * BloomJoinSpec asserts `might_contain` lands on the lineitem scan.
+    */
+  private[graft] def bloomJoinPlan(s: org.apache.spark.sql.SparkSession, sf: String) = {
+    val o = Tables.orders(s, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, sf)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double"))
+          .as("revenue"))
+      .orderBy("order_month")
+  }
+
+  private val bloomRuntime = Op(
+    "join_bloom_runtime",
+    (s, sf) => {
+      val saved = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+      ).map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = bloomJoinPlan(s, sf)
+        val rdd = df.rdd
+        rdd.persist(); rdd.count(): Unit
+        s.createDataFrame(rdd, df.schema)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY order_month"""),
+  )
+
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
     leftAnti, rangeInterval, asof, bucketedColocated, intervalBinned, skewSalted,
-    fullOuterRecon)
+    fullOuterRecon, bloomRuntime)
 }

@@ -60,5 +60,35 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT l_orderkey, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue, o_orderdate, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
   )
 
-  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3)
+  /** TPC-H Q5 shape (local-supplier volume, r5): the 6-table CYCLIC join
+    * — lineitem's supplier must sit in the customer's own nation — that
+    * makes Q5 the classic join-ORDER benchmark: the optimizer must
+    * route through the small region→nation chain before touching the
+    * fact table. Exercises a join graph with a cycle, which none of the
+    * DataFrame join ops witness.
+    */
+  private val tpchQ5 = Op(
+    "sql_tpch_q5",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders", "lineitem", "supplier", "nation", "region")
+      s.sql("""
+        SELECT n_name,
+               ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """)
+    },
+    Some("""SELECT n_name, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+  )
+
+  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5)
 }

@@ -180,6 +180,41 @@ object TextOps extends OpGroup {
     Some("""WITH g AS (SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram FROM (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents) t WHERE len(toks) >= 3), c AS (SELECT lang, ngram, COUNT(*) AS n FROM g GROUP BY lang, ngram) SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, ngram ASC) AS INT) AS rk, ngram, n FROM c QUALIFY rk <= 10 ORDER BY lang, rk"""),
   )
 
+  /** Feature-hashing TF-IDF (r5) — the fixed-width featurization stage
+    * between curation and model training: each word maps to one of 64
+    * buckets by a PORTABLE hash (low 60 bits of md5, same scheme as the
+    * simhash kernel), and a doc's bucket weight sums tf · ln(N/df) over
+    * its words in that bucket. Feature hashing is what makes the
+    * vectorizer 100 TB-viable: no vocabulary dictionary to build,
+    * broadcast, or grow — the width is fixed up front and collisions
+    * are the accepted trade (Weinberger et al. 2009). Parity: each
+    * term's double is r6-rounded THEN decimal-cast before the sum, so
+    * the bucket sum is order-free and the ln() last-ulp skew between
+    * engines is absorbed per-term by the tie shift. The df relation is
+    * vocab-sized — broadcast here; frequency-capped into a bounded dict
+    * at real scale (same note as the dedup vocab).
+    */
+  private val hashedTfidf = Op(
+    "text_hashed_tfidf",
+    (s, sf) => {
+      val docs = Tables.spread(s, Tables.documents(s, sf))
+      val n = Tables.documents(s, sf).count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "word")
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % 64"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(expr(
+          s"cast(round(tf * ln(cast($n as double) / df) + 1e-9, 6) as decimal(18,6))"))
+          .cast("double").as("weight"))
+        .orderBy("doc_id", "bucket")
+    },
+    Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word) SELECT tf.doc_id, CAST(concat('0x', substr(md5(tf.word), 1, 15)) AS BIGINT) % 64 AS bucket, CAST(SUM(CAST(ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight FROM tf JOIN df ON tf.word = df.word GROUP BY 1, 2 ORDER BY doc_id, bucket"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
-    piiRedact, ngramTopk)
+    piiRedact, ngramTopk, hashedTfidf)
 }
