@@ -293,7 +293,69 @@ object Aggs extends OpGroup {
     Some("""SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
   )
 
+  /** Pearson correlation matrix (r5) from EXACT decimal sums: Spark's
+    * builtin corr() is an order-dependent streaming double aggregate —
+    * unhashable cross-engine — so this op instead accumulates the nine
+    * order-free decimal sums (Σx, Σx², Σxy per pair) in one hash-agg
+    * pass and evaluates the closed form in doubles from those exact
+    * inputs: identical decimal sums ⇒ identical doubles ⇒ r6-stable
+    * result. One scan, one shuffle on the (tiny) group key — the same
+    * single-pass-moments shape any 100 TB profiling job uses.
+    */
+  private val corrPairs = Op(
+    "stats_corr_pairs",
+    (s, sf) => {
+      val a = Tables.lineitem(s, sf).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sq"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sp"),
+        sum(dec(col("l_discount"))).cast("double").as("sd"),
+        sum(dec(col("l_quantity") * col("l_quantity"))).cast("double").as("sqq"),
+        sum(dec(col("l_extendedprice") * col("l_extendedprice"))).cast("double").as("spp"),
+        sum(dec(col("l_discount") * col("l_discount"))).cast("double").as("sdd"),
+        sum(dec(col("l_quantity") * col("l_extendedprice"))).cast("double").as("sqp"),
+        sum(dec(col("l_quantity") * col("l_discount"))).cast("double").as("sqd"),
+        sum(dec(col("l_extendedprice") * col("l_discount"))).cast("double").as("spd"),
+      )
+      def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        r6((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy))))
+      a.select(col("l_returnflag"),
+          corr("sq", "sp", "sqq", "spp", "sqp").as("corr_qty_price"),
+          corr("sq", "sd", "sqq", "sdd", "sqd").as("corr_qty_disc"),
+          corr("sp", "sd", "spp", "sdd", "spd").as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp, CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd, CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq, CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp, CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sdd, CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp, CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sqd, CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS spd FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND(1e-9 + (n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price, ROUND(1e-9 + (n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_disc, ROUND(1e-9 + (n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc FROM a ORDER BY l_returnflag"""),
+  )
+
+  /** Statistical MODE per group with a DETERMINISTIC tie-break (r5):
+    * Spark's builtin mode() picks an arbitrary value on ties, which can
+    * never hash-match another engine — so the op states the tie order
+    * explicitly (highest count, then lexicographically smallest value):
+    * count per (key, value), then one row_number window over the
+    * aggregated counts only (5 rows per user, never the raw events).
+    */
+  private val modePerGroup = Op(
+    "agg_mode_per_group",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, sf)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"), col("n").as("n_occ"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type) SELECT user_id, event_type AS mode_event, n AS n_occ FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1 ORDER BY user_id"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
-    percentileExact, approxQuantile, saltedTwoPhase, unpivotStack)
+    percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
+    modePerGroup)
 }

@@ -175,6 +175,36 @@ object Joins extends OpGroup {
     Some("""SELECT e.event_id AS event_id, e.user_id AS user_id, e.ts AS ts, s.ts AS signup_ts FROM events e ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s ON e.user_id = s.user_id AND s.ts <= e.ts ORDER BY event_id"""),
   )
 
+  /** FORWARD as-of with a TOLERANCE bound (r5): for each purchase, the
+    * user's next error event, but only if it lands within 1 hour — the
+    * failure-attribution shape (pandas merge_asof(direction='forward',
+    * tolerance=…)). The existing join_asof witnesses backward/unbounded;
+    * this one runs the opposite direction with the bound applied AFTER
+    * match selection (closest-then-null, not filter-then-closest — the
+    * semantic difference that makes tolerance its own operator). Same
+    * single-window plan: min error-ts over (current row, unbounded
+    * following) range, one shuffle on user_id, never a self-join. The
+    * range frame's current-row edge includes same-instant errors, in
+    * both engines (RANGE peers by ts value).
+    */
+  private val asofForwardTolerance = Op(
+    "join_asof_forward_tolerance",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, sf)
+        .withColumn("err_ts", when(col("event_type") === "error", col("ts")))
+        .withColumn("next_err", min(col("err_ts")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("next_err") <= col("ts") + expr("INTERVAL 1 HOUR"), col("next_err"))
+            .as("next_error_ts"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, CASE WHEN next_err <= ts + INTERVAL 1 HOUR THEN next_err END AS next_error_ts FROM (SELECT event_id, user_id, ts, event_type, MIN(CASE WHEN event_type = 'error' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_err FROM events) t WHERE event_type = 'purchase' ORDER BY event_id"""),
+  )
+
   /** Write `df` as a parquet table bucketed+sorted on `key` (8 buckets),
     * once per (table, sfDir) per session — the catalogued layout a
     * 100 TB deployment maintains permanently for its fact tables.
@@ -388,6 +418,6 @@ object Joins extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
-    leftAnti, rangeInterval, asof, bucketedColocated, intervalBinned, skewSalted,
-    fullOuterRecon, bloomRuntime)
+    leftAnti, rangeInterval, asof, asofForwardTolerance, bucketedColocated,
+    intervalBinned, skewSalted, fullOuterRecon, bloomRuntime)
 }

@@ -73,5 +73,31 @@ object Sketches extends OpGroup {
     Some("""WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents), b AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)) SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram HAVING COUNT(*) >= 30 ORDER BY bigram"""),
   )
 
-  val ops: Seq[Op] = Seq(heavyHitters)
+  /** MERGEABLE sketch rollup (r5): per-day HLL sketches of distinct
+    * users union-merged up to (month, event_type) — the two-level
+    * pre-aggregation infrastructure pattern: at 100 TB the daily
+    * sketches are materialized once and every coarser rollup (weekly,
+    * monthly, all-time) is a cheap fixed-size union over them, never a
+    * re-scan of raw events. Uses Spark's DataSketches HLL exprs
+    * (hll_sketch_agg / hll_union_agg / hll_sketch_estimate). No oracle
+    * (sketch bytes are engine-specific); SketchSpec asserts the merged
+    * estimate equals the directly-sketched estimate and bounds the
+    * error vs exact distinct.
+    */
+  private val hllMergeRollup = Op(
+    "agg_hll_merge_rollup",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"), col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("month", "event_type")
+    },
+    None,
+  )
+
+  val ops: Seq[Op] = Seq(heavyHitters, hllMergeRollup)
 }

@@ -28,6 +28,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll merge rollup: merged estimate equals direct sketch and bounds the exact count") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("agg_hll_merge_rollup")(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("direct_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val joined = merged.join(direct, Seq("month", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val m = r.getAs[Long]("approx_users").toDouble
+      val d = r.getAs[Long]("direct_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      // Union of daily sketches must agree with the one-shot sketch
+      // (mergeability), and both must sit within HLL error of exact.
+      assert(m == d, s"${r.get(0)}/${r.get(1)}: merged $m vs direct $d")
+      assert(math.abs(m - e) / e <= 0.05, s"${r.get(0)}/${r.get(1)}: approx $m vs exact $e")
+    }
+  }
+
   test("agg_heavy_hitters equals the exact plan at smoke scale") {
     val op = SparkEntry.queries("agg_heavy_hitters")(spark, sf)
     import org.apache.spark.sql.functions._
