@@ -79,6 +79,12 @@ object Tables {
     f.delete(): Unit
   }
 
+  /** Total bytes under a directory tree (compaction sizing input). */
+  def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    else f.length()
+
   /** Fingerprint-keyed cache directory `parent/prefix_fp`. Superseded
     * sibling dirs (same prefix, different fingerprint — i.e. caches of an
     * older generation of the source) are deleted first, so regeneration

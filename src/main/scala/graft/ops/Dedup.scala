@@ -156,6 +156,34 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 
+  /** CONTAINMENT near-dup pairs (r5): max-containment
+    * |A∩B| / min(|A|,|B|) ≥ 0.9 — the asymmetric measure that catches
+    * PARTIAL copies (one doc's token set nearly inside another's),
+    * which Jaccard structurally misses when sizes differ (A⊂B with
+    * |B|=2|A| has J=0.5 but containment 1.0). Same bitmask-popcount
+    * kernel as the Jaccard ops; kept as the O(n²) exact reference like
+    * sim_jaccard_pairs — at 100 TB the candidate stage is prefix/size
+    * filtering or per-bucket brute force (banded MinHash does NOT
+    * preserve containment, so the LSH op's bands can't be reused).
+    */
+  private val containmentPairs = Op(
+    "sim_containment_pairs",
+    (s, sf) => {
+      val (masks, interExpr) = tokenMasks(s, sf)
+      val pairs = masks.select(col("doc_id").as("a_doc_id"))
+        .join(masks.select(col("doc_id").as("b_doc_id")), col("a_doc_id") < col("b_doc_id"))
+      val am = masks.select(col("doc_id").as("a_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
+      val bm = masks.select(col("doc_id").as("b_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
+      pairs.join(am, "a_doc_id").join(bm, "b_doc_id")
+        .withColumn("i", interExpr)
+        .filter(col("i").cast("double") / least(col("a_n"), col("b_n")) >= 0.9)
+        .select(col("a_doc_id"), col("b_doc_id"),
+          r6(col("i").cast("double") / least(col("a_n"), col("b_n"))).as("containment"))
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, LEAST(a.n, b.n) AS mn FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / mn, 6) AS containment FROM pairs WHERE CAST(i AS DOUBLE) / mn >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
+  )
+
   /** Per-doc K-permutation MinHash signature (s0..s{K-1}): K md5s per
     * (doc, word) pair, min-aggregated map-side. A dedup-by-distinct-word
     * variant (compute 16×vocab digests, join back to pairs) was A/B'd
@@ -379,5 +407,6 @@ object Dedup extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
-    minhashPortable, minhashLsh, simhash, simhashHamming, ngramJaccard)
+    containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
+    ngramJaccard)
 }

@@ -122,5 +122,48 @@ object EtlLoad extends OpGroup {
     Some("""WITH ch AS (SELECT user_id, event_type AS state, ts, event_id FROM (SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NULL OR prev <> event_type) SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current FROM ch ORDER BY user_id, valid_from, state, valid_to NULLS LAST"""),
   )
 
-  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build)
+  /** DATA-QUALITY gate (r5) — the load-time validation the reference
+    * runs row-by-row in its loaders (parse.py invariant checks, FK
+    * lookups via get_or_create), re-expressed as set-level rules that
+    * each compile to one scan/anti-join: range rules on lineitem,
+    * positivity on orders, FK orphan check lineitem→orders, and
+    * natural-key uniqueness of (l_orderkey, l_linenumber). Emits the
+    * violation count + pass flag per rule — the contract table a 100 TB
+    * pipeline gates promotion on. Rules over the same table share one
+    * scan (conditional aggregates), never one pass per rule.
+    */
+  private val dqChecks = Op(
+    "etl_dq_checks",
+    (s, sf) => {
+      val li = Tables.lineitem(s, sf)
+      val liAgg = li.agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v2"),
+      )
+      val orphans = li.join(Tables.orders(s, sf),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v3"))
+      val ordAgg = Tables.orders(s, sf)
+        .agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v4"))
+      val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(count(lit(1)).as("v5"))
+      def rule(id: String, table: String, n: org.apache.spark.sql.Column) =
+        Seq(lit(id).as("rule_id"), lit(table).as("table_name"), n.as("n_violations"))
+      liAgg.crossJoin(orphans).crossJoin(ordAgg).crossJoin(dupKeys)
+        .select(array(
+          struct(rule("quantity_range", "lineitem", col("v1")): _*),
+          struct(rule("discount_range", "lineitem", col("v2")): _*),
+          struct(rule("fk_orders", "lineitem", col("v3")): _*),
+          struct(rule("price_positive", "orders", col("v4")): _*),
+          struct(rule("key_unique", "lineitem", col("v5")): _*)).as("rules"))
+        .select(explode(col("rules")).as("r"))
+        .select(col("r.rule_id"), col("r.table_name"), col("r.n_violations"),
+          (col("r.n_violations") === 0).as("pass"))
+        .orderBy("rule_id")
+    },
+    Some("""SELECT * FROM (SELECT 'quantity_range' AS rule_id, 'lineitem' AS table_name, COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS n_violations, COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0 AS pass FROM lineitem UNION ALL SELECT 'discount_range', 'lineitem', COUNT(*) FILTER (l_discount < 0 OR l_discount > 1), COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) = 0 FROM lineitem UNION ALL SELECT 'fk_orders', 'lineitem', COUNT(*), COUNT(*) = 0 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) UNION ALL SELECT 'price_positive', 'orders', COUNT(*) FILTER (o_totalprice <= 0), COUNT(*) FILTER (o_totalprice <= 0) = 0 FROM orders UNION ALL SELECT 'key_unique', 'lineitem', (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d), (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d) = 0 FROM (VALUES (1)) v) t ORDER BY rule_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks)
 }

@@ -180,6 +180,37 @@ object Scans extends OpGroup {
     Some("""SELECT c_mktsegment, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_bal FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
   )
 
+  /** SMALL-FILE COMPACTION (r5) — the maintenance op every streaming or
+    * per-day-partitioned 100 TB table needs: the day-partitioned events
+    * layout (30 small files) is rewritten into max(1, ⌈bytes/64MB⌉)
+    * right-sized files, sized from the SOURCE's actual byte count, not
+    * a guessed constant. The read-back aggregate oracles against the
+    * original table, proving compaction is content-neutral; file-count
+    * arithmetic is asserted in PartitionedScanSpec's sibling check.
+    */
+  private val compactSmallFiles = Op(
+    "etl_compact_small_files",
+    (s, sf) => {
+      val src = partitionedEventsDir(s, sf)
+      val dir = graft.Tables.cachedDir(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_compact",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "events")) + "/events"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        val bytes = graft.Tables.dirBytes(new java.io.File(src))
+        val target = math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).toInt
+        s.read.parquet(src).repartition(target).write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(graft.ops.parity.dec(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
-    partitionedMultifile, partitionedSink, orcRoundtrip)
+    partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles)
 }

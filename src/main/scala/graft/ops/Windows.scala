@@ -149,6 +149,35 @@ object Windows extends OpGroup {
     Some("""SELECT event_id, user_id, value, CAST(ntile(4) OVER w AS INT) AS quartile, ROUND(1e-9 + percent_rank() OVER w, 6) AS pct_rank, ROUND(1e-9 + cume_dist() OVER w, 6) AS cdist, lead(value, 1) OVER w AS next_value FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id) ORDER BY event_id"""),
   )
 
+  /** CUMULATIVE DISTINCT users by day (r5) — the growth curve every
+    * product dashboard draws. A windowed COUNT(DISTINCT) is unsupported
+    * (and would be quadratic anyway); the scalable identity is: a user
+    * contributes to exactly one day (their first), so new_users(day) =
+    * users whose min(ts) lands that day, and the cumulative count is a
+    * running SUM over the (tiny) daily series — the heavy work is one
+    * per-user min, the window runs over ~30 rows. Days with no new
+    * users still appear (left join against the distinct active days)
+    * so the running sum is defined on the full calendar of activity.
+    */
+  private val cumulativeDistinct = Op(
+    "win_cumulative_distinct",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, sf)
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(firstDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH fd AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day FROM events GROUP BY user_id), nu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day), days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) SELECT d.day, COALESCE(nu.new_users, 0) AS new_users, CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM days d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
-    lagSessionize, rankDistribution)
+    lagSessionize, rankDistribution, cumulativeDistinct)
 }

@@ -40,6 +40,20 @@ class PartitionedScanSpec extends SparkSpec {
         s"got ${full.rdd.getNumPartitions}")
   }
 
+  test("compaction rewrites the 30-file layout into the size-targeted file count") {
+    SparkEntry.queries("etl_compact_small_files")(spark, sf).collect(): Unit
+    val dir = Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_compact",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "events")) + "/events"
+    val srcBytes = Tables.dirBytes(new java.io.File(ops.Scans.partitionedEventsDir(spark, sf)))
+    val expected = math.max(1L, (srcBytes + (64L << 20) - 1) / (64L << 20)).toInt
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == expected,
+      s"expected $expected compacted files for $srcBytes bytes, got $files")
+  }
+
   test("src_partitioned_multifile matches the single-file source aggregate") {
     val viaPartitioned = SparkEntry.queries("src_partitioned_multifile")(spark, sf)
     val viaSource = Tables.events(spark, sf)
