@@ -132,5 +132,52 @@ object Sampling extends OpGroup {
     Some("""WITH w AS (SELECT COUNT(*) AS n_rows, COUNT(doc_id) AS doc_id_n, COUNT(DISTINCT doc_id) AS doc_id_ndv, CAST(MIN(doc_id) AS VARCHAR) AS doc_id_min, CAST(MAX(doc_id) AS VARCHAR) AS doc_id_max, COUNT(lang) AS lang_n, COUNT(DISTINCT lang) AS lang_ndv, CAST(MIN(lang) AS VARCHAR) AS lang_min, CAST(MAX(lang) AS VARCHAR) AS lang_max, COUNT(source) AS source_n, COUNT(DISTINCT source) AS source_ndv, CAST(MIN(source) AS VARCHAR) AS source_min, CAST(MAX(source) AS VARCHAR) AS source_max, COUNT(n_chars) AS n_chars_n, COUNT(DISTINCT n_chars) AS n_chars_ndv, CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min, CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max FROM documents) SELECT column_name, n_non_null, n_rows - n_non_null AS n_null, ndv, min_value, max_value FROM (SELECT 'doc_id' AS column_name, doc_id_n AS n_non_null, n_rows, doc_id_ndv AS ndv, doc_id_min AS min_value, doc_id_max AS max_value FROM w UNION ALL SELECT 'lang', lang_n, n_rows, lang_ndv, lang_min, lang_max FROM w UNION ALL SELECT 'source', source_n, n_rows, source_ndv, source_min, source_max FROM w UNION ALL SELECT 'n_chars', n_chars_n, n_rows, n_chars_ndv, n_chars_min, n_chars_max FROM w) t ORDER BY column_name"""),
   )
 
-  val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile)
+  /** END-TO-END curation decision table (r5) — the composite the other
+    * curation ops exist for: one dataflow scores every document
+    * (linear quality model), counts tokens, resolves exact duplicates
+    * (canonical-hash group, keep-one winner), assigns the reproducible
+    * split, and emits keep/drop with the FIRST failing rule as the
+    * reason — precedence stated explicitly (dup > quality > length)
+    * because a real pipeline audits drop reasons by stage. One scan,
+    * one window over canonical-hash groups, everything else per-row
+    * projection; at 100 TB this is exactly the one-pass decision pass
+    * run before export, with near-dup losers joined in from
+    * dedup_cluster_cc's keep-one table as a second input.
+    */
+  private val curationPipeline = Op(
+    "etl_curation_pipeline",
+    (s, sf) => {
+      val d = Tables.documents(s, sf)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, x -> x IN ('the','and','of','to','in','is','you','that','it','was'))")))
+        .withColumn("n_digit",
+          length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .withColumn("quality", graft.ops.parity.r6(least(lit(1.0), greatest(lit(0.0),
+          lit(0.3) + least(col("n_tok").cast("double") / 200, lit(0.35)) +
+            col("n_stop").cast("double") / col("n_tok") * 0.5 -
+            col("n_digit").cast("double") / length(col("text")) * 2.0))))
+        .withColumn("canon_hash", md5(concat_ws(" ", sort_array(col("toks")))))
+      d.withColumn("canonical_doc_id",
+          min(col("doc_id")).over(Window.partitionBy(col("canon_hash"))))
+        .withColumn("is_dup_loser", col("doc_id") =!= col("canonical_doc_id"))
+        .withColumn("bucket", pmod(hash28(col("doc_id")), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .withColumn("reason",
+          when(col("is_dup_loser"), "exact_dup")
+            .when(col("quality") < 0.5, "low_quality")
+            .when(col("n_tok") < 20 || col("n_tok") > 1000, "bad_length")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("quality"), col("n_tok"), col("is_dup_loser"),
+          col("split"), (col("reason") === "keep").as("keep"), col("reason"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks, len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','you','that','it','was'))) AS n_stop, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit FROM documents), scored AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, ROUND(1e-9 + LEAST(1.0, GREATEST(0.0, 0.3 + LEAST(CAST(len(toks) AS DOUBLE) / 200, 0.35) + CAST(n_stop AS DOUBLE) / len(toks) * 0.5 - CAST(n_digit AS DOUBLE) / length(text) * 2.0)), 6) AS quality, md5(array_to_string(list_sort(toks), ' ')) AS canon_hash FROM base), flagged AS (SELECT doc_id, quality, n_tok, doc_id <> MIN(doc_id) OVER (PARTITION BY canon_hash) AS is_dup_loser, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket FROM scored) SELECT doc_id, quality, n_tok, is_dup_loser, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, CASE WHEN is_dup_loser THEN false WHEN quality < 0.5 THEN false WHEN n_tok < 20 OR n_tok > 1000 THEN false ELSE true END AS keep, CASE WHEN is_dup_loser THEN 'exact_dup' WHEN quality < 0.5 THEN 'low_quality' WHEN n_tok < 20 OR n_tok > 1000 THEN 'bad_length' ELSE 'keep' END AS reason FROM flagged ORDER BY doc_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
+    curationPipeline)
 }

@@ -211,6 +211,79 @@ object Scans extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** DYNAMIC partition pruning witness (r5): src_partitioned_multifile
+    * proves STATIC directory pruning (literal predicate); this op proves
+    * the RUNTIME variant — the partition filter arrives through a JOIN
+    * against a filtered dim, so the prunable set is only known at
+    * execution, and Catalyst inserts a DynamicPruningExpression on the
+    * fact scan (reusing the dim's broadcast — asserted in
+    * PartitionedScanSpec). At 100 TB this is what keeps
+    * fact ⋈ filtered-dim queries from scanning every date directory.
+    */
+  private[graft] def dppJoinPlan(s: org.apache.spark.sql.SparkSession, sf: String) = {
+    val fact = s.read.parquet(partitionedEventsDir(s, sf))
+    val dim = Tables.events(s, sf)
+      .select(to_date(col("ts")).as("event_date")).distinct()
+      .filter(weekofyear(col("event_date")) === 2)
+    fact.join(dim, "event_date")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.parity.r6(
+          sum(graft.ops.parity.dec(col("value"))).cast("double")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
+  private val dppRuntime = Op(
+    "src_dynamic_partition_pruning",
+    dppJoinPlan(_, _),
+    Some("""WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events WHERE weekofyear(CAST(ts AS DATE)) = 2) SELECT e.event_date, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) e JOIN dim ON e.event_date = dim.event_date GROUP BY e.event_date ORDER BY e.event_date"""),
+  )
+
+  /** IDEMPOTENT partition backfill (r5): the day-partitioned copy gets
+    * ONE day recomputed and overwritten in place with
+    * partitionOverwriteMode=dynamic — the production backfill
+    * primitive: the writer replaces exactly the partitions present in
+    * the incoming frame, never truncating the table (static mode would
+    * drop the other 29 days). The oracle checks the full table equals
+    * the source afterwards — i.e. the backfill is content-neutral and
+    * re-runnable; PartitionedScanSpec asserts untouched partitions keep
+    * their files byte-identical.
+    */
+  def backfillDir(s: org.apache.spark.sql.SparkSession, sf: String): String = {
+    val dir = graft.Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_backfill",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      graft.Tables.fingerprint(sf, "events")) + "/events"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.events(s, sf)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    dir
+  }
+
+  private val backfillIdempotent = Op(
+    "etl_backfill_partition",
+    (s, sf) => {
+      val dir = backfillDir(s, sf)
+      // Recompute one mid-range day from the source and land it with
+      // dynamic overwrite: only event_date=2024-01-15 is replaced.
+      Tables.events(s, sf)
+        .withColumn("event_date", to_date(col("ts")))
+        .filter(col("event_date") === "2024-01-15")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(graft.ops.parity.dec(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
-    partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles)
+    partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
+    dppRuntime, backfillIdempotent)
 }

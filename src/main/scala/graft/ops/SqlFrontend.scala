@@ -90,5 +90,31 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT n_name, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name"""),
   )
 
-  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5)
+  /** RECURSIVE CTE (r5) — Spark 4's WITH RECURSIVE (SPARK-24497),
+    * witnessed on a derived part-ancestry forest: each part's parent is
+    * p_partkey div 10, walked to the single-digit root with the depth
+    * counted. Recursion in the SQL surface is the one dataflow shape
+    * the engine previously expressed only through the hand-rolled CC
+    * loop ([[Clusters.connectedComponents]]); here Catalyst's
+    * UnionLoop executes it. Oracle = the identical recursion in DuckDB
+    * (// is DuckDB's integer division, div is Spark's).
+    */
+  private val recursiveHierarchy = Op(
+    "sql_recursive_hierarchy",
+    (s, sf) => {
+      withViews(s, sf, "part")
+      s.sql("""
+        WITH RECURSIVE chain(part, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part
+          UNION ALL
+          SELECT part, node div 10, depth + 1 FROM chain WHERE node >= 10
+        )
+        SELECT part AS p_partkey, node AS root_digit, CAST(depth AS INT) AS depth
+        FROM chain WHERE node < 10 ORDER BY p_partkey
+      """)
+    },
+    Some("""WITH RECURSIVE chain(part, node, depth) AS (SELECT p_partkey, p_partkey, 0 FROM part UNION ALL SELECT part, node // 10, depth + 1 FROM chain WHERE node >= 10) SELECT part AS p_partkey, node AS root_digit, CAST(depth AS INT) AS depth FROM chain WHERE node < 10 ORDER BY p_partkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy)
 }

@@ -54,6 +54,32 @@ class PartitionedScanSpec extends SparkSpec {
       s"expected $expected compacted files for $srcBytes bytes, got $files")
   }
 
+  test("dynamic partition pruning fires on the fact side of the dim join") {
+    val df = ops.Scans.dppJoinPlan(spark, sf)
+    df.collect(): Unit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a DynamicPruningExpression on the partitioned scan:\n${plan.take(4000)}")
+  }
+
+  test("dynamic backfill rewrites only the target partition") {
+    val dir = ops.Scans.backfillDir(spark, sf)
+    // Materialize the layout + run one backfill via the op.
+    SparkEntry.queries("etl_backfill_partition")(spark, sf).collect(): Unit
+    def files(day: String) =
+      Option(new java.io.File(s"$dir/event_date=$day").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSeq.sorted
+    val otherBefore = files("2024-01-14")
+    val targetBefore = files("2024-01-15")
+    Thread.sleep(1100) // mtime granularity
+    SparkEntry.queries("etl_backfill_partition")(spark, sf).collect(): Unit
+    assert(files("2024-01-14") == otherBefore,
+      "untouched partition was rewritten by the dynamic backfill")
+    assert(files("2024-01-15") != targetBefore,
+      "target partition was not rewritten")
+  }
+
   test("src_partitioned_multifile matches the single-file source aggregate") {
     val viaPartitioned = SparkEntry.queries("src_partitioned_multifile")(spark, sf)
     val viaSource = Tables.events(spark, sf)
