@@ -205,6 +205,39 @@ object Joins extends OpGroup {
     Some("""SELECT event_id, user_id, ts, CASE WHEN next_err <= ts + INTERVAL 1 HOUR THEN next_err END AS next_error_ts FROM (SELECT event_id, user_id, ts, event_type, MIN(CASE WHEN event_type = 'error' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_err FROM events) t WHERE event_type = 'purchase' ORDER BY event_id"""),
   )
 
+  /** NEAREST-VALUE join (r5): each part's closest-priced OTHER part of
+    * the same brand — the scalar-domain sibling of the as-of join
+    * (pandas merge_asof(direction='nearest')). The O(n²) "min |Δ| per
+    * row" formulation collapses to one sorted window pass: in price
+    * order the nearest neighbor is always the previous or next row, so
+    * lag/lead + one comparison decide it. Ties are stated explicitly
+    * (equal distance → the lower-priced neighbor). Partitioned by
+    * brand: no global window, shuffles once on the brand key.
+    */
+  private val nearestValue = Op(
+    "join_nearest_value",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      val usePrev = col("next_key").isNull ||
+        (col("prev_key").isNotNull &&
+          (col("p_retailprice") - col("prev_price")) <= (col("next_price") - col("p_retailprice")))
+      Tables.part(s, sf)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .withColumn("prev_key", lag(col("p_partkey"), 1).over(w))
+        .withColumn("prev_price", lag(col("p_retailprice"), 1).over(w))
+        .withColumn("next_key", lead(col("p_partkey"), 1).over(w))
+        .withColumn("next_price", lead(col("p_retailprice"), 1).over(w))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          when(usePrev, col("prev_key")).otherwise(col("next_key")).as("nearest_partkey"),
+          r6(abs(when(usePrev, col("prev_price")).otherwise(col("next_price"))
+            - col("p_retailprice"))).as("price_gap"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH w AS (SELECT p_partkey, p_brand, p_retailprice, LAG(p_partkey) OVER win AS prev_key, LAG(p_retailprice) OVER win AS prev_price, LEAD(p_partkey) OVER win AS next_key, LEAD(p_retailprice) OVER win AS next_price FROM part WINDOW win AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)) SELECT p_partkey, p_brand, p_retailprice, CASE WHEN next_key IS NULL OR (prev_key IS NOT NULL AND (p_retailprice - prev_price) <= (next_price - p_retailprice)) THEN prev_key ELSE next_key END AS nearest_partkey, ROUND(1e-9 + ABS(CASE WHEN next_key IS NULL OR (prev_key IS NOT NULL AND (p_retailprice - prev_price) <= (next_price - p_retailprice)) THEN prev_price ELSE next_price END - p_retailprice), 6) AS price_gap FROM w ORDER BY p_partkey"""),
+  )
+
   /** Write `df` as a parquet table bucketed+sorted on `key` (8 buckets),
     * once per (table, sfDir) per session — the catalogued layout a
     * 100 TB deployment maintains permanently for its fact tables.
@@ -418,6 +451,7 @@ object Joins extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
-    leftAnti, rangeInterval, asof, asofForwardTolerance, bucketedColocated,
-    intervalBinned, skewSalted, fullOuterRecon, bloomRuntime)
+    leftAnti, rangeInterval, asof, asofForwardTolerance, nearestValue,
+    bucketedColocated, intervalBinned, skewSalted, fullOuterRecon,
+    bloomRuntime)
 }

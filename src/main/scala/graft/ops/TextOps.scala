@@ -215,6 +215,35 @@ object TextOps extends OpGroup {
     Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word) SELECT tf.doc_id, CAST(concat('0x', substr(md5(tf.word), 1, 15)) AS BIGINT) % 64 AS bucket, CAST(SUM(CAST(ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) AS weight FROM tf JOIN df ON tf.word = df.word GROUP BY 1, 2 ORDER BY doc_id, bucket"""),
   )
 
+  /** Per-doc KEYWORD extraction (r5): top-3 words by tf·ln(N/df) — the
+    * unhashed sibling of text_hashed_tfidf and the tagging/indexing
+    * stage of a document pipeline. The rank window runs over each doc's
+    * DISTINCT words (≤ vocab), never the token stream; ties are broken
+    * by the word itself so the cut is engine-deterministic. The ranking
+    * compares raw doubles (identical inputs ⇒ identical order in both
+    * engines); only the EMITTED weight is rounded.
+    */
+  private val keywords = Op(
+    "text_keywords_tfidf",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.documents(s, sf).count()
+      val tf = Tables.spread(s, Tables.documents(s, sf))
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("word").asc)
+      tf.join(broadcast(df), "word")
+        .withColumn("weight", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("word"), r6(col("weight")).as("weight"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), sc AS (SELECT tf.doc_id, tf.word, tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) AS weight FROM tf JOIN df ON tf.word = df.word) SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, word ASC) AS INT) AS rk, word, ROUND(1e-9 + weight, 6) AS weight FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
-    piiRedact, ngramTopk, hashedTfidf)
+    piiRedact, ngramTopk, hashedTfidf, keywords)
 }

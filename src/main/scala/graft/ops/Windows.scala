@@ -178,6 +178,36 @@ object Windows extends OpGroup {
     Some("""WITH fd AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day FROM events GROUP BY user_id), nu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day), days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) SELECT d.day, COALESCE(nu.new_users, 0) AS new_users, CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM days d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day"""),
   )
 
+  /** LONGEST consecutive-day streak per user (r5) — the gaps-and-islands
+    * shape by ARITHMETIC grouping, not iteration: within a user's sorted
+    * distinct active days, (day − row_number) is constant exactly along
+    * a consecutive run, so grouping on that anchor labels every island
+    * in one window pass + one aggregate. No self-join, no recursion; at
+    * 100 TB the window keys on user_id and each partition's data is the
+    * user's distinct DAYS (bounded by the calendar), not their events.
+    */
+  private val longestStreak = Op(
+    "win_streak_longest",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, sf)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("len"), col("streak_start"))).as("best"))
+        // max(struct) — longest streak, latest start breaking ties —
+        // stated explicitly so both engines pick the same island.
+        .select(col("user_id"), col("best.len").as("longest_streak"),
+          col("best.streak_start"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), isl AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor, day FROM days), runs AS (SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS streak_start FROM isl GROUP BY user_id, anchor) SELECT user_id, len AS longest_streak, streak_start FROM runs QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start DESC) = 1 ORDER BY user_id"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
-    lagSessionize, rankDistribution, cumulativeDistinct)
+    lagSessionize, rankDistribution, cumulativeDistinct, longestStreak)
 }
