@@ -85,5 +85,41 @@ object Multimodal extends OpGroup {
     None,
   )
 
-  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub)
+  /** BYTE-STATISTICS screening (r5) — the real features you can compute
+    * on an opaque payload WITHOUT a codec: byte count, mean byte value,
+    * distinct-byte count, and Shannon entropy (nats). This is the
+    * compression/corruption/encryption screen a media pipeline runs on
+    * every blob before spending decode cycles — near-8-bit entropy means
+    * already-compressed or encrypted, skip recompression; near-zero
+    * means padding/corruption. Fully oracled (unlike the codec stub):
+    * per-(doc, byte) exact counts, entropy terms per-term-rounded then
+    * decimal-summed (the text_hashed_tfidf discipline — order-free and
+    * ln-ulp-tolerant). The fixture payload is ASCII text bytes, so the
+    * char-level split IS the byte-level split, in both engines.
+    */
+  private val byteStats = Op(
+    "mm_byte_stats",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.spread(s, Tables.documents(s, sf))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .select(col("doc_id"), ascii(col("ch")).as("code"))
+        .groupBy("doc_id", "code").agg(count(lit(1)).as("c"))
+      counts
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("term", expr(
+          "cast(round((c / cast(n as double)) * ln(c / cast(n as double)) + 1e-9, 6) as decimal(18,6))"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_bytes"),
+          count(lit(1)).as("n_distinct"),
+          graft.ops.parity.r6(
+            sum(col("code") * col("c")).cast("double") / max(col("n"))).as("mean_byte"),
+          (-sum(col("term"))).cast("double").as("byte_entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH b AS (SELECT doc_id, ascii(ch) AS code FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t), c AS (SELECT doc_id, code, COUNT(*) AS c FROM b GROUP BY doc_id, code), w AS (SELECT doc_id, code, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c), t2 AS (SELECT doc_id, code, c, n, CAST(ROUND((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) + 1e-9, 6) AS DECIMAL(18,6)) AS term FROM w) SELECT doc_id, MAX(n) AS n_bytes, COUNT(*) AS n_distinct, ROUND(1e-9 + CAST(SUM(code * c) AS DOUBLE) / MAX(n), 6) AS mean_byte, CAST(-SUM(term) AS DOUBLE) AS byte_entropy FROM t2 GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, byteStats)
 }
