@@ -85,6 +85,24 @@ object Tables {
       Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
     else f.length()
 
+  /** Run `body` with session confs temporarily set, restoring (or
+    * unsetting keys that had no prior value) afterwards. The single
+    * scope-guard for every op that must EXECUTE under non-default confs
+    * (runtime bloom thresholds, loop shuffle sizing, state-store
+    * partitions) — a conf restored before a lazy plan executes silently
+    * disables the feature, so such ops also materialize inside the
+    * scope.
+    */
+  def withConfs[T](s: SparkSession, kvs: Seq[(String, String)])(body: => T): T = {
+    val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Fingerprint-keyed cache directory `parent/prefix_fp`. Superseded
     * sibling dirs (same prefix, different fingerprint — i.e. caches of an
     * older generation of the source) are deleted first, so regeneration

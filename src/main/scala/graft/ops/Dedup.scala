@@ -120,13 +120,19 @@ object Dedup extends OpGroup {
     (masks, interExpr)
   }
 
-  /** Attach masks to (a_doc_id, b_doc_id) pair rows, compute exact
-    * Jaccard by popcount, keep pairs clearing `thr` (filter on the RAW
-    * quotient, emit the rounded value — both engines compare the same
-    * exact rational, so the boundary can't flip on the rounding).
+  /** Attach masks to (a_doc_id, b_doc_id) pair rows, compute the exact
+    * popcount intersection, keep pairs whose i/denom clears `thr`
+    * (filter on the RAW quotient, emit the rounded value — both engines
+    * compare the same exact rational, so the boundary can't flip on the
+    * rounding). `denom(i, a_n, b_n)` selects the measure: union for
+    * Jaccard, min-size for containment — ONE verify discipline for
+    * every similarity measure on the mask kernel.
     */
-  private def jaccardVerify(pairs: DataFrame, masks: DataFrame,
-      interExpr: org.apache.spark.sql.Column, thr: Double): DataFrame = {
+  private def maskVerify(pairs: DataFrame, masks: DataFrame,
+      interExpr: org.apache.spark.sql.Column, thr: Double,
+      denom: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      outName: String): DataFrame = {
     val am = masks.select(col("doc_id").as("a_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
     val bm = masks.select(col("doc_id").as("b_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
     // No broadcast hint: the mask relation is corpus-sized (unbounded at
@@ -134,10 +140,15 @@ object Dedup extends OpGroup {
     // runtime broadcast only when the actual size allows it.
     pairs.join(am, "a_doc_id").join(bm, "b_doc_id")
       .withColumn("i", interExpr)
-      .withColumn("jaccard", r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))))
-      .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= thr)
-      .select(col("a_doc_id"), col("b_doc_id"), col("jaccard"))
+      .withColumn("d", denom(col("i"), col("a_n"), col("b_n")))
+      .filter(col("i").cast("double") / col("d") >= thr)
+      .select(col("a_doc_id"), col("b_doc_id"),
+        r6(col("i").cast("double") / col("d")).as(outName))
   }
+
+  private def jaccardVerify(pairs: DataFrame, masks: DataFrame,
+      interExpr: org.apache.spark.sql.Column, thr: Double): DataFrame =
+    maskVerify(pairs, masks, interExpr, thr, (i, a, b) => a + b - i, "jaccard")
 
   /** Exact token-set Jaccard ≥ 0.9 over ALL doc pairs — the O(n²)
     * baseline the LSH op prunes. Pair loop is a nested-loop join over
@@ -172,13 +183,8 @@ object Dedup extends OpGroup {
       val (masks, interExpr) = tokenMasks(s, sf)
       val pairs = masks.select(col("doc_id").as("a_doc_id"))
         .join(masks.select(col("doc_id").as("b_doc_id")), col("a_doc_id") < col("b_doc_id"))
-      val am = masks.select(col("doc_id").as("a_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
-      val bm = masks.select(col("doc_id").as("b_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
-      pairs.join(am, "a_doc_id").join(bm, "b_doc_id")
-        .withColumn("i", interExpr)
-        .filter(col("i").cast("double") / least(col("a_n"), col("b_n")) >= 0.9)
-        .select(col("a_doc_id"), col("b_doc_id"),
-          r6(col("i").cast("double") / least(col("a_n"), col("b_n"))).as("containment"))
+      maskVerify(pairs, masks, interExpr, 0.9,
+          (_, a, b) => least(a, b), "containment")
         .orderBy("a_doc_id", "b_doc_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, LEAST(a.n, b.n) AS mn FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / mn, 6) AS containment FROM pairs WHERE CAST(i AS DOUBLE) / mn >= 0.9 ORDER BY a_doc_id, b_doc_id"""),

@@ -428,24 +428,18 @@ object Joins extends OpGroup {
 
   private val bloomRuntime = Op(
     "join_bloom_runtime",
-    (s, sf) => {
-      val saved = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "spark.sql.autoBroadcastJoinThreshold",
-      ).map(k => k -> s.conf.getOption(k))
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = bloomJoinPlan(s, sf)
-        val rdd = df.rdd
-        rdd.persist(); rdd.count(): Unit
-        s.createDataFrame(rdd, df.schema)
-      } finally saved.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
+    (s, sf) => graft.Tables.withConfs(s, Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    )) {
+      // Materialize INSIDE the conf scope (a lazily-executed plan with
+      // restored confs loses the bloom filter), as a LOCAL row list:
+      // the result is a ~80-row aggregate, and a persisted-RDD pin here
+      // would leak one cached RDD per invocation across a session.
+      val df = bloomJoinPlan(s, sf)
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      s.createDataFrame(rows, df.schema)
     },
     Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY order_month"""),
   )

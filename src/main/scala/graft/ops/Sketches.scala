@@ -41,10 +41,11 @@ object Sketches extends OpGroup {
 
   /** Corpus-global heavy bigrams (boilerplate/template detection, the
     * corpus-wide sibling of `text_ngram_topk`): word bigrams with exact
-    * count ≥ 30. Phase 1 runs Misra-Gries per partition (k = 16384,
-    * sized ≥ n/T so the summaries are a guaranteed SUPERSET of the true
-    * heavy hitters — SketchSpec proves the bound on adversarial
-    * streams); phase 2 exact-counts ONLY the candidate bigrams. At
+    * count ≥ 30. Phase 1 runs Misra-Gries per partition (k sized from
+    * the measured stream length so the summaries are a guaranteed
+    * SUPERSET of the true heavy hitters at any corpus size —
+    * SketchSpec proves the bound on adversarial streams); phase 2
+    * exact-counts ONLY the candidate bigrams. At
     * fixture NDV the sketch map never fills, but at 100 TB this is the
     * load-bearing difference: phase 2's per-partition hash state is
     * bounded by the (tiny) candidate set instead of the corpus NDV, so
@@ -62,8 +63,15 @@ object Sketches extends OpGroup {
         .select(split(lower(col("text")), " ").as("ws"))
         .select(expr(
           "explode(transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1])))").as("bigram"))
+      // k is DERIVED from the stream size, not hardcoded: the superset
+      // guarantee needs k + 1 > n/T (see misraGries scaladoc), so a
+      // fixed k silently breaks the moment the corpus outgrows it. The
+      // count is one cheap aggregate here; a production deployment reads
+      // n from table statistics instead of a pre-pass.
+      val n = bigrams.count()
+      val k = math.max(4096L, 2L * n / T + 1).toInt
       val cands = bigrams.select("bigram").as[String]
-        .mapPartitions(misraGries(16384)).toDF("bigram").distinct()
+        .mapPartitions(misraGries(k)).toDF("bigram").distinct()
       bigrams.join(broadcast(cands), "bigram")
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))

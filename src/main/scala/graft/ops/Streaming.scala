@@ -78,11 +78,9 @@ object Streaming extends OpGroup {
     * millions of rows. Restored after the bounded run so batch ops keep
     * the session default.
     */
-  private def withStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStateParts[T](s: SparkSession, n: Int)(body: => T): T =
+    graft.Tables.withConfs(s,
+      Seq("spark.sql.shuffle.partitions" -> n.toString))(body)
 
   /** Tumbling 15-minute counts per event type, append mode: each window
     * emits once when the 1-hour watermark passes its end; the ~4 windows

@@ -218,10 +218,13 @@ object TextOps extends OpGroup {
   /** Per-doc KEYWORD extraction (r5): top-3 words by tf·ln(N/df) — the
     * unhashed sibling of text_hashed_tfidf and the tagging/indexing
     * stage of a document pipeline. The rank window runs over each doc's
-    * DISTINCT words (≤ vocab), never the token stream; ties are broken
-    * by the word itself so the cut is engine-deterministic. The ranking
-    * compares raw doubles (identical inputs ⇒ identical order in both
-    * engines); only the EMITTED weight is rounded.
+    * DISTINCT words (≤ vocab), never the token stream. The ranking
+    * compares the per-term ROUNDED weight (the text_hashed_tfidf
+    * discipline): ln() implementations differ in the last ulp across
+    * engines, so ranking raw doubles could flip the rk≤3 cut on
+    * near-equal weights; after rounding, near-equal weights become
+    * EXACTLY equal and fall through to the word tie-break identically
+    * in both engines.
     */
   private val keywords = Op(
     "text_keywords_tfidf",
@@ -235,13 +238,13 @@ object TextOps extends OpGroup {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("weight").desc, col("word").asc)
       tf.join(broadcast(df), "word")
-        .withColumn("weight", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("weight", r6(col("tf") * log(lit(n.toDouble) / col("df"))))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("word"), r6(col("weight")).as("weight"))
+        .select(col("doc_id"), col("rk"), col("word"), col("weight"))
         .orderBy("doc_id", "rk")
     },
-    Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), sc AS (SELECT tf.doc_id, tf.word, tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df) AS weight FROM tf JOIN df ON tf.word = df.word) SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, word ASC) AS INT) AS rk, word, ROUND(1e-9 + weight, 6) AS weight FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"""),
+    Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), sc AS (SELECT tf.doc_id, tf.word, ROUND(1e-9 + tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 6) AS weight FROM tf JOIN df ON tf.word = df.word) SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, word ASC) AS INT) AS rk, word, weight FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"""),
   )
 
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,

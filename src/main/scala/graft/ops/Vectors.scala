@@ -163,24 +163,22 @@ object Vectors extends OpGroup {
       // dominates tiny shuffles at core-count fan-out). Restored before
       // the lazily-executed search plan, which keeps the session
       // fan-out.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val cent =
-        try {
-          var c = Tables.embeddings(s, sf)
-            .select(col("label").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-            .groupBy(col("cid"), col("pos"))
-            .agg(avg(col("x").cast("double")).as("cv"))
-            .groupBy(col("cid"))
-            .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
-            .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+      val cent = graft.Tables.withConfs(s,
+        Seq("spark.sql.shuffle.partitions" -> "8")) {
+        var c = Tables.embeddings(s, sf)
+          .select(col("label").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x").cast("double")).as("cv"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
+          .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+          .localCheckpoint()
+        for (_ <- 1 to 2)
+          c = meanCentroids(
+            nearestCells(v, c, 1).select(col("cid"), col("embedding")))
             .localCheckpoint()
-          for (_ <- 1 to 2)
-            c = meanCentroids(
-              nearestCells(v, c, 1).select(col("cid"), col("embedding")))
-              .localCheckpoint()
-          c
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        c
+      }
       val probes = nearestCells(v, cent, 2)
         .select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"),
           col("nrm").as("a_nrm"), col("cid").as("bucket"))
