@@ -367,11 +367,24 @@ object Dedup extends OpGroup {
         .join(bands.select(col("doc_id").as("b_doc_id"), col("simhash").as("b_sh"),
           col("band_idx"), col("bval")), Seq("band_idx", "bval"))
         .filter(col("a_doc_id") < col("b_doc_id"))
+      // FIRST-COLLISION emission (the LSH op's trick, free here): band
+      // values are bit-slices of the fingerprint both sides already
+      // carry, so "no earlier band agrees" is pure codegen'd long
+      // arithmetic on (a_sh, b_sh) — each colliding pair is emitted
+      // from its smallest shared band only, and the post-filter
+      // distinct shuffle disappears.
+      def bandNe(j: Int): org.apache.spark.sql.Column = {
+        val (o, l) = offs(j)
+        expr(s"(shiftright(a_sh, $o) & ${(1L << l) - 1}) != (shiftright(b_sh, $o) & ${(1L << l) - 1})")
+      }
+      val first = (1 until lens.size).map(i =>
+        col("band_idx") === i && (0 until i).map(bandNe).reduce(_ && _))
+        .foldLeft(col("band_idx") === 0)(_ || _)
       cand
+        .filter(first)
         .filter(expr("bit_count(a_sh ^ b_sh)") <= R)
         .select(col("a_doc_id"), col("b_doc_id"),
           expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
-        .distinct()
   }
 
   private val simhashHamming = Op(
