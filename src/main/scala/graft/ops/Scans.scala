@@ -283,7 +283,44 @@ object Scans extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** SCHEMA EVOLUTION source (r5): two parquet generations of the same
+    * table — v1 without a column that v2 added (`o_orderpriority`) —
+    * read as one dataset with mergeSchema, the missing column NULL for
+    * v1 rows. This is how every long-lived 100 TB table actually looks
+    * (columns accrete over years of writers); the engine must scan the
+    * union schema without rewriting history. Fixture: orders split by
+    * orderkey parity into the two generations (fingerprint-cached).
+    * mergeSchema is explicit — the production default leaves it off and
+    * reads the footer of one file, silently dropping late columns.
+    */
+  private val schemaEvolution = Op(
+    "src_schema_evolution",
+    (s, sf) => {
+      val dir = graft.Tables.cachedDir(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_evolve",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "orders")) + "/orders"
+      if (!new java.io.File(s"$dir/gen=1", "_SUCCESS").exists()) {
+        val o = Tables.orders(s, sf)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/gen=0")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$dir/gen=1")
+      }
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(col("o_totalprice").cast(graft.ops.parity.Dec)).cast("double")).as("sum_price"))
+        .orderBy("priority")
+    },
+    Some("""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END, '<pre-schema>') AS priority, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_price FROM orders GROUP BY 1 ORDER BY priority"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
-    dppRuntime, backfillIdempotent)
+    dppRuntime, backfillIdempotent, schemaEvolution)
 }

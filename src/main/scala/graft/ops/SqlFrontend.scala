@@ -116,5 +116,32 @@ object SqlFrontend extends OpGroup {
     Some("""WITH RECURSIVE chain(part, node, depth) AS (SELECT p_partkey, p_partkey, 0 FROM part UNION ALL SELECT part, node // 10, depth + 1 FROM chain WHERE node >= 10) SELECT part AS p_partkey, node AS root_digit, CAST(depth AS INT) AS depth FROM chain WHERE node < 10 ORDER BY p_partkey"""),
   )
 
-  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy)
+  /** LATERAL correlated top-N (r5): each high-value order pulls its own
+    * 2 most expensive lineitems through a LATERAL subquery — the
+    * per-row-subquery SQL surface (Catalyst DecorrelateInnerQuery
+    * turning it into a ranked join, never a per-row re-execution).
+    * Distinct machinery from the correlated SCALAR subquery op: this
+    * one is a correlated TABLE subquery with ORDER BY/LIMIT inside.
+    */
+  private val lateralTopn = Op(
+    "sql_lateral_topn",
+    (s, sf) => {
+      withViews(s, sf, "orders", "lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice
+        FROM orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_totalprice > 400000
+        ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber
+      """)
+    },
+    Some("""SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice FROM orders o, LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem WHERE l_orderkey = o.o_orderkey ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l WHERE o.o_totalprice > 400000 ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber"""),
+  )
+
+  val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
+    lateralTopn)
 }
