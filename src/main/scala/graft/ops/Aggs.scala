@@ -354,8 +354,62 @@ object Aggs extends OpGroup {
     Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type) SELECT user_id, event_type AS mode_event, n AS n_occ FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1 ORDER BY user_id"""),
   )
 
+  /** Equi-width HISTOGRAM (r5) — the optimizer-statistics / profiling
+    * shape: 10 equal-width bins of events.value per event_type, bounds
+    * from a first exact min/max pass, counts from a second. Both passes
+    * are map-side-combined hash aggs on the (tiny) type key; the bin
+    * function is pure arithmetic on engine-identical doubles (bounds
+    * come from exact double min/max, so boundaries can't skew). The
+    * max value lands in the last bin via least(9, ·). Only non-empty
+    * bins emit, in both engines.
+    */
+  private val histogramEquiwidth = Op(
+    "stats_histogram_equiwidth",
+    (s, sf) => {
+      val bounds = Tables.events(s, sf).groupBy(col("event_type"))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      Tables.events(s, sf).join(broadcast(bounds), "event_type")
+        .withColumn("bin",
+          least(lit(9), floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn")))).cast("int"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          r6(min(col("mn"))).as("lo"), r6(max(col("mx"))).as("hi"))
+        .orderBy("event_type", "bin")
+    },
+    Some("""WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY event_type) SELECT e.event_type AS event_type, CAST(LEAST(9, FLOOR((e.value - b.mn) * 10.0 / (b.mx - b.mn))) AS INT) AS bin, COUNT(*) AS n, ROUND(1e-9 + MIN(b.mn), 6) AS lo, ROUND(1e-9 + MAX(b.mx), 6) AS hi FROM events e JOIN b ON e.event_type = b.event_type GROUP BY 1, 2 ORDER BY e.event_type, bin"""),
+  )
+
+  /** PARETO / cumulative-share curve (r5): parts ranked by exact
+    * decimal revenue, cumulative share of total — the 80/20 diagnostic
+    * behind every "top N% of keys carry M% of volume" decision (skew
+    * sizing, cache sizing, head/tail split). The heavy aggregation is
+    * per-part (partition-parallel); the rank/cumsum window then runs
+    * over the 2k aggregated part rows only — same bounded-window
+    * rationale as win_cumulative_distinct. Share division happens in
+    * doubles from exact decimal sums (engine-identical inputs).
+    */
+  private val paretoCumShare = Op(
+    "stats_pareto_cum_share",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, sf).groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+      val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+      rev
+        .withColumn("rk", row_number().over(ord).cast("int"))
+        .withColumn("cum", sum(col("rev")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("rev")).over(
+          Window.partitionBy(lit(1))))
+        .select(col("rk"), col("l_partkey"), r6(col("rev").cast("double")).as("revenue"),
+          r6(col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy("rk")
+    },
+    Some("""WITH rev AS (SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev FROM lineitem GROUP BY l_partkey) SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rk, l_partkey, ROUND(1e-9 + CAST(rev AS DOUBLE), 6) AS revenue, ROUND(1e-9 + CAST(SUM(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_share FROM rev WINDOW w AS (ORDER BY rev DESC, l_partkey) ORDER BY rk"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
-    modePerGroup)
+    modePerGroup, histogramEquiwidth, paretoCumShare)
 }
