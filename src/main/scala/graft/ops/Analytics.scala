@@ -97,5 +97,38 @@ object Analytics extends OpGroup {
     Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id) SELECT c.cohort_week, CAST((e.wk - c.cohort_week) // 7 AS INT) AS week_offset, COUNT(DISTINCT e.user_id) AS n_active FROM ev e JOIN cohort c ON e.user_id = c.user_id GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
-  val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort)
+  /** Rolling Z-SCORE anomaly flag (r5) — the monitoring shape: each
+    * event's value scored against the user's trailing 20-event mean/std
+    * (current row excluded — the test window must not contain the
+    * candidate), |z| > 3 flagged. Rolling mean and std come from
+    * rolling Σx and Σx² as EXACT decimal window sums (order-free), with
+    * the closed form evaluated in doubles from those identical inputs —
+    * the stats_corr_pairs discipline under a moving frame. Windows key
+    * on user_id; no global window.
+    */
+  private val anomalyZscore = Op(
+    "win_anomaly_zscore",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      Tables.events(s, sf)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(dec(col("value"))).over(w).cast("double"))
+        .withColumn("sxx", sum(dec(col("value") * col("value"))).over(w).cast("double"))
+        .filter(col("n") >= 5)
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("var", (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("var")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          r6(col("mean")).as("trail_mean"), r6(col("z")).as("zscore"),
+          (abs(col("z")) > 3).as("is_anomaly"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value, ROUND(1e-9 + sx / n, 6) AS trail_mean, ROUND(1e-9 + (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore, ABS((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3 AS is_anomaly FROM (SELECT event_id, user_id, value, COUNT(*) OVER w AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t WHERE n >= 5 ORDER BY event_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
+    anomalyZscore)
 }

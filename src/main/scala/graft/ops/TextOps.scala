@@ -247,6 +247,40 @@ object TextOps extends OpGroup {
     Some("""WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) t GROUP BY doc_id, word), df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word), sc AS (SELECT tf.doc_id, tf.word, ROUND(1e-9 + tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 6) AS weight FROM tf JOIN df ON tf.word = df.word) SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, word ASC) AS INT) AS rk, word, weight FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk"""),
   )
 
+  /** Bigram CROSS-ENTROPY novelty score (r5) — the perplexity-proxy
+    * quality filter: each doc's average −ln p(w₂|w₁) under the corpus's
+    * own bigram MLE (count(w₁w₂)/count(w₁·)). Low = templated/boilerplate
+    * text the corpus model predicts well; high = novel (or noise). This
+    * is the statistical-LM stand-in for the neural-perplexity filter of
+    * a real curation pipeline — same dataflow (corpus model → per-doc
+    * score), model swappable. The model tables are corpus aggregates
+    * joined back to the doc's bigram stream; the per-term ln is rounded
+    * then decimal-summed (order-free, ulp-tolerant) and normalized per
+    * doc.
+    */
+  private val bigramNovelty = Op(
+    "text_bigram_novelty",
+    (s, sf) => {
+      val grams = Tables.spread(s, Tables.documents(s, sf))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), expr(
+          "explode(transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2)))").as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val bi = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val uni = bi.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val model = bi.join(uni, "w1")
+        .select(col("w1"), col("w2"),
+          expr("cast(round(-ln(c2 / cast(c1 as double)) + 1e-9, 6) as decimal(18,6))").as("nll"))
+      grams.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          r6(sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2), bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2), uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bi GROUP BY w1), model AS (SELECT bi.w1, bi.w2, CAST(ROUND(-ln(bi.c2 / CAST(uni.c1 AS DOUBLE)) + 1e-9, 6) AS DECIMAL(18,6)) AS nll FROM bi JOIN uni ON bi.w1 = uni.w1) SELECT g.doc_id, COUNT(*) AS n_bigrams, ROUND(1e-9 + CAST(SUM(m.nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM grams g JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2 GROUP BY g.doc_id ORDER BY g.doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
-    piiRedact, ngramTopk, hashedTfidf, keywords)
+    piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty)
 }
