@@ -167,26 +167,114 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, a.n + b.n - len(list_intersect(a.ws, b.ws)) AS u FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / u, 6) AS jaccard FROM pairs WHERE CAST(i AS DOUBLE) / u >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 
-  /** CONTAINMENT near-dup pairs (r5): max-containment
+  /** CONTAINMENT near-dup pairs (r5, blocked r6): max-containment
     * |A∩B| / min(|A|,|B|) ≥ 0.9 — the asymmetric measure that catches
     * PARTIAL copies (one doc's token set nearly inside another's),
     * which Jaccard structurally misses when sizes differ (A⊂B with
-    * |B|=2|A| has J=0.5 but containment 1.0). Same bitmask-popcount
-    * kernel as the Jaccard ops; kept as the O(n²) exact reference like
-    * sim_jaccard_pairs — at 100 TB the candidate stage is prefix/size
-    * filtering or per-bucket brute force (banded MinHash does NOT
-    * preserve containment, so the LSH op's bands can't be reused).
+    * |B|=2|A| has J=0.5 but containment 1.0). Banded MinHash does NOT
+    * preserve containment, so the LSH op's bands can't be reused; the
+    * lossless candidate stage here is PREFIX FILTERING (Chaudhuri et
+    * al., ICDE 2006) + the POSITIONAL filter (Xiao et al. PPJoin,
+    * WWW 2008), both under one global rarest-first token order:
+    *
+    *  - order the vocab by (document-frequency ASC, word) and number
+    *    each doc's tokens 0..n-1 in that order (its bit i IS its rank);
+    *  - a qualifying pair needs overlap α = ⌈t·min(|A|,|B|)⌉, and its
+    *    LOWEST-ranked common token w must sit at position ≤ n−α in BOTH
+    *    docs (all ≥α common tokens rank ≥ w) — so only each doc's
+    *    (n−α+1)-token prefix ever probes, and build rows deeper than
+    *    n_b−α_min are join-filtered;
+    *  - each pair is emitted from w ONLY (first-collision, the LSH op's
+    *    trick): "no lower-ranked common token" is one AND + count-
+    *    trailing-zeros on the rank-ordered masks — candidates are
+    *    unique by construction, no distinct shuffle;
+    *  - the exact popcount verify then applies the threshold.
+    *
+    * Work = Σ_r probe_df(r)·df(r): on a Zipfian vocab the prefix sits
+    * on RARE tokens and this collapses to ~the qualifying pairs — the
+    * 100 TB path. THIS fixture is the adversarial floor (31-word vocab,
+    * every word in ~75% of docs → ~every pair is a true candidate), so
+    * the blocked plan necessarily streams ~pair-count rows; it still
+    * beats the old all-pairs nested loop's n²/2 because probes exist
+    * only for prefixes. No O(n²) operator appears in the plan.
     */
+  /** The blocked containment pipeline, pre-sort — package-private so the
+    * spec can assert output equality against an inline all-pairs
+    * recomputation (the candidate stage must be LOSSLESS, not just fast).
+    */
+  private[ops] def containmentBlockedPairs(s: SparkSession, sf: String): DataFrame = {
+    val t = 0.9
+    val tok = docTokens(s, sf)
+    // Rarest-first global token order (df ASC, word ASC tiebreak). The
+    // ranked vocab is the bounded dictionary (31 words here; frequency-
+    // capped into a bounded dict at real scale), so the single-partition
+    // rank window runs over a bounded relation, never the corpus.
+    val ranked = tok.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("r",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("word"))) - 1).cast("long"))
+      .select("word", "r")
+    val vocabSize = ranked.count() // bounded-dict sizing action (31 here)
+    val maskWords = ((vocabSize + 63) / 64).toInt
+    // Rank-ordered bitmasks: bit i of a doc's mask IS global rank i, so
+    // "lowest-ranked common token" is AND + count-trailing-zeros. V ≤ 64
+    // stays a single codegen'd long; wider vocabs fall back to the long-
+    // array HOF kernel (same semantics, same oracle) like tokenMasks.
+    val maskExpr =
+      if (maskWords == 1)
+        expr("aggregate(rs, 0L, (acc, b) -> acc | shiftleft(1L, cast(b as int)))")
+      else
+        expr(s"aggregate(rs, array_repeat(0L, $maskWords), (acc, b) -> transform(acc, (x, j) -> if(j = cast(b div 64 as int), x | shiftleft(1L, cast(b % 64 as int)), x)))")
+    val interCol =
+      if (maskWords == 1) expr("bit_count(a_mask & b_mask)")
+      else expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+    // Rank of the lowest set bit of a_mask & b_mask (nonzero by join
+    // construction: both docs contain the joined word). ctz(x) =
+    // popcount((x & -x) - 1), pure codegen on the narrow path.
+    val firstCommon =
+      if (maskWords == 1)
+        expr("cast(bit_count(((a_mask & b_mask) & -(a_mask & b_mask)) - 1) as bigint)")
+      else
+        expr(s"aggregate(sequence(0, ${maskWords - 1}), cast(-1 as bigint), (acc, j) -> if(acc >= 0, acc, if((element_at(a_mask, cast(j + 1 as int)) & element_at(b_mask, cast(j + 1 as int))) != 0, cast(j as bigint) * 64 + cast(bit_count(((element_at(a_mask, cast(j + 1 as int)) & element_at(b_mask, cast(j + 1 as int))) & -(element_at(a_mask, cast(j + 1 as int)) & element_at(b_mask, cast(j + 1 as int)))) - 1) as bigint), cast(-1 as bigint))))")
+    // α = ⌈t·n⌉ computed as the verify's own double compare would (the
+    // −1e-9 shift keeps one-ULP ceil noise from ever PRUNING a pair the
+    // popcount verify accepts; a one-token-longer prefix only adds
+    // candidates the verify rejects).
+    val docs = tok.join(broadcast(ranked), "word")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .withColumn("n", size(col("rs")))
+      .withColumn("alpha", ceil(lit(t) * col("n") - lit(1e-9)).cast("int"))
+      .withColumn("mask", maskExpr)
+    // Probe = each doc's (n−α+1)-token PREFIX only (rarest-first order);
+    // build = the full positional token index. The probe relation is
+    // O(docs·(1−t)·n̄) — broadcast it, stream the index.
+    val probe = docs.select(col("doc_id").as("a_doc_id"), col("n").as("a_n"),
+      col("alpha"), col("mask").as("a_mask"),
+      explode(expr("slice(rs, 1, n - alpha + 1)")).as("r"))
+    val build = docs.select(col("doc_id").as("b_doc_id"), col("n").as("b_n"),
+      col("mask").as("b_mask"),
+      posexplode(col("rs")).as(Seq("b_pos", "r")))
+    // Role order: a is the strictly-smaller set (ties by doc_id), so
+    // a_n IS min(|A|,|B|) and each unordered pair has exactly one role
+    // assignment. Positional filter: the first common token must sit at
+    // position ≤ n_b − α in the build doc too, else overlap < α.
+    val roleOrder = col("a_n") < col("b_n") ||
+      (col("a_n") === col("b_n") && col("a_doc_id") < col("b_doc_id"))
+    val positional = col("b_pos") <= col("b_n") - col("alpha")
+    broadcast(probe).join(build, Seq("r"))
+      .filter(roleOrder && positional && firstCommon === col("r"))
+      .withColumn("i", interCol)
+      .filter(col("i").cast("double") / col("a_n") >= t)
+      .select(
+        least(col("a_doc_id"), col("b_doc_id")).as("a_doc_id"),
+        greatest(col("a_doc_id"), col("b_doc_id")).as("b_doc_id"),
+        r6(col("i").cast("double") / col("a_n")).as("containment"))
+  }
+
   private val containmentPairs = Op(
     "sim_containment_pairs",
-    (s, sf) => {
-      val (masks, interExpr) = tokenMasks(s, sf)
-      val pairs = masks.select(col("doc_id").as("a_doc_id"))
-        .join(masks.select(col("doc_id").as("b_doc_id")), col("a_doc_id") < col("b_doc_id"))
-      maskVerify(pairs, masks, interExpr, 0.9,
-          (_, a, b) => least(a, b), "containment")
-        .orderBy("a_doc_id", "b_doc_id")
-    },
+    (s, sf) => containmentBlockedPairs(s, sf).orderBy("a_doc_id", "b_doc_id"),
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, len(list_intersect(a.ws, b.ws)) AS i, LEAST(a.n, b.n) AS mn FROM sets a JOIN sets b ON a.doc_id < b.doc_id) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / mn, 6) AS containment FROM pairs WHERE CAST(i AS DOUBLE) / mn >= 0.9 ORDER BY a_doc_id, b_doc_id"""),
   )
 

@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
     assert(banded.count() > 0, "radius-8 search is vacuous at this tier")
   }
 
+  test("blocked containment join is LOSSLESS (equals the all-pairs filter)") {
+    // The prefix+positional candidate stage must be exact, not a recall
+    // curve: prefix filtering guarantees the lowest-ranked common token
+    // of any qualifying pair is probed, first-collision emits it exactly
+    // once — so blocked == brute force is a hard invariant.
+    val blocked = SparkEntry.queries("sim_containment_pairs")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(lower(col("text")), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("a_doc_id"), col("toks").as("a_toks"))
+    val b = docs.select(col("doc_id").as("b_doc_id"), col("toks").as("b_toks"))
+    val brute = a.join(b, col("a_doc_id") < col("b_doc_id"))
+      .withColumn("i", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("mn", least(size(col("a_toks")), size(col("b_toks"))))
+      .filter(col("i").cast("double") / col("mn") >= 0.9)
+      .select(col("a_doc_id"), col("b_doc_id"),
+        ops.parity.r6(col("i").cast("double") / col("mn")).as("containment"))
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty,
+      "blocked containment diverges from brute force")
+    assert(blocked.count() > 0, "containment search is vacuous at this tier")
+  }
+
   test("map_entries_build agrees with agg_pivot_matrix counts") {
     // The op renders the map as a sorted "k:v,..." entries string (§7.3
     // "no MapType in output"); parse it back to rows for the comparison.
