@@ -81,7 +81,15 @@ object Clusters extends OpGroup {
     try {
     val maps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var rounds = 0
-    while (remaining > 0 && rounds < 32) {
+    // Bounded-tail endgame threshold: once the contracted graph fits in
+    // ~1 MB of driver memory, more distributed rounds are pure job
+    // overhead (3 pinned materializations each, measured ~1 s/round at
+    // this tier for 914→3→0 edges). The bound is a CONSTANT, not
+    // data-dependent — at any corpus scale the loop stays distributed
+    // until the remainder is this small, which geometric contraction
+    // guarantees it becomes.
+    val tailEdges = 1 << 16
+    while (remaining > tailEdges && rounds < 32) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // m: edge-incident node → min(self, neighbors). Map-side partial
       // min keeps the shuffle at ≤ (distinct nodes × partitions) rows.
@@ -119,6 +127,35 @@ object Clusters extends OpGroup {
       rounds += 1
       dbg(s"round=$rounds edges=$remaining")
     }
+    if (remaining > 0) {
+      // Finish the ≤64k-edge remainder with a driver union-find (one
+      // bounded collect, zero per-round job overhead) — the standard
+      // endgame for iterative CC (GraphX/Kiveris finish small contracted
+      // graphs centrally). Union-by-min keeps the invariant that every
+      // tree root is its component's minimum id, so the resulting map
+      // composes with the distributed rounds' maps unchanged.
+      val tail = e.select(col("u"), col("v")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      tail.foreach { row =>
+        val ru = find(row.getLong(0)); val rv = find(row.getLong(1))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val entries = parent.keysIterator.map(k => (k, find(k))).toList
+      if (entries.nonEmpty) {
+        import spark.implicits._
+        maps += entries.toDF("node", "l")
+      }
+      dbg(s"tail union-find edges=${tail.length} relabeled=${entries.size}")
+      remaining = 0
+      rounds += 1
+    }
     require(remaining == 0, s"connectedComponents did not converge in $rounds rounds")
     // Compose node → m1 → m2 → …: nodes untouched by round i keep their
     // current label (left join + coalesce keeps singletons total).
@@ -153,15 +190,29 @@ object Clusters extends OpGroup {
   private val clusterCc = Op(
     "dedup_cluster_cc",
     (s, sf) => {
+      // Shared-stage fold (r6): each pairer's self-join and the LSH
+      // verify consume an expensive doc-level relation TWICE, and the
+      // static plan shows no ReusedExchange unifying the duplicated
+      // subtrees — so pin the three O(docs)-row intermediates (16-sig
+      // minhash table, token bitmasks, simhash fingerprints) for the
+      // edge build. connectedComponents materializes the edge list
+      // eagerly at entry, so the caches are fully consumed — and freed —
+      // before the op returns (no blocks leak past it).
+      val sigs = Dedup.minhashSigs(s, sf, 16).persist()
+      val (masksDf, interExpr) = Dedup.tokenMasks(s, sf)
+      val masks = masksDf.persist()
+      val sh = Dedup.simhashFingerprints(s, sf).persist()
       // No distinct on the union: duplicate edges (a pair surfaced by
       // both pairers) are harmless under the loop's MIN aggregation, and
       // deduping would cost a full shuffle of the ~1M pair rows.
-      val edges = Dedup.minhashLshPairs(s, sf).select(
-          col("a_doc_id").as("u"), col("b_doc_id").as("v"))
-        .union(Dedup.simhashHammingPairs(s, sf).select(
+      val edges = Dedup.minhashLshPairs(s, sf, Some(sigs), Some((masks, interExpr)))
+        .select(col("a_doc_id").as("u"), col("b_doc_id").as("v"))
+        .union(Dedup.simhashHammingPairs(s, sf, Some(sh)).select(
           col("a_doc_id").as("u"), col("b_doc_id").as("v")))
       val nodes = Tables.documents(s, sf).select(col("doc_id").as("node"))
-      connectedComponents(nodes, edges)
+      val cc = connectedComponents(nodes, edges)
+      Seq(sigs, masks, sh).foreach(_.unpersist(false))
+      cc
         .select(col("node").as("member_doc_id"), col("label").as("canonical_doc_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("canonical_doc_id"))))

@@ -76,7 +76,7 @@ object Dedup extends OpGroup {
     * for the chosen width (expects a_mask/b_mask columns on the pair
     * rows). Shared by the brute-force and LSH-blocked Jaccard ops.
     */
-  private def tokenMasks(s: SparkSession, sf: String): (DataFrame, org.apache.spark.sql.Column) = {
+  private[ops] def tokenMasks(s: SparkSession, sf: String): (DataFrame, org.apache.spark.sql.Column) = {
     val tok = docTokens(s, sf)
     // Dense bit assignment via zipWithIndex partition offsets — any
     // word→bit BIJECTION yields identical popcount-Jaccard, so no
@@ -286,7 +286,7 @@ object Dedup extends OpGroup {
     * it saves. Revisit only if the hash gets expensive (e.g. longer
     * shingles) or the vocab/pair ratio collapses.
     */
-  private def minhashSigs(s: SparkSession, sf: String, k: Int): DataFrame = {
+  private[ops] def minhashSigs(s: SparkSession, sf: String, k: Int): DataFrame = {
     val sigCols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
     docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -333,9 +333,15 @@ object Dedup extends OpGroup {
   /** The LSH pipeline through verification, pre-sort — shared between the
     * keyed op and [[Clusters]]' near-dup graph build.
     */
-  private[ops] def minhashLshPairs(s: SparkSession, sf: String): DataFrame = {
+  private[ops] def minhashLshPairs(s: SparkSession, sf: String,
+      sigsIn: Option[DataFrame] = None,
+      masksIn: Option[(DataFrame, org.apache.spark.sql.Column)] = None): DataFrame = {
     val K = 16; val R = 4; val B = K / R
-    val sigs = minhashSigs(s, sf, K)
+    // Callers that consume several pairers over one corpus (cluster CC)
+    // pass pre-persisted sigs/masks: the band self-join and the verify
+    // both consume their doc-level relation twice, and static planning
+    // does not reliably unify the duplicated subtrees.
+    val sigs = sigsIn.getOrElse(minhashSigs(s, sf, K))
     // Band keys are xxhash64 of the R concatenated sigs, not the md5
     // string: the bucket join only needs EQUALITY, and a long key keeps
     // the 11M-row exploded band table and its join state 4× smaller.
@@ -370,7 +376,7 @@ object Dedup extends OpGroup {
       .filter(col("a_doc_id") < col("b_doc_id"))
       .filter(first)
       .select("a_doc_id", "b_doc_id")
-    val (masks, interExpr) = tokenMasks(s, sf)
+    val (masks, interExpr) = masksIn.getOrElse(tokenMasks(s, sf))
     jaccardVerify(cand, masks, interExpr, 0.9)
   }
 
@@ -415,15 +421,13 @@ object Dedup extends OpGroup {
     * banding in SQL. The one-long simhash rides the band explode as
     * payload, so verification needs no second join.
     */
-  /** The pigeonhole pipeline through verification, pre-sort — shared
-    * between the keyed op and [[Clusters]]' near-dup graph build.
+  /** The per-doc 60-bit fingerprint relation of the pigeonhole pipeline,
+    * split out so multi-pairer consumers ([[Clusters]]' near-dup graph
+    * build) can persist it across both band-join sides.
     */
-  private[ops] def simhashHammingPairs(s: SparkSession, sf: String): DataFrame = {
+  private[ops] def simhashFingerprints(s: SparkSession, sf: String): DataFrame = {
       graft.functions.SimHash60.register(s)
-      val R = 8
-      val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
-      val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
-      val sh = Tables.spread(s, Tables.documents(s, sf))
+      Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
           expr("transform(split(lower(text), ' '), w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
         // Native one-pass codegen'd fold (graft.functions.SimHash60) in
@@ -443,6 +447,14 @@ object Dedup extends OpGroup {
         // exchange pins simhash to one evaluation per doc; O(docs × 16
         // bytes) through the wire — linear at any scale.
         .repartition(col("doc_id"))
+  }
+
+  private[ops] def simhashHammingPairs(s: SparkSession, sf: String,
+      shIn: Option[DataFrame] = None): DataFrame = {
+      val R = 8
+      val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
+      val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
+      val sh = shIn.getOrElse(simhashFingerprints(s, sf))
       val bandCols = offs.zipWithIndex.map { case ((o, l), i) =>
         struct(lit(i).as("band_idx"),
           expr(s"shiftright(simhash, $o) & ${(1L << l) - 1}").as("bval"))
