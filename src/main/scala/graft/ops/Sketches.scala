@@ -24,7 +24,10 @@ object Sketches extends OpGroup {
   private[graft] def misraGries(k: Int)(it: Iterator[String]): Iterator[String] = {
     val counts = new java.util.HashMap[String, Long](k * 2)
     it.foreach { w =>
-      val c = counts.get(w)
+      // getOrDefault, not get: absent keys must read as 0 explicitly
+      // (unboxing get()'s null to 0L happens to work but is a refactor
+      // trap — any pattern match on the boxed result NPEs).
+      val c = counts.getOrDefault(w, 0L)
       if (c != 0L) counts.put(w, c + 1)
       else if (counts.size < k) counts.put(w, 1L)
       else {
@@ -41,11 +44,12 @@ object Sketches extends OpGroup {
 
   /** Corpus-global heavy bigrams (boilerplate/template detection, the
     * corpus-wide sibling of `text_ngram_topk`): word bigrams with exact
-    * count ≥ 30. Phase 1 runs Misra-Gries per partition (k sized from
-    * the measured stream length so the summaries are a guaranteed
-    * SUPERSET of the true heavy hitters at any corpus size —
-    * SketchSpec proves the bound on adversarial streams); phase 2
-    * exact-counts ONLY the candidate bigrams. At
+    * count ≥ 30. Phase 1 runs Misra-Gries per partition (k sized from a
+    * one-aggregate character-length UPPER BOUND on the stream, with a
+    * runtime assert of the partition-balance assumption, so the
+    * summaries are a guaranteed SUPERSET of the true heavy hitters at
+    * any corpus size — SketchSpec proves the bound on adversarial
+    * streams); phase 2 exact-counts ONLY the candidate bigrams. At
     * fixture NDV the sketch map never fills, but at 100 TB this is the
     * load-bearing difference: phase 2's per-partition hash state is
     * bounded by the (tiny) candidate set instead of the corpus NDV, so
@@ -63,15 +67,32 @@ object Sketches extends OpGroup {
         .select(split(lower(col("text")), " ").as("ws"))
         .select(expr(
           "explode(transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1])))").as("bigram"))
-      // k is DERIVED from the stream size, not hardcoded: the superset
-      // guarantee needs k + 1 > n/T (see misraGries scaladoc), so a
-      // fixed k silently breaks the moment the corpus outgrows it. The
-      // count is one cheap aggregate here; a production deployment reads
-      // n from table statistics instead of a pre-pass.
-      val n = bigrams.count()
-      val k = math.max(4096L, 2L * n / T + 1).toInt
+      // k is DERIVED from an UPPER BOUND on the stream size, not from a
+      // second tokenize+explode pass (the r5 bigrams.count() pre-pass):
+      // every bigram consumes ≥2 chars of text (word char + separator),
+      // so Σ⌊(len(text)−1)/2⌋ ≥ bigram count — one columnar length
+      // aggregate, the material a production deployment reads straight
+      // from table statistics. Oversizing k is free (map capacity is
+      // demand-grown, bounded by partition NDV), undersizing silently
+      // drops heavy hitters — so a bound, never an estimate.
+      val charSum = Tables.documents(s, sf)
+        .agg(sum(greatest(length(col("text")).cast("long") - 1, lit(0L))))
+        .first().getLong(0)
+      val k = math.max(4096L, charSum / T + 1).toInt // 2·(charSum/2)/T
+      val parts = bigrams.rdd.getNumPartitions.toLong
       val cands = bigrams.select("bigram").as[String]
-        .mapPartitions(misraGries(k)).toDF("bigram").distinct()
+        .mapPartitions { it =>
+          // Runtime witness of the balance assumption the superset
+          // guarantee rests on (ADVICE r5): an item with global count
+          // ≥ T survives its best partition iff T/P > n_p/(k+1). A
+          // skewed partitioning would otherwise DROP true heavy
+          // hitters with no error — fail loudly instead.
+          var m = 0L
+          val out = misraGries(k)(it.map { w => m += 1; w })
+          require(m * parts < T * (k + 1L),
+            s"partition stream of $m bigrams breaks the Misra-Gries superset bound (P=$parts, k=$k, T=$T)")
+          out
+        }.toDF("bigram").distinct()
       bigrams.join(broadcast(cands), "bigram")
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))

@@ -198,17 +198,21 @@ object TextOps extends OpGroup {
     "text_hashed_tfidf",
     (s, sf) => {
       val docs = Tables.spread(s, Tables.documents(s, sf))
-      val n = Tables.documents(s, sf).count()
+      // Corpus N as a 1-row scalar aggregate cross-joined in (the
+      // etl_dq_checks discipline) — not a count() driver pre-pass, so
+      // the whole op is ONE job with no extra scan.
+      val nDf = Tables.documents(s, sf).agg(count(lit(1)).as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(nDf))
         .withColumn("bucket",
           expr("cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % 64"))
         .groupBy("doc_id", "bucket")
         .agg(sum(expr(
-          s"cast(round(tf * ln(cast($n as double) / df) + 1e-9, 6) as decimal(18,6))"))
+          "cast(round(tf * ln(cast(n_docs as double) / df) + 1e-9, 6) as decimal(18,6))"))
           .cast("double").as("weight"))
         .orderBy("doc_id", "bucket")
     },
@@ -230,7 +234,9 @@ object TextOps extends OpGroup {
     "text_keywords_tfidf",
     (s, sf) => {
       import org.apache.spark.sql.expressions.Window
-      val n = Tables.documents(s, sf).count()
+      // Same one-job N fold as text_hashed_tfidf: scalar aggregate,
+      // cross join, no count() pre-pass.
+      val nDf = Tables.documents(s, sf).agg(count(lit(1)).as("n_docs"))
       val tf = Tables.spread(s, Tables.documents(s, sf))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -238,7 +244,8 @@ object TextOps extends OpGroup {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("weight").desc, col("word").asc)
       tf.join(broadcast(df), "word")
-        .withColumn("weight", r6(col("tf") * log(lit(n.toDouble) / col("df"))))
+        .crossJoin(broadcast(nDf))
+        .withColumn("weight", r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("word"), col("weight"))
