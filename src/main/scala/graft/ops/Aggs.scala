@@ -317,17 +317,24 @@ object Aggs extends OpGroup {
         sum(dec(col("l_quantity") * col("l_discount"))).cast("double").as("sqd"),
         sum(dec(col("l_extendedprice") * col("l_discount"))).cast("double").as("spd"),
       )
-      def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
-        r6((col("n") * col(sxy) - col(sx) * col(sy)) /
-          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
-            sqrt(col("n") * col(syy) - col(sy) * col(sy))))
+      // Zero-variance guard (ADVICE r5): a constant column makes the
+      // denominator 0, where Spark's non-ANSI Divide yields NULL but
+      // DuckDB's IEEE division yields ±inf — so both engines divide by
+      // NULLIF(den, 0) and agree on NULL. (`den =!= 0` is Spark's
+      // NULLIF: a NaN denominator compares true and propagates NaN,
+      // matching DuckDB's NULLIF(NaN, 0).)
+      def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) = {
+        val den = sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+          sqrt(col("n") * col(syy) - col(sy) * col(sy))
+        r6((col("n") * col(sxy) - col(sx) * col(sy)) / when(den =!= 0, den))
+      }
       a.select(col("l_returnflag"),
           corr("sq", "sp", "sqq", "spp", "sqp").as("corr_qty_price"),
           corr("sq", "sd", "sqq", "sdd", "sqd").as("corr_qty_disc"),
           corr("sp", "sd", "spp", "sdd", "spd").as("corr_price_disc"))
         .orderBy("l_returnflag")
     },
-    Some("""WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp, CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd, CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq, CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp, CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sdd, CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp, CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sqd, CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS spd FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND(1e-9 + (n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qty_price, ROUND(1e-9 + (n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6) AS corr_qty_disc, ROUND(1e-9 + (n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6) AS corr_price_disc FROM a ORDER BY l_returnflag"""),
+    Some("""WITH a AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp, CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd, CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sqq, CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS spp, CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sdd, CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sqp, CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sqd, CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS spd FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, ROUND(1e-9 + (n * sqp - sq * sp) / NULLIF(sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp), 0), 6) AS corr_qty_price, ROUND(1e-9 + (n * sqd - sq * sd) / NULLIF(sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd), 0), 6) AS corr_qty_disc, ROUND(1e-9 + (n * spd - sp * sd) / NULLIF(sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd), 0), 6) AS corr_price_disc FROM a ORDER BY l_returnflag"""),
   )
 
   /** Statistical MODE per group with a DETERMINISTIC tie-break (r5):
@@ -369,14 +376,19 @@ object Aggs extends OpGroup {
       val bounds = Tables.events(s, sf).groupBy(col("event_type"))
         .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
       Tables.events(s, sf).join(broadcast(bounds), "event_type")
+        // Degenerate-range guard (ADVICE r5): a single-valued group has
+        // mx == mn, where the two engines' 0/0 disagree (Spark NULL,
+        // DuckDB NaN) — both sides pin that case to bin 0 explicitly.
         .withColumn("bin",
-          least(lit(9), floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn")))).cast("int"))
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(lit(9),
+              floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn")))).cast("int")))
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).as("n"),
           r6(min(col("mn"))).as("lo"), r6(max(col("mx"))).as("hi"))
         .orderBy("event_type", "bin")
     },
-    Some("""WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY event_type) SELECT e.event_type AS event_type, CAST(LEAST(9, FLOOR((e.value - b.mn) * 10.0 / (b.mx - b.mn))) AS INT) AS bin, COUNT(*) AS n, ROUND(1e-9 + MIN(b.mn), 6) AS lo, ROUND(1e-9 + MAX(b.mx), 6) AS hi FROM events e JOIN b ON e.event_type = b.event_type GROUP BY 1, 2 ORDER BY e.event_type, bin"""),
+    Some("""WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY event_type) SELECT e.event_type AS event_type, CASE WHEN b.mx = b.mn THEN 0 ELSE CAST(LEAST(9, FLOOR((e.value - b.mn) * 10.0 / (b.mx - b.mn))) AS INT) END AS bin, COUNT(*) AS n, ROUND(1e-9 + MIN(b.mn), 6) AS lo, ROUND(1e-9 + MAX(b.mx), 6) AS hi FROM events e JOIN b ON e.event_type = b.event_type GROUP BY 1, 2 ORDER BY e.event_type, bin"""),
   )
 
   /** PARETO / cumulative-share curve (r5): parts ranked by exact

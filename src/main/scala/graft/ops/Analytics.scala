@@ -120,13 +120,18 @@ object Analytics extends OpGroup {
         .filter(col("n") >= 5)
         .withColumn("mean", col("sx") / col("n"))
         .withColumn("var", (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-        .withColumn("z", (col("value") - col("mean")) / sqrt(col("var")))
+        // Constant-window guard (ADVICE r5): a 20-identical-value trail
+        // makes sqrt(var) 0 — Spark's non-ANSI Divide would yield NULL
+        // while DuckDB yields ±inf. Both engines divide by NULLIF(·, 0)
+        // (`=!= 0` is the Spark spelling) so both emit NULL z there.
+        .withColumn("sd", sqrt(col("var")))
+        .withColumn("z", (col("value") - col("mean")) / when(col("sd") =!= 0, col("sd")))
         .select(col("event_id"), col("user_id"), col("value"),
           r6(col("mean")).as("trail_mean"), r6(col("z")).as("zscore"),
           (abs(col("z")) > 3).as("is_anomaly"))
         .orderBy("event_id")
     },
-    Some("""SELECT event_id, user_id, value, ROUND(1e-9 + sx / n, 6) AS trail_mean, ROUND(1e-9 + (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore, ABS((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3 AS is_anomaly FROM (SELECT event_id, user_id, value, COUNT(*) OVER w AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t WHERE n >= 5 ORDER BY event_id"""),
+    Some("""SELECT event_id, user_id, value, ROUND(1e-9 + sx / n, 6) AS trail_mean, ROUND(1e-9 + (value - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0), 6) AS zscore, ABS((value - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0)) > 3 AS is_anomaly FROM (SELECT event_id, user_id, value, COUNT(*) OVER w AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t WHERE n >= 5 ORDER BY event_id"""),
   )
 
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
