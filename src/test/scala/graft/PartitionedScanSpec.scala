@@ -66,13 +66,17 @@ class PartitionedScanSpec extends SparkSpec {
     val dir = ops.Scans.backfillDir(spark, sf)
     // Materialize the layout + run one backfill via the op.
     SparkEntry.queries("etl_backfill_partition")(spark, sf).collect(): Unit
+    // Rewrite detection by FILE NAME set: every Spark write job stamps a
+    // fresh job UUID into its part-file names, so a rewritten partition
+    // always changes names while an untouched one keeps them — no
+    // mtime-granularity sleep, immune to filesystem timestamp coarseness
+    // (ADVICE r5).
     def files(day: String) =
       Option(new java.io.File(s"$dir/event_date=$day").listFiles())
         .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getName, f.lastModified())).toSeq.sorted
+        .map(_.getName).toSeq.sorted
     val otherBefore = files("2024-01-14")
     val targetBefore = files("2024-01-15")
-    Thread.sleep(1100) // mtime granularity
     SparkEntry.queries("etl_backfill_partition")(spark, sf).collect(): Unit
     assert(files("2024-01-14") == otherBefore,
       "untouched partition was rewritten by the dynamic backfill")
