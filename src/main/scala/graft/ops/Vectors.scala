@@ -152,9 +152,12 @@ object Vectors extends OpGroup {
     * oracle (approximation is engine-specific); scalatest checks the
     * recall band and subset-of-exact property.
     */
-  private val annIvf = Op(
-    "vec_ann_ivf",
-    (s, sf) => {
+  /** The IVF pipeline with the probe width exposed — the op runs
+    * nprobe=2; VectorSpec sweeps {1,2,4} for the monotone-recall
+    * property (candidate sets are supersets in nprobe, so recall vs the
+    * exact top-k can only grow).
+    */
+  private[graft] def annIvfSearch(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
       val v = normed(s, sf)
       // The training loop's three jobs (seed + 2 Lloyd iterations)
       // execute EAGERLY here (localCheckpoint), and their shuffles carry
@@ -179,7 +182,7 @@ object Vectors extends OpGroup {
             .localCheckpoint()
         c
       }
-      val probes = nearestCells(v, cent, 2)
+      val probes = nearestCells(v, cent, nprobe)
         .select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"),
           col("nrm").as("a_nrm"), col("cid").as("bucket"))
       // Cell membership under the SAME trained quantizer (top-1 cell).
@@ -190,7 +193,11 @@ object Vectors extends OpGroup {
         .filter(col("a_vec_id") =!= col("b_vec_id"))
         .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
       topkSelect(pairs, 5)
-    },
+  }
+
+  private val annIvf = Op(
+    "vec_ann_ivf",
+    (s, sf) => annIvfSearch(s, sf, 2),
     None,
   )
 

@@ -40,6 +40,51 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.2 && recall <= 0.6, s"recall $recall outside the expected band for nprobe=2/5")
   }
 
+  test("IVF recall is monotone in nprobe (1 ≤ 2 ≤ 4) and strictly grows across the sweep") {
+    // Candidate sets are supersets as nprobe grows and every exact-top
+    // pair in the candidate set survives the per-query top-5 (global
+    // ordering), so recall vs the exact top-k is monotone BY
+    // CONSTRUCTION — this sweep is the executed witness of the
+    // recall/probe tradeoff the one-point band can't show.
+    val exact = SparkEntry.queries("vec_cosine_topk")(spark, sf)
+      .select(col("a_vec_id"), col("b_vec_id")).cache()
+    val nExact = exact.count().toDouble
+    val recalls = Seq(1, 2, 4).map { np =>
+      val ann = ops.Vectors.annIvfSearch(spark, sf, np)
+        .select(col("a_vec_id"), col("b_vec_id"))
+      np -> exact.join(ann, Seq("a_vec_id", "b_vec_id"), "left_semi").count() / nExact
+    }.toMap
+    assert(recalls(1) <= recalls(2) + 1e-9 && recalls(2) <= recalls(4) + 1e-9,
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls(4) > recalls(1),
+      s"widening nprobe 1→4 did not improve recall: $recalls")
+    exact.unpersist()
+  }
+
+  test("IVF tolerates a centroid that loses every member (empty cell)") {
+    import spark.implicits._
+    graft.functions.FloatVecDot.register(spark)
+    // Two tight clusters plus a seed centroid at (−1,−1) that attracts
+    // nothing: the Lloyd step must DROP the empty cell (no NaN centroid
+    // row emitted) and re-assignment under the shrunk quantizer must
+    // still cover every vector.
+    val v = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(1.0f, 0.2f)), (3L, Array(0.9f, 0.0f)),
+      (4L, Array(0.1f, 1.0f)), (5L, Array(0.0f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val seeds = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), (2L, Array(-1.0f, -1.0f)),
+    ).toDF("cid", "cvec")
+      .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+    val trained = ops.Vectors.meanCentroids(
+      ops.Vectors.nearestCells(v, seeds, 1).select(col("cid"), col("embedding")))
+    assert(trained.count() == 2, "empty cell should vanish, not linger as NaN")
+    val re = ops.Vectors.nearestCells(v, trained, 1)
+    assert(re.count() == 5 && re.filter(col("cid").isNull).count() == 0,
+      "re-assignment under the shrunk quantizer lost vectors")
+  }
+
   test("Lloyd training moves the centroids off the label seeds") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"),
