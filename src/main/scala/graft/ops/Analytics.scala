@@ -134,6 +134,121 @@ object Analytics extends OpGroup {
     Some("""SELECT event_id, user_id, value, ROUND(1e-9 + sx / n, 6) AS trail_mean, ROUND(1e-9 + (value - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0), 6) AS zscore, ABS((value - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0)) > 3 AS is_anomaly FROM (SELECT event_id, user_id, value, COUNT(*) OVER w AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t WHERE n >= 5 ORDER BY event_id"""),
   )
 
+  /** First-order MARKOV transition matrix over each user's event-type
+    * sequence (r6): P(next | current) from lead-paired counts — the
+    * behavioral-model / next-action-prediction aggregate. One window
+    * pass (total order ts, event_id), then counts aggregate per
+    * (from, to) BEFORE the probability normalization window, which
+    * therefore runs over ≤ |types|² rows, never the event stream.
+    */
+  private val markovTransitions = Op(
+    "analytics_markov_transitions",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.r6
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, sf)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p", r6(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type")))))
+        .orderBy("event_type", "next_type")
+    },
+    Some("""WITH t AS (SELECT user_id, event_type, LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), c AS (SELECT event_type, next_type, COUNT(*) AS n FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2) SELECT event_type, next_type, n, ROUND(1e-9 + CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6) AS p FROM c ORDER BY event_type, next_type"""),
+  )
+
+  /** Consecutive-week distinct-audience OVERLAP (r6) — the
+    * set-intersection-cardinality aggregate behind week-over-week
+    * retention and audience-overlap matrices. The heavy stage is ONE
+    * distinct on (week, user); overlap is a self-join of that distinct
+    * relation shifted by a week — co-partitioned on user at scale —
+    * and every count aggregates the already-distinct rows.
+    */
+  private val userOverlapWeeks = Op(
+    "agg_user_overlap_weeks",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val wu = Tables.events(s, sf)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
+        .distinct()
+      val n = wu.groupBy("week").agg(count(lit(1)).as("n_users"))
+      val both = wu.join(
+          wu.select(date_sub(col("week"), 7).as("week"),
+            col("user_id")),
+          Seq("week", "user_id"), "left_semi")
+        .groupBy("week").agg(count(lit(1)).as("n_retained"))
+      n.join(
+          n.select(date_sub(col("week"), 7).as("week"),
+            col("n_users").as("n_next_week")), "week")
+        .join(both, Seq("week"), "left")
+        .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+        .withColumn("retention", r6(col("n_retained").cast("double") / col("n_users")))
+        .select(col("week"), col("n_users"), col("n_next_week"), col("n_retained"), col("retention"))
+        .orderBy("week")
+    },
+    Some("""WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id FROM events), n AS (SELECT week, COUNT(*) AS n_users FROM wu GROUP BY week), b AS (SELECT a.week, COUNT(*) AS n_retained FROM wu a JOIN wu x ON x.week = a.week + 7 AND x.user_id = a.user_id GROUP BY a.week) SELECT n.week, n.n_users, n2.n_users AS n_next_week, COALESCE(b.n_retained, 0) AS n_retained, ROUND(1e-9 + CAST(COALESCE(b.n_retained, 0) AS DOUBLE) / n.n_users, 6) AS retention FROM n JOIN n n2 ON n2.week = n.week + 7 LEFT JOIN b ON b.week = n.week ORDER BY n.week"""),
+  )
+
+  /** Hourly RESAMPLE with linear interpolation (r6) — the time-series
+    * regularization step (sensor/metric pipelines, feature windows):
+    * each user's irregular event stream becomes an hourly grid, each
+    * grid point linearly interpolated between the last event at-or-
+    * before it and the first event strictly after it (tail points with
+    * no later event hold the last value, flagged is_carry). The
+    * dataflow is the join_asof union-carry pattern run BOTH directions:
+    * grid points and events union into one relation, one ascending and
+    * one descending window carry the bracketing events — two window
+    * passes over (events + grid), never an event×grid join. The
+    * interpolation fraction divides exact unix_micros integers, so both
+    * engines divide identical doubles.
+    */
+  private val resampleInterpolate = Op(
+    "ts_resample_interpolate",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.r6
+      val ev = Tables.events(s, sf)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"), lit(0).as("is_grid"))
+      val grid = Tables.events(s, sf).groupBy("user_id")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        // Guard the empty span (all of a user's events inside one hour):
+        // Spark's sequence() rejects start > stop with a positive step.
+        .filter(expr("date_trunc('hour', t0) + interval 1 hour <= date_trunc('hour', t1)"))
+        .select(col("user_id"),
+          explode(expr(
+            "sequence(date_trunc('hour', t0) + interval 1 hour, date_trunc('hour', t1), interval 1 hour)")).as("ts"))
+        .withColumn("value", lit(null).cast("double"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("is_grid", lit(1))
+      // Sort (ts, is_grid): an event exactly ON a grid hour sorts before
+      // the grid row ascending (it is the "prev") and after it
+      // descending (it is NOT the strictly-later "next").
+      val wa = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_grid").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("is_grid").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def evOnly(c: org.apache.spark.sql.Column) = when(col("is_grid") === 0, c)
+      val f = (unix_micros(col("ts")) - unix_micros(col("pt"))).cast("double") /
+        (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double")
+      ev.unionByName(grid)
+        .withColumn("pt", last(evOnly(col("ts")), ignoreNulls = true).over(wa))
+        .withColumn("pv", last(evOnly(col("value")), ignoreNulls = true).over(wa))
+        .withColumn("nt", last(evOnly(col("ts")), ignoreNulls = true).over(wd))
+        .withColumn("nv", last(evOnly(col("value")), ignoreNulls = true).over(wd))
+        .filter(col("is_grid") === 1 && col("pt").isNotNull)
+        .select(col("user_id"), col("ts").as("hour_ts"),
+          r6(when(col("nt").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) * f)).as("value_interp"),
+          col("nt").isNull.as("is_carry"))
+        .orderBy("user_id", "hour_ts")
+    },
+    Some("""WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events GROUP BY user_id), g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM b WHERE h0 <= h1), u AS (SELECT user_id, ts, value, event_id, 0 AS is_grid FROM events UNION ALL SELECT user_id, ts, NULL, NULL, 1 FROM g), c AS (SELECT user_id, ts, is_grid, LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wa AS pt, LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wa AS pv, LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wd AS nt, LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wd AS nv FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wd AS (PARTITION BY user_id ORDER BY ts DESC, is_grid DESC, event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, ts AS hour_ts, ROUND(1e-9 + CASE WHEN nt IS NULL THEN pv ELSE pv + (nv - pv) * CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE) END, 6) AS value_interp, nt IS NULL AS is_carry FROM c WHERE is_grid = 1 AND pt IS NOT NULL ORDER BY user_id, hour_ts"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
-    anomalyZscore)
+    anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate)
 }

@@ -208,6 +208,56 @@ object Windows extends OpGroup {
     Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), isl AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor, day FROM days), runs AS (SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS streak_start FROM isl GROUP BY user_id, anchor) SELECT user_id, len AS longest_streak, streak_start FROM runs QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start DESC) = 1 ORDER BY user_id"""),
   )
 
+  /** NTILE decile profiling (r6) — the equal-frequency sibling of
+    * stats_histogram_equiwidth: values bucketed into 10 equal-COUNT
+    * tiles per event_type, with per-decile stats. ntile assigns by row
+    * position, so the order must be TOTAL for cross-engine parity —
+    * (value, event_id) never ties. The per-decile aggregation is
+    * map-side combined; the ntile window itself shuffles once on the
+    * (low-cardinality) type key — at 100 TB the equi-DEPTH profile
+    * would come from approx_percentile instead, same output shape.
+    */
+  private val ntileDeciles = Op(
+    "win_ntile_deciles",
+    (s, sf) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, sf)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          r6(min(col("value"))).as("lo"),
+          r6(max(col("value"))).as("hi"),
+          r6(sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+        .orderBy("event_type", "decile")
+    },
+    Some("""WITH d AS (SELECT event_type, value, NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile FROM events) SELECT event_type, decile, COUNT(*) AS n, ROUND(1e-9 + MIN(value), 6) AS lo, ROUND(1e-9 + MAX(value), 6) AS hi, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value FROM d GROUP BY 1, 2 ORDER BY event_type, decile"""),
+  )
+
+  /** Window VALUE-function breadth (r6): first_value / nth_value over
+    * the full partition frame, percent_rank and cume_dist over the
+    * total (ts, event_id) order — the API surface the rank/aggregate
+    * window ops don't touch. Full-frame value functions need the whole
+    * partition resident, which is why the partition key is the
+    * high-cardinality user_id (the header's 100 TB rule).
+    */
+  private val valueFunctions = Op(
+    "win_value_functions",
+    (s, sf) => {
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, sf)
+        .withColumn("first_val", first_value(col("value")).over(full))
+        .withColumn("second_val", nth_value(col("value"), 2).over(full))
+        .withColumn("pct_rank", r6(percent_rank().over(ord)))
+        .withColumn("cume", r6(cume_dist().over(ord)))
+        .select(col("event_id"), col("user_id"), r6(col("first_val")).as("first_val"),
+          r6(col("second_val")).as("second_val"), col("pct_rank"), col("cume"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ROUND(1e-9 + FIRST_VALUE(value) OVER f, 6) AS first_val, ROUND(1e-9 + NTH_VALUE(value, 2) OVER f, 6) AS second_val, ROUND(1e-9 + PERCENT_RANK() OVER o, 6) AS pct_rank, ROUND(1e-9 + CUME_DIST() OVER o, 6) AS cume FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id), f AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
-    lagSessionize, rankDistribution, cumulativeDistinct, longestStreak)
+    lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
+    ntileDeciles, valueFunctions)
 }
