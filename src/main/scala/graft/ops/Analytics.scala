@@ -249,6 +249,40 @@ object Analytics extends OpGroup {
     Some("""WITH b AS (SELECT user_id, date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events GROUP BY user_id), g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts FROM b WHERE h0 <= h1), u AS (SELECT user_id, ts, value, event_id, 0 AS is_grid FROM events UNION ALL SELECT user_id, ts, NULL, NULL, 1 FROM g), c AS (SELECT user_id, ts, is_grid, LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wa AS pt, LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wa AS pv, LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS) OVER wd AS nt, LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER wd AS nv FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wd AS (PARTITION BY user_id ORDER BY ts DESC, is_grid DESC, event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, ts AS hour_ts, ROUND(1e-9 + CASE WHEN nt IS NULL THEN pv ELSE pv + (nv - pv) * CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE) END, 6) AS value_interp, nt IS NULL AS is_carry FROM c WHERE is_grid = 1 AND pt IS NOT NULL ORDER BY user_id, hour_ts"""),
   )
 
+  /** PERIOD-OVER-PERIOD change (r6) — the BI trend shape: daily order
+    * revenue with day-over-day and week-over-week percentage change.
+    * DoD comes from a lag window that only counts when the prior ROW is
+    * the prior CALENDAR day (sparse days yield NULL, not a bogus
+    * multi-day comparison); WoW is a self-join on day−7 — both run over
+    * the aggregated daily series (≈2.4k rows), never the raw orders.
+    * Percentages divide doubles cast from exact decimal sums.
+    */
+  private val periodOverPeriod = Op(
+    "ts_period_over_period",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.orders(s, sf)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .join(daily.select(date_add(col("day"), 7).as("day"),
+          col("rev").as("rev_wk_ago")), Seq("day"), "left")
+        .select(col("day"), r6(col("rev").cast("double")).as("revenue"),
+          r6(when(datediff(col("day"), col("prev_day")) === 1,
+            (col("rev") - col("prev_rev")).cast("double") * 100 /
+              col("prev_rev").cast("double"))).as("dod_pct"),
+          r6((col("rev") - col("rev_wk_ago")).cast("double") * 100 /
+            col("rev_wk_ago").cast("double")).as("wow_pct"))
+        .orderBy("day")
+    },
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY 1), l AS (SELECT day, rev, LAG(day) OVER (ORDER BY day) AS prev_day, LAG(rev) OVER (ORDER BY day) AS prev_rev FROM d) SELECT l.day, ROUND(1e-9 + CAST(l.rev AS DOUBLE), 6) AS revenue, ROUND(1e-9 + CASE WHEN l.day - l.prev_day = 1 THEN CAST(l.rev - l.prev_rev AS DOUBLE) * 100 / CAST(l.prev_rev AS DOUBLE) END, 6) AS dod_pct, ROUND(1e-9 + CAST(l.rev - w.rev AS DOUBLE) * 100 / CAST(w.rev AS DOUBLE), 6) AS wow_pct FROM l LEFT JOIN d w ON w.day = l.day - 7 ORDER BY l.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
-    anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate)
+    anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
+    periodOverPeriod)
 }

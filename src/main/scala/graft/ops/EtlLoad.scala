@@ -165,5 +165,52 @@ object EtlLoad extends OpGroup {
     Some("""SELECT * FROM (SELECT 'quantity_range' AS rule_id, 'lineitem' AS table_name, COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS n_violations, COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0 AS pass FROM lineitem UNION ALL SELECT 'discount_range', 'lineitem', COUNT(*) FILTER (l_discount < 0 OR l_discount > 1), COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) = 0 FROM lineitem UNION ALL SELECT 'fk_orders', 'lineitem', COUNT(*), COUNT(*) = 0 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) UNION ALL SELECT 'price_positive', 'orders', COUNT(*) FILTER (o_totalprice <= 0), COUNT(*) FILTER (o_totalprice <= 0) = 0 FROM orders UNION ALL SELECT 'key_unique', 'lineitem', (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d), (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d) = 0 FROM (VALUES (1)) v) t ORDER BY rule_id"""),
   )
 
-  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks)
+  /** SNAPSHOT DIFF (r6) — the data-diff/reconciliation operator every
+    * warehouse migration and replication audit runs: two snapshots of
+    * the orders table (A = orders before 1997; B = before 1998 with a
+    * simulated drift that reprices H1-1996 orders) compared by key with
+    * a row-content hash. One full-outer join on the key classifies
+    * every row added / removed / changed — unchanged rows are filtered
+    * OUT before anything sorts, so output is bounded by the drift, not
+    * the table. At 100 TB both sides hash-partition on the key and the
+    * content hash collapses arbitrary column widths into one
+    * comparison.
+    */
+  private val snapshotDiff = Op(
+    "etl_snapshot_diff",
+    (s, sf) => {
+      // The hashed price is INTEGER CENTS (floor of identical doubles —
+      // portable), never a float rendered to string: double→string and
+      // double→int casts round differently across engines.
+      def rowHash(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderstatus"),
+            col("cents").cast("string"), col("o_orderpriority"))).as("row_hash"))
+      val o = Tables.orders(s, sf)
+      val snapA = rowHash(
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .withColumn("cents", floor(col("o_totalprice") * 100).cast("long")))
+      val snapB = rowHash(
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .withColumn("cents",
+            when(col("o_orderdate").between(
+              lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")),
+              floor(col("o_totalprice") * 110))
+              .otherwise(floor(col("o_totalprice") * 100)).cast("long")))
+      snapA.select(col("o_orderkey"), col("row_hash").as("hash_a"))
+        .join(snapB.select(col("o_orderkey"), col("row_hash").as("hash_b")),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("hash_a").isNull, lit("added"))
+            .when(col("hash_b").isNull, lit("removed"))
+            .when(col("hash_a") =!= col("hash_b"), lit("changed")))
+        .filter(col("change_type").isNotNull)
+        .select(col("o_orderkey"), col("change_type"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH a AS (SELECT o_orderkey, md5(o_orderstatus || '|' || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' || o_orderpriority) AS hash_a FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'), b AS (SELECT o_orderkey, md5(o_orderstatus || '|' || CAST(CAST(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00' THEN FLOOR(o_totalprice * 110) ELSE FLOOR(o_totalprice * 100) END AS BIGINT) AS VARCHAR) || '|' || o_orderpriority) AS hash_b FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, CASE WHEN a.o_orderkey IS NULL THEN 'added' WHEN b.o_orderkey IS NULL THEN 'removed' WHEN hash_a <> hash_b THEN 'changed' END AS change_type FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey WHERE (a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR hash_a <> hash_b) ORDER BY o_orderkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
+    snapshotDiff)
 }

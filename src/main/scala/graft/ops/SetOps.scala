@@ -48,5 +48,34 @@ object SetOps extends OpGroup {
     Some("""SELECT nationkey, n_name FROM (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000 EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9800) t JOIN nation ON nationkey = n_nationkey ORDER BY nationkey"""),
   )
 
-  val ops: Seq[Op] = Seq(unionDistinct, intersect, except)
+  /** BAG-semantics INTERSECT ALL (r6): multiplicity min(m, n) per key —
+    * a genuinely different operator from the distinct variant (Catalyst
+    * plans a count-aggregate + generate replication, not a semi-join
+    * under distinct). Customers∩suppliers by nation key keeps one row
+    * per MATCHED OCCURRENCE, the semantics audits need when row counts
+    * carry meaning.
+    */
+  private val intersectAll = Op(
+    "set_intersect_all",
+    (s, sf) => withName(s, sf, custNations(s, sf).intersectAll(suppNations(s, sf))),
+    Some("""SELECT nationkey, n_name FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey AS nationkey FROM supplier) t JOIN nation ON nationkey = n_nationkey ORDER BY nationkey"""),
+  )
+
+  /** BAG-semantics EXCEPT ALL (r6): multiplicity max(m − n, 0) — the
+    * "what's left after consuming one match each" audit. Same filtered
+    * inputs as set_except so the difference is non-vacuous at every sf.
+    */
+  private val exceptAll = Op(
+    "set_except_all",
+    (s, sf) => withName(
+      s, sf,
+      Tables.customer(s, sf).filter(col("c_acctbal") > 5000)
+        .select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, sf).filter(col("s_acctbal") > 9800)
+          .select(col("s_nationkey").as("nationkey")))),
+    Some("""SELECT nationkey, n_name FROM (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000 EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9800) t JOIN nation ON nationkey = n_nationkey ORDER BY nationkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(unionDistinct, intersect, except, intersectAll,
+    exceptAll)
 }
