@@ -525,7 +525,37 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents), sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS s FROM tok WHERE len(ts) >= 3), n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_doc_id, b_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard FROM inter JOIN n na ON na.doc_id = a_doc_id JOIN n nb ON nb.doc_id = b_doc_id WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5 ORDER BY a_doc_id, b_doc_id"""),
   )
 
+  /** Blocked EDIT-DISTANCE fuzzy matching (r6) — the string-similarity
+    * entity-resolution shape (cobradb's synonym matching:
+    * component_loading.py resolves gene names against GenBank synonyms;
+    * here: near-identical part names within a brand family). Candidates
+    * are BLOCKED on (brand, |len(a)−len(b)| ≤ 3): the length filter is
+    * a lossless lower bound on edit distance (each edit changes length
+    * by ≤ 1) and the brand key is the deliberate blocking decision —
+    * within-family resolution, the standard ER trade documented since
+    * Fellegi-Sunter. The codegen'd levenshtein verify runs only inside
+    * blocks: Σ block² work, never all pairs.
+    */
+  private val editdistBrandPairs = Op(
+    "sim_editdist_brand_pairs",
+    (s, sf) => {
+      val p = Tables.part(s, sf)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_partkey"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_partkey"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("a_partkey") < col("b_partkey") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 3)
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 3)
+        .select(col("p_brand"), col("a_partkey"), col("b_partkey"),
+          col("a_name"), col("b_name"), col("dist"))
+        .orderBy("p_brand", "a_partkey", "b_partkey")
+    },
+    Some("""SELECT a.p_brand AS p_brand, a.p_partkey AS a_partkey, b.p_partkey AS b_partkey, a.p_name AS a_name, b.p_name AS b_name, CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey AND abs(length(a.p_name) - length(b.p_name)) <= 3 WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY a.p_brand, a_partkey, b_partkey"""),
+  )
+
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
-    ngramJaccard)
+    ngramJaccard, editdistBrandPairs)
 }

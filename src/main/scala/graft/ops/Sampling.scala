@@ -178,6 +178,31 @@ object Sampling extends OpGroup {
     Some("""WITH base AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks, len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','in','is','you','that','it','was'))) AS n_stop, length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit FROM documents), scored AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, ROUND(1e-9 + LEAST(1.0, GREATEST(0.0, 0.3 + LEAST(CAST(len(toks) AS DOUBLE) / 200, 0.35) + CAST(n_stop AS DOUBLE) / len(toks) * 0.5 - CAST(n_digit AS DOUBLE) / length(text) * 2.0)), 6) AS quality, md5(array_to_string(list_sort(toks), ' ')) AS canon_hash FROM base), flagged AS (SELECT doc_id, quality, n_tok, doc_id <> MIN(doc_id) OVER (PARTITION BY canon_hash) AS is_dup_loser, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket FROM scored) SELECT doc_id, quality, n_tok, is_dup_loser, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, CASE WHEN is_dup_loser THEN false WHEN quality < 0.5 THEN false WHEN n_tok < 20 OR n_tok > 1000 THEN false ELSE true END AS keep, CASE WHEN is_dup_loser THEN 'exact_dup' WHEN quality < 0.5 THEN 'low_quality' WHEN n_tok < 20 OR n_tok > 1000 THEN 'bad_length' ELSE 'keep' END AS reason FROM flagged ORDER BY doc_id"""),
   )
 
+  /** WEIGHTED deterministic sampling (r6) — the quality-weighted corpus
+    * downsampling stage (upsample long/high-quality docs, downsample
+    * short ones) with NO rand(): each doc draws u = hash28/2²⁸ — a
+    * reproducible uniform — and survives iff u < w, where w is the
+    * doc's token-length-scaled weight clamped to [0.05, 0.95]. Pure
+    * per-row projection (the sample_hash_split contract: same keep set
+    * on every engine, run, and scale); expected kept fraction = mean w.
+    */
+  private val weightedHash = Op(
+    "sample_weighted_hash",
+    (s, sf) => {
+      val w = least(lit(0.95), greatest(lit(0.05),
+        size(split(lower(col("text")), " ")).cast("double") / 150))
+      // Filter on the RAW quotients, round only survivors (the
+      // maskVerify discipline — the boundary can't flip on rounding).
+      Tables.documents(s, sf)
+        .withColumn("w_raw", w)
+        .withColumn("u_raw", hash28(col("doc_id")).cast("double") / (1L << 28))
+        .filter(col("u_raw") < col("w_raw"))
+        .select(col("doc_id"), graft.ops.parity.r6(col("w_raw")).as("weight"), graft.ops.parity.r6(col("u_raw")).as("u"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, ROUND(1e-9 + LEAST(0.95, GREATEST(0.05, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 150)), 6) AS weight, ROUND(1e-9 + CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456, 6) AS u FROM documents WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456 < LEAST(0.95, GREATEST(0.05, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 150)) ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
-    curationPipeline)
+    curationPipeline, weightedHash)
 }

@@ -257,7 +257,30 @@ object Windows extends OpGroup {
     Some("""SELECT event_id, user_id, ROUND(1e-9 + FIRST_VALUE(value) OVER f, 6) AS first_val, ROUND(1e-9 + NTH_VALUE(value, 2) OVER f, 6) AS second_val, ROUND(1e-9 + PERCENT_RANK() OVER o, 6) AS pct_rank, ROUND(1e-9 + CUME_DIST() OVER o, 6) AS cume FROM events WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id), f AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY event_id"""),
   )
 
+  /** Time-RANGE window frame (r6): trailing 1-HOUR (not 1-row) sum and
+    * count per user — the frame family every other window op here
+    * avoids (they are all ROWS frames). RANGE frames are defined by the
+    * ORDER value, so same-microsecond peers are IN the frame regardless
+    * of tie order — deterministic without an event_id tiebreak, which
+    * is exactly what makes them the right tool for time-based trailing
+    * aggregates. Spark spells the interval as a ±micros range over
+    * unix_micros; the oracle uses RANGE INTERVAL — identical frames.
+    */
+  private val rangeFrameSum = Op(
+    "win_range_frame_sum",
+    (s, sf) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, sf)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", r6(sum(dec(col("value"))).over(w).cast("double")))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, COUNT(*) OVER w AS n_1h, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
-    ntileDeciles, valueFunctions)
+    ntileDeciles, valueFunctions, rangeFrameSum)
 }
