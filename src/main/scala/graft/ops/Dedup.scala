@@ -539,15 +539,26 @@ object Dedup extends OpGroup {
   private val editdistBrandPairs = Op(
     "sim_editdist_brand_pairs",
     (s, sf) => {
+      // MEMOIZED verify: part names draw from a small pool (~1k distinct
+      // names over 20k parts at sf0.1), so levenshtein runs once per
+      // ordered DISTINCT-NAME pair (with the Δlen prefilter), and the
+      // qualifying name-pair table — output-sized, broadcastable —
+      // expands back to part pairs through two equi-joins on (name) and
+      // (brand, name). 8M per-part-pair levenshtein evals collapse to
+      // ~1M per-name-pair evals; the expansion streams only matches.
       val p = Tables.part(s, sf)
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      val a = p.select(col("p_brand"), col("p_partkey").as("a_partkey"), col("p_name").as("a_name"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("b_partkey"), col("p_name").as("b_name"))
-      a.join(b, Seq("p_brand"))
-        .filter(col("a_partkey") < col("b_partkey") &&
+      val dn = p.select(col("p_name")).distinct()
+      val qn = dn.select(col("p_name").as("a_name"))
+        .join(dn.select(col("p_name").as("b_name")),
           abs(length(col("a_name")) - length(col("b_name"))) <= 3)
         .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
         .filter(col("dist") <= 3)
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_partkey"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_partkey"), col("p_name").as("b_name"))
+      a.join(broadcast(qn), Seq("a_name"))
+        .join(b, Seq("p_brand", "b_name"))
+        .filter(col("a_partkey") < col("b_partkey"))
         .select(col("p_brand"), col("a_partkey"), col("b_partkey"),
           col("a_name"), col("b_name"), col("dist"))
         .orderBy("p_brand", "a_partkey", "b_partkey")
