@@ -282,7 +282,43 @@ object Analytics extends OpGroup {
     Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY 1), l AS (SELECT day, rev, LAG(day) OVER (ORDER BY day) AS prev_day, LAG(rev) OVER (ORDER BY day) AS prev_rev FROM d) SELECT l.day, ROUND(1e-9 + CAST(l.rev AS DOUBLE), 6) AS revenue, ROUND(1e-9 + CASE WHEN l.day - l.prev_day = 1 THEN CAST(l.rev - l.prev_rev AS DOUBLE) * 100 / CAST(l.prev_rev AS DOUBLE) END, 6) AS dod_pct, ROUND(1e-9 + CAST(l.rev - w.rev AS DOUBLE) * 100 / CAST(w.rev AS DOUBLE), 6) AS wow_pct FROM l LEFT JOIN d w ON w.day = l.day - 7 ORDER BY l.day"""),
   )
 
+  /** Top SESSION PATHS (r6) — the path-analysis shape (which event
+    * sequences do sessions actually take): 30-minute-gap sessionization
+    * (win_lag_sessionize's exact-microsecond discipline), each
+    * session's first 8 event types joined into an ordered path string,
+    * top-20 paths by frequency. Order inside a session is recovered by
+    * sorting (ts, event_id, type) structs INSIDE the aggregate — no
+    * second window over raw events — and the rank window runs over the
+    * aggregated path counts only.
+    */
+  private val sessionPaths = Op(
+    "analytics_session_paths",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val paths = Tables.events(s, sf)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(expr(
+          "concat_ws('>', slice(transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type), 1, 8))")
+          .as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("path").asc)).cast("int"))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("path"), col("n_sessions"))
+        .orderBy("rk")
+    },
+    Some("""WITH sess AS (SELECT user_id, ts, event_id, event_type, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, event_type, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t), p AS (SELECT user_id, session_id, array_to_string(list_slice(string_split(string_agg(event_type, '>' ORDER BY ts, event_id), '>'), 1, 8), '>') AS path FROM sess GROUP BY 1, 2), c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path) SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT) AS rk, path, n_sessions FROM c QUALIFY rk <= 20 ORDER BY rk"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
-    periodOverPeriod)
+    periodOverPeriod, sessionPaths)
 }

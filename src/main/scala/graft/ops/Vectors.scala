@@ -259,6 +259,30 @@ object Vectors extends OpGroup {
     Some("""WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), sc AS (SELECT dim, MAX(ABS(x)) AS mx FROM e GROUP BY dim) SELECT e.vec_id, e.dim AS dim, CAST(ROUND(CASE WHEN sc.mx > 0 THEN e.x * 127.0 / sc.mx + 1e-9 ELSE 0 END) AS INT) AS q FROM e JOIN sc ON e.dim = sc.dim ORDER BY e.vec_id, e.dim"""),
   )
 
+  /** Matryoshka-style TRUNCATION (r6): keep the first 16 of 64 dims and
+    * renormalize — the MRL/dimension-reduction export step that trades
+    * recall for 4× index size (Kusupati et al. 2022's deployment
+    * pattern; here the arithmetic + plumbing, training-agnostic). Emits
+    * the truncated norm and its share of the full norm (how much energy
+    * the prefix holds) — per-vector HOF arithmetic, no shuffle before
+    * the output sort; the renormalized prefix itself is what an index
+    * build would consume downstream.
+    */
+  private val truncateRenorm = Op(
+    "vec_truncate_renorm",
+    (s, sf) => {
+      graft.functions.FloatVecDot.register(s)
+      Tables.embeddings(s, sf)
+        .withColumn("t", expr("slice(embedding, 1, 16)"))
+        .withColumn("tnorm", sqrt(expr("vec_dot(t, t)")))
+        .withColumn("fnorm", sqrt(expr("vec_dot(embedding, embedding)")))
+        .select(col("vec_id"), r6(col("tnorm")).as("trunc_norm"),
+          r6(col("tnorm") / when(col("fnorm") =!= 0, col("fnorm"))).as("energy_share"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, sqrt(list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS tnorm, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS fnorm FROM embeddings) SELECT vec_id, ROUND(1e-9 + tnorm, 6) AS trunc_norm, ROUND(1e-9 + tnorm / NULLIF(fnorm, 0), 6) AS energy_share FROM v ORDER BY vec_id"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8)
+    quantizeInt8, truncateRenorm)
 }

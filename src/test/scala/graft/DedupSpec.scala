@@ -117,6 +117,27 @@ class DedupSpec extends SparkSpec {
     assert(blocked.count() > 0, "containment search is vacuous at this tier")
   }
 
+  test("editdist name-pair memoization is LOSSLESS within brands") {
+    // The memoized plan (levenshtein once per distinct ordered name
+    // pair, expanded back through equi-joins) must equal the naive
+    // within-brand all-pairs formulation exactly — the Δlen prefilter
+    // is a true lower bound on edit distance and the expansion joins
+    // must neither drop nor duplicate part pairs.
+    val blocked = SparkEntry.queries("sim_editdist_brand_pairs")(spark, sf)
+    val p = Tables.part(spark, sf).select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("a_partkey"), col("p_name").as("a_name"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("b_partkey"), col("p_name").as("b_name"))
+    val naive = a.join(b, Seq("p_brand"))
+      .filter(col("a_partkey") < col("b_partkey"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 3)
+      .select(col("p_brand"), col("a_partkey"), col("b_partkey"),
+        col("a_name"), col("b_name"), col("dist"))
+    assert(blocked.exceptAll(naive).isEmpty && naive.exceptAll(blocked).isEmpty,
+      "memoized editdist diverges from the all-pairs formulation")
+    assert(blocked.count() > 0, "fuzzy matcher is vacuous at this tier")
+  }
+
   test("map_entries_build agrees with agg_pivot_matrix counts") {
     // The op renders the map as a sorted "k:v,..." entries string (§7.3
     // "no MapType in output"); parse it back to rows for the comparison.
