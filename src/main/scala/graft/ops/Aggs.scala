@@ -420,8 +420,139 @@ object Aggs extends OpGroup {
     Some("""WITH rev AS (SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev FROM lineitem GROUP BY l_partkey) SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rk, l_partkey, ROUND(1e-9 + CAST(rev AS DOUBLE), 6) AS revenue, ROUND(1e-9 + CAST(SUM(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_share FROM rev WINDOW w AS (ORDER BY rev DESC, l_partkey) ORDER BY rk"""),
   )
 
+  /** OLS TREND FIT (r6) — per-type linear regression of daily event
+    * volume on the day index, the closed-form trend/forecast primitive
+    * behind capacity planning and drift alerts. Same discipline as
+    * stats_corr_pairs: one daily pre-aggregation (partition-parallel),
+    * then the five regression sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * EXACT decimal sums in a second tiny hash agg, and the slope /
+    * intercept / r² closed forms evaluate in doubles from those
+    * engine-identical inputs. x is centered on a fixed anchor date so
+    * every product stays far inside double-exact integer range (< 2⁵³)
+    * at any corpus scale. Zero-variance denominators divide through the
+    * NULLIF guard (single-day groups yield NULL, both engines).
+    */
+  private val linregTrend = Op(
+    "stats_linreg_trend",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(dec(col("y") * col("y"))).cast("double").as("syy"),
+      )
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val slope = cov / when(den =!= 0, den)
+      val r2den = den * (col("n") * col("syy") - col("sy") * col("sy"))
+      a.select(col("event_type"), col("n").cast("long").as("n_days"),
+          r6(slope).as("slope"),
+          r6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          r6(cov * cov / when(r2den =!= 0, r2den)).as("r2"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) - DATE '2024-01-01' AS x, COUNT(*) AS y FROM events GROUP BY 1, 2), a AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx, CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy, CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy, CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx, CAST(SUM(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy FROM daily GROUP BY event_type) SELECT event_type, CAST(n AS BIGINT) AS n_days, ROUND(1e-9 + (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope, ROUND(1e-9 + (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 6) AS intercept, ROUND(1e-9 + (n * sxy - sx * sy) * (n * sxy - sx * sy) / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2 FROM a ORDER BY event_type"""),
+  )
+
+  /** IQR OUTLIER FENCES (r6) — the robust (quartile-based) outlier
+    * screen: per-type Tukey fences [q1 − 1.5·IQR, q3 + 1.5·IQR] from
+    * exact interpolated quartiles (the agg_percentile_exact machinery),
+    * then one counting pass over the events with the 5-row fence table
+    * broadcast back. Complements win_anomaly_zscore (which assumes
+    * normality and a per-entity trailing window) with the distribution-
+    * free corpus-wide variant. Fences compare RAW doubles — both
+    * engines interpolate the same sorted neighbors, so the comparison
+    * inputs are bit-identical; rounding only touches the reported
+    * columns.
+    */
+  private val iqrOutliers = Op(
+    "stats_iqr_outliers",
+    (s, sf) => {
+      val fences = Tables.events(s, sf).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      Tables.events(s, sf).join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("value") < col("lo") || col("value") > col("hi")).cast("long")).as("n_outliers"),
+          r6(min(col("q1"))).as("q1"), r6(min(col("q3"))).as("q3"),
+          r6(min(col("lo"))).as("fence_lo"), r6(min(col("hi"))).as("fence_hi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH f AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type), g AS (SELECT event_type, q1, q3, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f) SELECT e.event_type AS event_type, COUNT(*) AS n_rows, CAST(SUM(CAST(e.value < g.lo OR e.value > g.hi AS BIGINT)) AS BIGINT) AS n_outliers, ROUND(1e-9 + MIN(g.q1), 6) AS q1, ROUND(1e-9 + MIN(g.q3), 6) AS q3, ROUND(1e-9 + MIN(g.lo), 6) AS fence_lo, ROUND(1e-9 + MIN(g.hi), 6) AS fence_hi FROM events e JOIN g ON e.event_type = g.event_type GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** BENFORD first-digit profile (r6) — the forensic / data-quality
+    * screen on magnitude distributions (fabricated or truncated numeric
+    * columns diverge from log-uniform leading digits). First significant
+    * digit via pure double math — floor(x / 10^floor(log10 x)) — never
+    * via string rendering (engines format doubles differently). One
+    * map-side-combined hash agg on a 9-value key; expected share is the
+    * closed form log10(1 + 1/d). Positive-value filter stated
+    * explicitly; both engines see identical doubles end-to-end.
+    */
+  private val benfordDigits = Op(
+    "stats_benford_digits",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.orders(s, sf).filter(col("o_totalprice") > 0)
+        .select(floor(col("o_totalprice") /
+          pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      d.withColumn("total", sum(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("digit"), col("n"),
+          r6(col("n").cast("double") / col("total")).as("pct"),
+          r6(log10(lit(1.0) + lit(1.0) / col("digit"))).as("benford_pct"),
+          r6(col("n").cast("double") / col("total") -
+            log10(lit(1.0) + lit(1.0) / col("digit"))).as("deviation"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit, COUNT(*) AS n FROM orders WHERE o_totalprice > 0 GROUP BY 1) SELECT digit, n, ROUND(1e-9 + CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS pct, ROUND(1e-9 + LOG10(1.0 + 1.0 / digit), 6) AS benford_pct, ROUND(1e-9 + CAST(n AS DOUBLE) / SUM(n) OVER () - LOG10(1.0 + 1.0 / digit), 6) AS deviation FROM d ORDER BY digit"""),
+  )
+
+  /** GINI COEFFICIENT (r6) of customer revenue concentration — the
+    * scalar inequality measure next to stats_pareto_cum_share's full
+    * curve (skew sizing, fairness audits). Closed form over the
+    * rank-weighted exact sums: G = (2·Σ(rankᵢ·revᵢ) − (n+1)·Σrev) /
+    * (n·Σrev), with ranks from one total-order window over the
+    * AGGREGATED per-customer rows and both Σ as exact decimals (rank ×
+    * decimal stays exact) — the corrPairs discipline; the one float op
+    * is the final division. Revenue ties break on custkey (the sum
+    * rk*rev is permutation-invariant within a tied group, but the
+    * stated total order keeps every intermediate engine-identical).
+    */
+  private val giniCoefficient = Op(
+    "agg_gini_coefficient",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, sf).groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val ranked = rev.withColumn("rk",
+        row_number().over(Window.orderBy(col("rev").asc, col("o_custkey").asc)))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("rev")).as("srev"),
+          sum(expr("rk * rev")).as("swrev"))
+        .select(col("n").as("n_customers"),
+          r6(col("srev").cast("double")).as("total_rev"),
+          r6((lit(2.0) * col("swrev").cast("double") -
+            (col("n") + 1).cast("double") * col("srev").cast("double")) /
+            (col("n").cast("double") * col("srev").cast("double"))).as("gini"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY o_custkey), rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rk FROM rev), a AS (SELECT COUNT(*) AS n, SUM(rev) AS srev, SUM(rk * rev) AS swrev FROM rk) SELECT n AS n_customers, ROUND(1e-9 + CAST(srev AS DOUBLE), 6) AS total_rev, ROUND(1e-9 + (2.0 * CAST(swrev AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(srev AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(srev AS DOUBLE)), 6) AS gini FROM a"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
-    modePerGroup, histogramEquiwidth, paretoCumShare)
+    modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
+    benfordDigits, giniCoefficient)
 }

@@ -318,7 +318,168 @@ object Analytics extends OpGroup {
     Some("""WITH sess AS (SELECT user_id, ts, event_id, event_type, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, event_type, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events) t), p AS (SELECT user_id, session_id, array_to_string(list_slice(string_split(string_agg(event_type, '>' ORDER BY ts, event_id), '>'), 1, 8), '>') AS path FROM sess GROUP BY 1, 2), c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path) SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT) AS rk, path, n_sessions FROM c QUALIFY rk <= 20 ORDER BY rk"""),
   )
 
+  /** RFM SEGMENTATION (r6) — the classic customer-value grid: per
+    * customer recency (last order day), frequency (order count) and
+    * monetary (exact decimal revenue), each scored 1–5 by NTILE over a
+    * TOTAL order (metric, then c_custkey — NTILE over a tied order is
+    * nondeterministic across engines, the win_ntile_deciles lesson).
+    * Score 5 = most recent / most frequent / highest spend. The three
+    * rank windows run over the aggregated per-customer rows only
+    * (|customers|, not |orders|); at 100 TB each is one sort of an
+    * already-reduced relation.
+    */
+  private val rfmSegments = Op(
+    "analytics_rfm_segments",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val base = Tables.orders(s, sf).groupBy(col("o_custkey")).agg(
+        max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("monetary"))
+      base
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("last_day").asc, col("o_custkey").asc)))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("n_orders").asc, col("o_custkey").asc)))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").asc, col("o_custkey").asc)))
+        .select(col("o_custkey"), col("last_day"), col("n_orders"),
+          r6(col("monetary").cast("double")).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH base AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary FROM orders GROUP BY o_custkey), sc AS (SELECT o_custkey, last_day, n_orders, monetary, CAST(NTILE(5) OVER (ORDER BY last_day ASC, o_custkey ASC) AS INT) AS r_score, CAST(NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS INT) AS f_score, CAST(NTILE(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS INT) AS m_score FROM base) SELECT o_custkey, last_day, n_orders, ROUND(1e-9 + CAST(monetary AS DOUBLE), 6) AS monetary, r_score, f_score, m_score, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment FROM sc ORDER BY o_custkey"""),
+  )
+
+  /** EWMA SMOOTHING (r6) — exponentially weighted moving average over
+    * each type's daily value series, the standard trend smoother /
+    * simple-forecast baseline. The recursive definition is unrolled
+    * over a 10-day trailing horizon (weights 0.7^k — below 0.7¹⁰ < 3%
+    * the tail is noise) and evaluated as Σ w_k·y_{t−k} / Σ w_k with
+    * the weights as EXACT DECIMAL LITERALS (0.7^k is exactly k+1
+    * decimal digits), so both engines sum identical decimals and the
+    * single final division is the only float op (r6-rounded). The
+    * trailing rows arrive by an explode-k equi-join on (type, rn−k) —
+    * 10× the aggregated daily rows, never a range join and never the
+    * raw events; rn comes from one window over the daily series.
+    */
+  private val ewmaSmooth = Op(
+    "ts_ewma_smooth",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val wts = Seq("1.0", "0.7", "0.49", "0.343", "0.2401", "0.16807",
+        "0.117649", "0.0823543", "0.05764801", "0.040353607")
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("y"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val probes = daily.select(col("event_type"), col("day"), col("y"), col("rn"),
+          explode(expr(s"array(${wts.indices.mkString(",")})")).as("k"))
+        .withColumn("prn", col("rn") - col("k"))
+        .withColumn("w", element_at(
+          expr(s"array(${wts.map(w => s"CAST($w AS DECIMAL(10,9))").mkString(",")})"),
+          col("k") + 1))
+      probes.join(
+          daily.select(col("event_type"), col("rn").as("prn"), col("y").as("py")),
+          Seq("event_type", "prn"))
+        .groupBy(col("event_type"), col("day"), col("y"))
+        // Divide as doubles cast from the exact decimal sums — decimal
+        // division itself rounds to engine-specific result scales.
+        .agg((sum(col("py") * col("w")).cast("double") /
+          sum(col("w")).cast("double")).as("ewma"))
+        .select(col("event_type"), col("day"),
+          r6(col("y").cast("double")).as("daily_value"),
+          r6(col("ewma")).as("ewma"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS y, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn FROM events GROUP BY 1, 2), k AS (SELECT unnest(generate_series(0, 9)) AS k), w AS (SELECT k.k, CAST(CASE k.k WHEN 0 THEN '1.0' WHEN 1 THEN '0.7' WHEN 2 THEN '0.49' WHEN 3 THEN '0.343' WHEN 4 THEN '0.2401' WHEN 5 THEN '0.16807' WHEN 6 THEN '0.117649' WHEN 7 THEN '0.0823543' WHEN 8 THEN '0.05764801' ELSE '0.040353607' END AS DECIMAL(10,9)) AS w FROM k) SELECT c.event_type, c.day, ROUND(1e-9 + CAST(c.y AS DOUBLE), 6) AS daily_value, ROUND(1e-9 + CAST(SUM(p.y * w.w) AS DOUBLE) / CAST(SUM(w.w) AS DOUBLE), 6) AS ewma FROM daily c JOIN w ON TRUE JOIN daily p ON p.event_type = c.event_type AND p.rn = c.rn - w.k GROUP BY c.event_type, c.day, c.y ORDER BY c.event_type, c.day"""),
+  )
+
+  /** MARKET-BASKET AFFINITY (r6) — association-rule mining's support /
+    * confidence / lift over brand pairs co-occurring in one order: the
+    * recommender / cross-sell aggregate. Baskets reduce to DISTINCT
+    * (order, brand) first — the only stage touching fact volume — and
+    * the pair self-join runs on the order key with per-order fanout
+    * bounded by basket size (≤ C(brands-in-order, 2) rows, never a
+    * cartesian across orders). The order count folds in as a 1-row
+    * scalar aggregate cross join (the etl_dq_checks discipline, no
+    * driver action); brand marginals broadcast back onto the ≤ C(25,2)
+    * aggregated pair rows. All ratios divide doubles derived from exact
+    * counts.
+    */
+  private val basketAffinity = Op(
+    "analytics_basket_affinity",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val items = Tables.lineitem(s, sf)
+        .join(Tables.part(s, sf).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val nOrders = items.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val marg = items.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.p_brand") < col("b.p_brand"))
+        .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("p_brand").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
+        .join(broadcast(marg.select(col("p_brand").as("brand_b"), col("n_b").as("n_bb"))), "brand_b")
+        .crossJoin(nOrders)
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          r6(col("n_ab").cast("double") / col("n_orders")).as("support"),
+          r6(col("n_ab").cast("double") / col("n_a")).as("conf_a_to_b"),
+          r6(col("n_ab").cast("double") / col("n_bb")).as("conf_b_to_a"),
+          r6(col("n_ab").cast("double") * col("n_orders") /
+            (col("n_a").cast("double") * col("n_bb"))).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON p_partkey = l_partkey), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items), marg AS (SELECT p_brand, COUNT(*) AS n_b FROM items GROUP BY p_brand), pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand GROUP BY 1, 2) SELECT p.brand_a, p.brand_b, p.n_ab, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / ma.n_b, 6) AS conf_a_to_b, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / mb.n_b, 6) AS conf_b_to_a, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) * n.n_orders / (CAST(ma.n_b AS DOUBLE) * mb.n_b), 6) AS lift FROM pairs p JOIN marg ma ON ma.p_brand = p.brand_a JOIN marg mb ON mb.p_brand = p.brand_b CROSS JOIN n ORDER BY p.brand_a, p.brand_b"""),
+  )
+
+  /** FIRST/LAST-TOUCH ATTRIBUTION (r6) — the marketing-attribution
+    * shape: each purchase credited to the user's FIRST view inside a
+    * trailing 7-day RANGE window and the LAST click strictly before it
+    * (rows frame, carry semantics). Both carries are conditional window
+    * aggregates over ONE (user_id)-keyed sort — a time-RANGE min and an
+    * ignore-nulls last — evaluated on the full event stream and emitted
+    * only for purchase rows; no per-purchase join, no event×event
+    * blowup. Exactly the mixed-frame discipline win_range_frame_sum +
+    * ts_resample_interpolate established, composed for attribution.
+    */
+  private val attributionTouch = Op(
+    "analytics_attribution_touch",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, sf)
+        .withColumn("us", unix_micros(col("ts")))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-7L * 86400L * 1000000L, -1L)
+      val wRows = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("first_view_us",
+          min(when(col("event_type") === "view", col("us"))).over(wRange))
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("us")),
+            ignoreNulls = true).over(wRows))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          timestamp_micros(col("first_view_us")).as("first_view_ts"),
+          timestamp_micros(col("last_click_us")).as("last_click_ts"),
+          graft.ops.parity.r6(col("value")).as("revenue"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ts, make_timestamp(first_view_us) AS first_view_ts, make_timestamp(last_click_us) AS last_click_ts, ROUND(1e-9 + value, 6) AS revenue FROM (SELECT event_id, user_id, ts, event_type, value, MIN(CASE WHEN event_type = 'view' THEN us END) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS first_view_us, LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM (SELECT event_id, user_id, ts, event_type, value, epoch_us(ts) AS us FROM events) t) x WHERE event_type = 'purchase' ORDER BY event_id"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
-    periodOverPeriod, sessionPaths)
+    periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
+    attributionTouch)
 }

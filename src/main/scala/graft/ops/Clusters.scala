@@ -236,5 +236,76 @@ object Clusters extends OpGroup {
     Some("""WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""),
   )
 
-  val ops: Seq[Op] = Seq(clusterCc)
+  /** TRIANGLE COUNTING + clustering coefficient (r6) over the
+    * co-purchase graph — the second classic distributed-graph kernel
+    * next to connected components, and the standard cohesion/community
+    * signal (recommender neighborhoods, fraud rings). Graph: parts with
+    * p_size ≥ 40 (the per-category blocking a 100 TB run shards on) are
+    * nodes; an undirected edge joins two parts co-occurring in ≥ 1
+    * order. Triangle enumeration is the canonical compact-forward
+    * algorithm made relational: edges canonicalized u < v, wedges from
+    * the e.v = e.u self-join (each wedge u<v<w generated exactly once),
+    * closed by one more equi-join — Σ deg² work, NO cartesian stage —
+    * then per-node counts by exploding each triangle's three corners.
+    * The edge list is consumed FOUR times (degrees + three join legs)
+    * with different pruned columns, so no two references canonicalize
+    * to one exchange — it is pinned once (persist) and the small result
+    * (|connected nodes| rows) is materialized off that lineage before
+    * the pin is released, the dedup_cluster_cc block-hygiene pattern:
+    * the fact table is scanned ONCE however many times the graph is
+    * walked, and only the result's own blocks outlive the op. Output:
+    * every connected node with degree, triangle count and local
+    * clustering coefficient 2T/(deg·(deg−1)) — NULL for degree-1 nodes
+    * in both engines via the guarded divide.
+    */
+  private val copurchaseTriangles = Op(
+    "graph_copurchase_triangles",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // The graph tables (edges ≈ 57k rows at sf0.1, shrinking further
+      // through wedges→triangles) are tiny relative to core-count
+      // fan-out; the op materializes eagerly inside this scope, so the
+      // sizing is honored at execution (the clusterCc rationale). At
+      // real scale this constant is sized to the edge volume.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.r6
+      val items = Tables.lineitem(s, sf)
+        .join(Tables.part(s, sf).filter(col("p_size") >= 40)
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .select("u", "v")
+        .persist()
+      val deg = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val wedges = edges.as("e1").join(edges.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      val tris = wedges.join(edges.as("e3"),
+        col("x") === col("e3.u") && col("z") === col("e3.v"))
+      val triPerNode = tris
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      val out = deg.join(triPerNode, Seq("node"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .select(col("node").as("p_partkey"), col("degree"), col("n_triangles"),
+          r6(col("n_triangles") * 2.0 /
+            when(col("degree") > 1, col("degree") * (col("degree") - 1))).as("clustering"))
+      // Materialize the bounded result off the pinned-edges lineage,
+      // then free the edge blocks (clusterCc's hygiene: nothing but the
+      // result outlives the op in the block manager). The output sort
+      // runs on the pinned relation.
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      edges.unpersist(false)
+      pinned.orderBy("p_partkey")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), deg AS (SELECT node, COUNT(*) AS degree FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) s GROUP BY node), tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), tpn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) s GROUP BY node) SELECT d.node AS p_partkey, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles, ROUND(1e-9 + COALESCE(t.n_triangles, 0) * 2.0 / NULLIF(d.degree * (d.degree - 1), 0), 6) AS clustering FROM deg d LEFT JOIN tpn t ON t.node = d.node ORDER BY p_partkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles)
 }

@@ -122,6 +122,46 @@ object EtlLoad extends OpGroup {
     Some("""WITH ch AS (SELECT user_id, event_type AS state, ts, event_id FROM (SELECT user_id, event_type, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NULL OR prev <> event_type) SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current FROM ch ORDER BY user_id, valid_from, state, valid_to NULLS LAST"""),
   )
 
+  /** SCD2 POINT-IN-TIME LOOKUP (r6) — the consume side of
+    * etl_scd2_intervals: each fact row joins the dimension VERSION valid
+    * at its event time (valid_from ≤ ts < valid_to, open tail), the
+    * late-arriving-fact / as-was reporting shape every warehouse needs
+    * next to the as-of join. Dimension history = each user's non-purchase
+    * state changes (lag-filtered, lead-closed intervals); facts = the
+    * purchase events — disjoint subsets of one source, so the lookup is
+    * genuine. The intervals construction guarantees at most one match
+    * per (user, ts) (zero-width [t,t) versions can't match), so the
+    * left join preserves fact cardinality exactly; pre-state purchases
+    * keep NULL state. Plan: equi-join on user_id with the interval
+    * predicate as residual — hash-co-partitioned on the entity key at
+    * 100 TB, with per-user version chains small by construction.
+    */
+  private val scd2PointInTime = Op(
+    "join_scd2_pointintime",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val dim = Tables.events(s, sf)
+        .filter(col("event_type") =!= "purchase")
+        .withColumn("prev_state", lag(col("event_type"), 1).over(wOrd))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val facts = Tables.events(s, sf).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("f_user"), col("ts"))
+      facts.join(dim,
+          col("f_user") === col("user_id") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")), "left")
+        .select(col("event_id"), col("f_user").as("user_id"), col("ts"),
+          col("state"), col("valid_from"),
+          (col("state").isNotNull && col("valid_to").isNull).as("is_current_version"))
+        .orderBy("event_id")
+    },
+    Some("""WITH dim AS (SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM (SELECT user_id, event_type AS state, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE event_type <> 'purchase') t WHERE prev IS NULL OR prev <> state), f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT f.event_id, f.user_id, f.ts, d.state, d.valid_from, d.state IS NOT NULL AND d.valid_to IS NULL AS is_current_version FROM f LEFT JOIN dim d ON d.user_id = f.user_id AND f.ts >= d.valid_from AND (d.valid_to IS NULL OR f.ts < d.valid_to) ORDER BY f.event_id"""),
+  )
+
   /** DATA-QUALITY gate (r5) — the load-time validation the reference
     * runs row-by-row in its loaders (parse.py invariant checks, FK
     * lookups via get_or_create), re-expressed as set-level rules that
@@ -212,5 +252,5 @@ object EtlLoad extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
-    snapshotDiff)
+    snapshotDiff, scd2PointInTime)
 }

@@ -121,5 +121,39 @@ object Multimodal extends OpGroup {
     Some("""WITH b AS (SELECT doc_id, ascii(ch) AS code FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t), c AS (SELECT doc_id, code, COUNT(*) AS c FROM b GROUP BY doc_id, code), w AS (SELECT doc_id, code, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c), t2 AS (SELECT doc_id, code, c, n, CAST(ROUND((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) + 1e-9, 6) AS DECIMAL(18,6)) AS term FROM w) SELECT doc_id, MAX(n) AS n_bytes, COUNT(*) AS n_distinct, ROUND(1e-9 + CAST(SUM(code * c) AS DOUBLE) / MAX(n), 6) AS mean_byte, CAST(-SUM(term) AS DOUBLE) AS byte_entropy FROM t2 GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, byteStats)
+  /** CHUNK-LEVEL payload dedup (r6) — the content-addressable-storage
+    * shape (backup/blob-store dedup, CDN object sharing): payloads split
+    * into fixed 64-byte chunks, each chunk content-hashed, duplicate
+    * chunks detected CORPUS-WIDE, and each doc scored with its dup-chunk
+    * count and the share of chunks it canonically owns (min doc_id per
+    * chunk — deterministic). Chunking is HOF-generated (no payload
+    * explode before the distinct), the global chunk index is one
+    * hash-aggregate on the chunk digest — the same linear shape at
+    * 100 TB, where this index IS the dedup store — and per-doc scores
+    * come from one join of the doc's distinct chunks against it.
+    */
+  private val chunkDedup = Op(
+    "mm_chunk_dedup",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val chunks = Tables.documents(s, sf)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast((length(text) - 1) / 64 as int)), i -> md5(substring(text, i * 64 + 1, 64)))")).as("chunk"))
+        .distinct()
+      val index = chunks.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner_doc"))
+      chunks.join(index, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("n_docs") > 1).cast("long")).cast("long").as("n_shared_chunks"),
+          sum((col("owner_doc") === col("doc_id")).cast("long")).cast("long").as("n_owned"))
+        .withColumn("shared_ratio",
+          r6(col("n_shared_chunks").cast("double") / col("n_chunks")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH chunks AS (SELECT DISTINCT doc_id, chunk FROM (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / 64) AS INT)), i -> md5(substr(text, i * 64 + 1, 64)))) AS chunk FROM documents) t), idx AS (SELECT chunk, COUNT(*) AS n_docs, MIN(doc_id) AS owner_doc FROM chunks GROUP BY chunk) SELECT c.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS BIGINT) AS n_shared_chunks, CAST(SUM(CAST(i.owner_doc = c.doc_id AS BIGINT)) AS BIGINT) AS n_owned, ROUND(1e-9 + CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS shared_ratio FROM chunks c JOIN idx i ON i.chunk = c.chunk GROUP BY c.doc_id ORDER BY c.doc_id"""),
+  )
+
+  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, byteStats,
+    chunkDedup)
 }

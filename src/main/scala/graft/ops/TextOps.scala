@@ -288,6 +288,52 @@ object TextOps extends OpGroup {
     Some("""WITH grams AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2), bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2), uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bi GROUP BY w1), model AS (SELECT bi.w1, bi.w2, CAST(ROUND(-ln(bi.c2 / CAST(uni.c1 AS DOUBLE)) + 1e-9, 6) AS DECIMAL(18,6)) AS nll FROM bi JOIN uni ON bi.w1 = uni.w1) SELECT g.doc_id, COUNT(*) AS n_bigrams, ROUND(1e-9 + CAST(SUM(m.nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM grams g JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2 GROUP BY g.doc_id ORDER BY g.doc_id"""),
   )
 
+  /** ZIPF PROFILE of the corpus vocabulary (r6) — the sanity check every
+    * corpus-statistics pass runs: natural text follows freq ∝ rank^s
+    * with s ≈ −1, and a far-off slope flags template/boilerplate or
+    * synthetic text. One tokenize→count aggregation (partition-parallel,
+    * map-side combined), a rank window over the AGGREGATED vocabulary
+    * only (freq desc, word — total order), then the OLS closed form of
+    * ln(freq) on ln(rank) over the top-100 ranks, with each ln rounded
+    * to a decimal BEFORE the sum (the bigramNovelty ulp discipline:
+    * order-free exact sums of identically-rounded doubles). Output is
+    * the one-row corpus profile next to stats_column_profile.
+    */
+  private val docfreqZipf = Op(
+    "text_docfreq_zipf",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, sf)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val top = freq
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("word").asc)))
+        .filter(col("rk") <= 100)
+        .withColumn("lx", expr("cast(round(ln(rk) + 1e-9, 6) as decimal(18,6))"))
+        .withColumn("ly", expr("cast(round(ln(freq) + 1e-9, 6) as decimal(18,6))"))
+      val a = top.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        // lx·ly is EXACT at scale 12 in both engines (DECIMAL(18,6)²) —
+        // an intermediate cast back to (18,6) would round ties under
+        // different rules (Spark HALF_UP, DuckDB half-to-even).
+        sum(expr("lx * ly")).cast("double").as("sxy"),
+        sum(expr("lx * lx")).cast("double").as("sxx"),
+        max(col("freq")).as("top_freq"))
+      val vocab = freq.agg(count(lit(1)).as("vocab_size"),
+        sum(col("freq")).as("n_tokens"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      a.crossJoin(vocab).select(
+        col("vocab_size"), col("n_tokens"), col("top_freq"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          when(den =!= 0, den)).as("zipf_slope"))
+    },
+    Some("""WITH freq AS (SELECT word, COUNT(*) AS freq FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t WHERE word <> '' GROUP BY word), top AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rk FROM freq QUALIFY rk <= 100), lt AS (SELECT freq, rk, CAST(ROUND(ln(rk) + 1e-9, 6) AS DECIMAL(18,6)) AS lx, CAST(ROUND(ln(freq) + 1e-9, 6) AS DECIMAL(18,6)) AS ly FROM top), a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy, CAST(SUM(lx * ly) AS DOUBLE) AS sxy, CAST(SUM(lx * lx) AS DOUBLE) AS sxx, MAX(freq) AS top_freq FROM lt), v AS (SELECT COUNT(*) AS vocab_size, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM freq) SELECT v.vocab_size, v.n_tokens, a.top_freq, ROUND(1e-9 + (a.n * a.sxy - a.sx * a.sy) / NULLIF(a.n * a.sxx - a.sx * a.sx, 0), 6) AS zipf_slope FROM a CROSS JOIN v"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
-    piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty)
+    piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf)
 }

@@ -280,7 +280,45 @@ object Windows extends OpGroup {
     Some("""SELECT event_id, user_id, COUNT(*) OVER w AS n_1h, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) ORDER BY event_id"""),
   )
 
+  /** CUSUM CHANGE-POINT detection (r6) — the monitoring/drift primitive:
+    * per type, the cumulative sum of deviations from the series mean
+    * over the daily volume series peaks (in |·|) at the most likely
+    * level-shift point. Parity-safe formulation: cusum_t = (Σ_{i≤t} yᵢ)
+    * − t·ȳ, where the running Σy is an EXACT integer window sum and
+    * t·ȳ = t·S/n multiplies exact-integer-derived doubles — a naive
+    * running sum of (yᵢ − ȳ) doubles would depend on the engines'
+    * window-sum association. Both windows (running sum, |cusum| argmax
+    * rank) run over the aggregated daily series only; the argmax tie
+    * breaks on day.
+    */
+  private val cusumChangepoint = Op(
+    "win_cusum_changepoint",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = daily
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("cum", sum(col("y")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("stot", sum(col("y")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("cusum", col("cum").cast("double") -
+          col("t") * (col("stot").cast("double") / col("n")))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("changepoint_day"), col("t").as("changepoint_idx"),
+          r6(col("cusum")).as("cusum_at_peak"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1, 2), sc AS (SELECT event_type, day, CAST(ROW_NUMBER() OVER w AS INT) AS t, SUM(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(y) OVER (PARTITION BY event_type) AS stot, COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), cs AS (SELECT event_type, day, t, n, CAST(cum AS DOUBLE) - t * (CAST(stot AS DOUBLE) / n) AS cusum FROM sc) SELECT event_type, n AS n_days, day AS changepoint_day, t AS changepoint_idx, ROUND(1e-9 + cusum, 6) AS cusum_at_peak FROM cs QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, day ASC) = 1 ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
-    ntileDeciles, valueFunctions, rangeFrameSum)
+    ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint)
 }
