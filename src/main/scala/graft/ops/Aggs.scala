@@ -545,9 +545,10 @@ object Aggs extends OpGroup {
           r6(col("srev").cast("double")).as("total_rev"),
           r6((lit(2.0) * col("swrev").cast("double") -
             (col("n") + 1).cast("double") * col("srev").cast("double")) /
-            (col("n").cast("double") * col("srev").cast("double"))).as("gini"))
+            when(col("srev") =!= 0,
+              col("n").cast("double") * col("srev").cast("double"))).as("gini"))
     },
-    Some("""WITH rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY o_custkey), rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rk FROM rev), a AS (SELECT COUNT(*) AS n, SUM(rev) AS srev, SUM(rk * rev) AS swrev FROM rk) SELECT n AS n_customers, ROUND(1e-9 + CAST(srev AS DOUBLE), 6) AS total_rev, ROUND(1e-9 + (2.0 * CAST(swrev AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(srev AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(srev AS DOUBLE)), 6) AS gini FROM a"""),
+    Some("""WITH rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY o_custkey), rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rk FROM rev), a AS (SELECT COUNT(*) AS n, SUM(rev) AS srev, SUM(rk * rev) AS swrev FROM rk) SELECT n AS n_customers, ROUND(1e-9 + CAST(srev AS DOUBLE), 6) AS total_rev, ROUND(1e-9 + (2.0 * CAST(swrev AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(srev AS DOUBLE)) / NULLIF(CAST(n AS DOUBLE) * CAST(srev AS DOUBLE), 0), 6) AS gini FROM a"""),
   )
 
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,

@@ -258,6 +258,25 @@ object Clusters extends OpGroup {
     * clustering coefficient 2T/(deg·(deg−1)) — NULL for degree-1 nodes
     * in both engines via the guarded divide.
     */
+  /** The co-purchase graph both graph kernels walk: parts with
+    * p_size ≥ 40 (per-category blocking) as nodes, an undirected u < v
+    * edge per part pair co-occurring in ≥ 1 order. One distinct + one
+    * order-key self-join (per-order fanout = basket size) + one hash
+    * agg — callers pin the result before multi-consuming it.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+    val items = Tables.lineitem(s, sf)
+      .join(Tables.part(s, sf).filter(col("p_size") >= 40)
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .select("u", "v")
+  }
+
   private val copurchaseTriangles = Op(
     "graph_copurchase_triangles",
     (s, sf) => Tables.withConfs(s, Seq(
@@ -268,17 +287,7 @@ object Clusters extends OpGroup {
       // real scale this constant is sized to the edge volume.
       "spark.sql.shuffle.partitions" -> "8")) {
       import graft.ops.parity.r6
-      val items = Tables.lineitem(s, sf)
-        .join(Tables.part(s, sf).filter(col("p_size") >= 40)
-          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .select("u", "v")
-        .persist()
+      val edges = copurchaseEdges(s, sf).persist()
       val deg = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -307,5 +316,67 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), deg AS (SELECT node, COUNT(*) AS degree FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) s GROUP BY node), tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), tpn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) s GROUP BY node) SELECT d.node AS p_partkey, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles, ROUND(1e-9 + COALESCE(t.n_triangles, 0) * 2.0 / NULLIF(d.degree * (d.degree - 1), 0), 6) AS clustering FROM deg d LEFT JOIN tpn t ON t.node = d.node ORDER BY p_partkey"""),
   )
 
-  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles)
+  /** PAGERANK (r6) over the co-purchase graph — the third classic graph
+    * kernel (CC, triangles, now the iterative sparse-matvec family):
+    * 5 damped iterations (d = 0.85), each one equi-join of the
+    * symmetric edge list against the current rank vector + one hash
+    * agg — per-iteration work O(edges), the canonical 100 TB iterative
+    * dataflow. Cross-engine float parity under ITERATION uses the r6
+    * discipline inductively, run in parts-per-million scale so six
+    * decimals carry ~7 significant digits at fixture rank magnitudes:
+    * every per-edge contribution is rounded then decimal-cast before
+    * the order-free sum, and each new rank is rounded — identical
+    * inputs ⇒ identical doubles ⇒ identical next iteration. N folds in
+    * as a 1-row cross join (no driver action); each iteration is pinned
+    * (the clusterCc plan-truncation + block-hygiene pattern) and every
+    * intermediate's blocks are freed before the op returns. The
+    * undirected graph has no dangling nodes by construction (every
+    * connected node has out-degree ≥ 1), so no teleport-mass correction
+    * term is needed.
+    */
+  private val copurchasePagerank = Op(
+    "graph_copurchase_pagerank",
+    (s, sf) => {
+      import graft.ops.parity.{dec, r6}
+      var handles = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      def pin(df: DataFrame): DataFrame = {
+        val rdd = df.rdd
+        rdd.persist(); rdd.count(): Unit
+        handles ::= rdd
+        s.createDataFrame(rdd, df.schema)
+      }
+      Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+      val edges = copurchaseEdges(s, sf).persist()
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = pin(sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")))
+      val nN = deg.agg(count(lit(1)).as("nn"))
+      var pr = pin(deg.crossJoin(nN)
+        .select(col("node"), col("deg"), col("nn"),
+          r6(lit(1000000.0) / col("nn")).as("pr")))
+      for (i <- 1 to 5) {
+        val contrib = sym
+          .join(pr.select(col("node").as("u"), col("deg"), col("pr")), "u")
+          .select(col("v").as("node"), dec(r6(col("pr") / col("deg"))).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("sc"))
+        val next = pr.select(col("node"), col("deg"), col("nn")).join(contrib, "node")
+          .select(col("node"), col("deg"), col("nn"),
+            r6(lit(150000.0) / col("nn") +
+              lit(0.85) * col("sc").cast("double")).as("pr"))
+        // Pin every second iteration: a 2-deep lazy chain re-executes one
+        // extra join/agg at the next pin (cheap — inputs are pinned or
+        // persisted) but halves the per-iteration driver-action count,
+        // which dominates at graph sizes this small.
+        pr = if (i % 2 == 0 || i == 5) pin(next) else next
+      }
+      val out = pin(pr.select(col("node").as("p_partkey"), col("deg").as("degree"),
+        col("pr").as("pagerank_ppm")))
+      handles.tail.foreach(_.unpersist(false))
+      edges.unpersist(false)
+      out.orderBy("p_partkey")
+      }
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), nn AS (SELECT COUNT(*) AS c FROM deg), r0 AS (SELECT node, deg, ROUND(1000000.0 / nn.c + 1e-9, 6) AS pr FROM deg CROSS JOIN nn), r1 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r0 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r2 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r1 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r3 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r2 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r4 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r3 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r5 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r4 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c) SELECT node AS p_partkey, deg AS degree, pr AS pagerank_ppm FROM r5 ORDER BY p_partkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank)
 }
