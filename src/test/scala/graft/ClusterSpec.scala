@@ -74,6 +74,30 @@ class ClusterSpec extends SparkSpec {
       "cluster assignment depended on pair order/orientation")
   }
 
+  test("graph_copurchase_triangles: clustering coefficients are bounded and degree-consistent") {
+    val out = SparkEntry.queries("graph_copurchase_triangles")(spark, sf).cache()
+    assert(out.count() > 0)
+    // clustering in [0,1]; NULL exactly for degree-1 nodes
+    assert(out.filter(col("clustering") < 0 || col("clustering") > lit(1.0) + 1e-6).count() == 0)
+    assert(out.filter(col("clustering").isNull && col("degree") =!= 1).count() == 0)
+    // a node's triangle count can't exceed C(degree, 2)
+    assert(out.filter(col("n_triangles") >
+      col("degree") * (col("degree") - 1) / 2).count() == 0)
+  }
+
+  test("graph_copurchase_pagerank: mass conservation and positivity") {
+    val out = SparkEntry.queries("graph_copurchase_pagerank")(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(col("pagerank_ppm") <= 0).count() == 0, "non-positive rank")
+    // Σ ranks ≈ 1e6 (ppm scale): per-hop rounding perturbs each node by
+    // ≤ ~deg·5e-7·0.85 per round; a generous n-scaled band still catches
+    // any structural mass leak (lost contributions, dangling nodes).
+    val total = out.agg(sum(col("pagerank_ppm"))).first().getDouble(0)
+    assert(math.abs(total - 1e6) < math.max(50.0, n * 0.05),
+      s"pagerank mass drifted: $total over $n nodes")
+  }
+
   test("dedup_cluster_cc canonical ids are closed and minimal on the fixture") {
     val out = SparkEntry.queries("dedup_cluster_cc")(spark, sf).cache()
     // canonical ids are themselves members mapping to themselves
