@@ -401,11 +401,18 @@ object Analytics extends OpGroup {
 
   /** MARKET-BASKET AFFINITY (r6) — association-rule mining's support /
     * confidence / lift over brand pairs co-occurring in one order: the
-    * recommender / cross-sell aggregate. Baskets reduce to DISTINCT
-    * (order, brand) first — the only stage touching fact volume — and
-    * the pair self-join runs on the order key with per-order fanout
-    * bounded by basket size (≤ C(brands-in-order, 2) rows, never a
-    * cartesian across orders). The order count folds in as a 1-row
+    * recommender / cross-sell aggregate. Facts reduce ONCE to sorted
+    * per-order brand SETS (collect_set dedups; sort fixes the canonical
+    * a < b pair order) and pair counts, marginals and the order count
+    * all derive from that single basket relation — the textbook
+    * items-self-join formulation computed the distinct-items subtree
+    * twice (differently-pruned references defeat exchange reuse;
+    * wall time is host-noise-bound at ~1.8 s either way at sf0.1; the win is the plan, one fact pass instead of three). Pairs generate IN-ROW
+    * by a HOF over each basket (≤ C(basket, 2) structs, bounded by
+    * basket size — never a cartesian across orders), so the op is one
+    * fact shuffle on the order key plus aggregations of bounded
+    * relations; the DuckDB oracle keeps the self-join formulation as
+    * the semantic dual. The order count folds in as a 1-row
     * scalar aggregate cross join (the etl_dq_checks discipline, no
     * driver action); brand marginals broadcast back onto the ≤ C(25,2)
     * aggregated pair rows. All ratios divide doubles derived from exact
@@ -415,19 +422,20 @@ object Analytics extends OpGroup {
     "analytics_basket_affinity",
     (s, sf) => {
       import graft.ops.parity.r6
-      val items = Tables.lineitem(s, sf)
+      val baskets = Tables.lineitem(s, sf)
         .join(Tables.part(s, sf).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
-      val nOrders = items.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val marg = items.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
-      val pairs = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.p_brand") < col("b.p_brand"))
-        .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .persist()
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val marg = baskets.select(explode(col("bs")).as("p_brand"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(bs, (a, i) -> transform(slice(bs, i + 2, size(bs)), b -> struct(a AS brand_a, b AS brand_b))))")).as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
         .agg(count(lit(1)).as("n_ab"))
-      pairs
+      val out = pairs
         .join(broadcast(marg.select(col("p_brand").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
         .join(broadcast(marg.select(col("p_brand").as("brand_b"), col("n_b").as("n_bb"))), "brand_b")
         .crossJoin(nOrders)
@@ -437,7 +445,13 @@ object Analytics extends OpGroup {
           r6(col("n_ab").cast("double") / col("n_bb")).as("conf_b_to_a"),
           r6(col("n_ab").cast("double") * col("n_orders") /
             (col("n_a").cast("double") * col("n_bb"))).as("lift"))
-        .orderBy("brand_a", "brand_b")
+      // Pin the bounded result off the pinned-baskets lineage, free the
+      // basket blocks (the graph kernels' block hygiene), sort last.
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      baskets.unpersist(false)
+      pinned.orderBy("brand_a", "brand_b")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON p_partkey = l_partkey), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items), marg AS (SELECT p_brand, COUNT(*) AS n_b FROM items GROUP BY p_brand), pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand GROUP BY 1, 2) SELECT p.brand_a, p.brand_b, p.n_ab, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / ma.n_b, 6) AS conf_a_to_b, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / mb.n_b, 6) AS conf_b_to_a, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) * n.n_orders / (CAST(ma.n_b AS DOUBLE) * mb.n_b), 6) AS lift FROM pairs p JOIN marg ma ON ma.p_brand = p.brand_a JOIN marg mb ON mb.p_brand = p.brand_b CROSS JOIN n ORDER BY p.brand_a, p.brand_b"""),
   )
