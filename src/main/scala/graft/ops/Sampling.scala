@@ -203,6 +203,52 @@ object Sampling extends OpGroup {
     Some("""SELECT doc_id, ROUND(1e-9 + LEAST(0.95, GREATEST(0.05, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 150)), 6) AS weight, ROUND(1e-9 + CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456, 6) AS u FROM documents WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS DOUBLE) / 268435456 < LEAST(0.95, GREATEST(0.05, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 150)) ORDER BY doc_id"""),
   )
 
+  /** TEMPERATURE-SCALED mixture sampling (r6) — the multilingual /
+    * multi-source data-mixing stage of an LLM pipeline: raw language
+    * shares p_l are flattened to w_l = p_l^0.5 / SUM p^0.5 (temperature
+    * alpha = 0.5 boosts low-resource languages), each language gets a
+    * target quota out of a 400-doc budget, and the quota is filled
+    * DETERMINISTICALLY by md5-hash order (the sample_stratified
+    * machinery — no rand(), reproducible at any scale). Parity of the
+    * weight arithmetic: sqrt is IEEE-correctly-rounded (engine-
+    * identical, unlike pow/exp), each sqrt(p) is rounded then
+    * decimal-cast before the 5-row exact sum, and the final weights
+    * divide identical doubles. Only the rank window touches doc volume;
+    * everything else aggregates 5 rows.
+    */
+  private val temperatureMixture = Op(
+    "sample_temperature_mixture",
+    (s, sf) => {
+      import graft.ops.parity.{dec, r6}
+      val budget = 400
+      val counts = Tables.documents(s, sf)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val weighted = counts.crossJoin(tot)
+        .withColumn("orig_share", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("sp", dec(r6(sqrt(col("orig_share")))))
+      val norm = weighted.agg(sum(col("sp")).as("sp_tot"))
+      val targets = weighted.crossJoin(norm)
+        .withColumn("temp_weight",
+          col("sp").cast("double") / col("sp_tot").cast("double"))
+        .withColumn("target_n",
+          round(col("temp_weight") * budget + lit(1e-9), 0).cast("int"))
+      val ranked = Tables.documents(s, sf)
+        .select(col("doc_id"), col("lang"), hash28(col("doc_id")).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))).cast("int"))
+      val sampled = ranked.join(broadcast(targets.select(col("lang"), col("target_n"))), "lang")
+        .filter(col("rk") <= col("target_n"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      targets.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), r6(col("orig_share")).as("orig_share"),
+          r6(col("temp_weight")).as("temp_weight"), col("target_n"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts), w AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS orig_share, CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / n_total) + 1e-9, 6) AS DECIMAL(18,6)) AS sp FROM counts CROSS JOIN tot), norm AS (SELECT SUM(sp) AS sp_tot FROM w), t AS (SELECT lang, n_docs, orig_share, CAST(sp AS DOUBLE) / CAST(sp_tot AS DOUBLE) AS temp_weight, CAST(ROUND(CAST(sp AS DOUBLE) / CAST(sp_tot AS DOUBLE) * 400 + 1e-9, 0) AS INT) AS target_n FROM w CROSS JOIN norm), ranked AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id) AS INT) AS rk FROM documents), sampled AS (SELECT r.lang, COUNT(*) AS n_sampled FROM ranked r JOIN t ON t.lang = r.lang WHERE r.rk <= t.target_n GROUP BY r.lang) SELECT t.lang, t.n_docs, ROUND(1e-9 + t.orig_share, 6) AS orig_share, ROUND(1e-9 + t.temp_weight, 6) AS temp_weight, t.target_n, COALESCE(s.n_sampled, 0) AS n_sampled FROM t LEFT JOIN sampled s ON s.lang = t.lang ORDER BY t.lang"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
-    curationPipeline, weightedHash)
+    curationPipeline, weightedHash, temperatureMixture)
 }

@@ -334,6 +334,42 @@ object TextOps extends OpGroup {
     Some("""WITH freq AS (SELECT word, COUNT(*) AS freq FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t WHERE word <> '' GROUP BY word), top AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rk FROM freq QUALIFY rk <= 100), lt AS (SELECT freq, rk, CAST(ROUND(ln(rk) + 1e-9, 6) AS DECIMAL(18,6)) AS lx, CAST(ROUND(ln(freq) + 1e-9, 6) AS DECIMAL(18,6)) AS ly FROM top), a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy, CAST(SUM(lx * ly) AS DOUBLE) AS sxy, CAST(SUM(lx * lx) AS DOUBLE) AS sxx, MAX(freq) AS top_freq FROM lt), v AS (SELECT COUNT(*) AS vocab_size, CAST(SUM(freq) AS BIGINT) AS n_tokens FROM freq) SELECT v.vocab_size, v.n_tokens, a.top_freq, ROUND(1e-9 + (a.n * a.sxy - a.sx * a.sy) / NULLIF(a.n * a.sxx - a.sx * a.sx, 0), 6) AS zipf_slope FROM a CROSS JOIN v"""),
   )
 
+  /** BENCHMARK DECONTAMINATION check (r6) — the eval-integrity stage of
+    * an LLM data pipeline: flag training docs sharing any 8-gram word
+    * shingle with a held-out benchmark set (here: source 'src0' plays
+    * the benchmark; everything else is the training corpus). Both sides
+    * reduce to DISTINCT (doc, shingle-md5) / DISTINCT shingle-md5 first,
+    * and the overlap is one equi-join on the hash — the inverted-index
+    * shape (work = sum of per-shingle df products, linear on real
+    * corpora) — never a doc-pair loop. Per-doc hit counts aggregate the
+    * join output; the flag threshold (any hit) is exact-integer.
+    * At 100 TB the benchmark side is small and broadcasts; the corpus
+    * side streams.
+    */
+  private val contaminationCheck = Op(
+    "text_contamination_check",
+    (s, sf) => {
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 7, 1)), i -> md5(concat_ws(' ', slice(toks, i, 8))))")).as("sh"))
+        .distinct()
+      val docs = Tables.documents(s, sf)
+      val bench = shingles(docs.filter(col("source") === "src0"))
+        .select(col("sh")).distinct()
+      val corpus = shingles(docs.filter(col("source") =!= "src0"))
+      val hits = corpus.join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      hits.select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          (col("n_hits") > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, source, s AS sh FROM (SELECT doc_id, source, unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 1)), i -> md5(array_to_string(toks[i:i+7], ' ')))) AS s FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents) t) u), bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'), corpus AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0') SELECT c.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits, CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) > 0 AS contaminated FROM corpus c LEFT JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id ORDER BY c.doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
-    piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf)
+    piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
+    contaminationCheck)
 }
