@@ -320,7 +320,53 @@ object Scans extends OpGroup {
     Some("""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END, '<pre-schema>') AS priority, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_price FROM orders GROUP BY 1 ORDER BY priority"""),
   )
 
+  /** Z-ORDER layout rewrite (r6) — the lakehouse OPTIMIZE ZORDER shape:
+    * events rewritten into files range-partitioned on the bit-interleave
+    * of (user_id, day-number), so parquet min/max footer stats constrain
+    * BOTH dimensions per file and either-dimension predicates prune —
+    * a single-column sort gives perfect pruning on one dim and none on
+    * the other. The z-value is pure bit arithmetic in one codegen'd HOF
+    * (16 bit pairs), the layout is repartitionByRange + in-partition
+    * sort on z (one range shuffle — exactly what a real table OPTIMIZE
+    * runs, sized to target file count), and the sort column is dropped
+    * before write. Content neutrality is the oracled contract (same
+    * per-type monthly aggregate as the source); the multi-dimensional
+    * locality itself — per-file spans narrower than the global range on
+    * BOTH dims — is asserted in PartitionedScanSpec. Cache keyed on the
+    * source fingerprint, superseded generations vacuumed
+    * ([[graft.Tables.cachedDir]]).
+    */
+  private val zorderLayout = Op(
+    "etl_zorder_layout",
+    (s, sf) => {
+      val dir = graft.Tables.cachedDir(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_zorder",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "events")) + "/events"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.events(s, sf)
+          .withColumn("day_nr",
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"))
+          .withColumn("zval", expr(
+            """aggregate(sequence(0, 15), 0L, (acc, i) ->
+               acc | (shiftleft(shiftright(user_id, i) & 1L, 2 * i))
+                   | (shiftleft(shiftright(day_nr, i) & 1L, 2 * i + 1)))"""))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .drop("zval", "day_nr")
+          .write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .groupBy(col("event_type"), date_trunc("month", col("ts")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.parity.r6(
+            sum(graft.ops.parity.dec(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("event_type", "month")
+    },
+    Some("""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY 1, 2 ORDER BY event_type, month"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
-    dppRuntime, backfillIdempotent, schemaEvolution)
+    dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout)
 }

@@ -97,4 +97,39 @@ class PartitionedScanSpec extends SparkSpec {
     assert(got.sameElements(viaSource.collect()),
       "partitioned round-trip changed the aggregate")
   }
+
+  test("z-order layout bounds BOTH dimensions per file (multi-dim locality)") {
+    import org.apache.spark.sql.functions._
+    // Materialize the layout (op is idempotent via its fingerprint cache).
+    SparkEntry.queries("etl_zorder_layout")(spark, sf).collect()
+    val dir = Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_zorder",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "events")) + "/events"
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length > 1, s"expected multiple z-range files, got ${files.length}")
+    val global = spark.read.parquet(dir)
+      .agg(min("user_id"), max("user_id"),
+        min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+    val uSpan = (global.getLong(1) - global.getLong(0)).toDouble
+    val dSpan = java.time.temporal.ChronoUnit.DAYS
+      .between(global.getDate(2).toLocalDate, global.getDate(3).toLocalDate).toDouble
+    val fracs = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("user_id"), max("user_id"),
+          min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+      val uf = (r.getLong(1) - r.getLong(0)) / uSpan
+      val df = java.time.temporal.ChronoUnit.DAYS
+        .between(r.getDate(2).toLocalDate, r.getDate(3).toLocalDate) / dSpan
+      (uf, df)
+    }
+    val avgU = fracs.map(_._1).sum / fracs.length
+    val avgD = fracs.map(_._2).sum / fracs.length
+    // A single-column sort pins one dim near 0 and leaves the other at
+    // ~1.0 in EVERY file; z-interleaving must constrain both on average.
+    assert(avgU < 0.9, s"avg per-file user-span fraction $avgU not < 0.9")
+    assert(avgD < 0.9, s"avg per-file day-span fraction $avgD not < 0.9")
+  }
 }
