@@ -283,6 +283,64 @@ object Vectors extends OpGroup {
     Some("""WITH v AS (SELECT vec_id, sqrt(list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS tnorm, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS fnorm FROM embeddings) SELECT vec_id, ROUND(1e-9 + tnorm, 6) AS trunc_norm, ROUND(1e-9 + tnorm / NULLIF(fnorm, 0), 6) AS energy_share FROM v ORDER BY vec_id"""),
   )
 
+  /** PRODUCT QUANTIZATION codes (r6) — the ANN compression step beyond
+    * per-dim int8 (vec_quantize_int8): the 64-dim space splits into
+    * M = 4 subspaces of 16 dims, each with its own K = 8 codebook
+    * trained by 2 Lloyd iterations, and every vector compresses to 4
+    * codebook ids (64 floats → 4 bytes + shared codebooks — the PQ of
+    * Jégou et al. 2011, public). Distributed shape: subvectors for ALL
+    * subspaces explode into ONE relation keyed (vec_id, m), so every
+    * training step — deterministic hash seeding, nearest-centroid
+    * assignment (L2² = |x|²−2x·c+|c|², the codegen vec_dot kernel),
+    * per-(m, cid) re-averaging — runs for all 4 codebooks in the SAME
+    * jobs; no per-subspace loop. The 32-row codebook localCheckpoints
+    * between iterations (the IVF discipline: tiny shuffles at few
+    * partitions, lineage truncated, training eager / search lazy). No
+    * oracle (trained quantizer is engine-specific); VectorSpec asserts
+    * code range, per-vector completeness, determinism, and that the
+    * trained codebook reconstructs strictly better than the 1-centroid
+    * baseline.
+    */
+  private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame = {
+    val M = 4
+    val sub = Tables.embeddings(s, sf)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(embedding, m * 16 + 1, 16) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      .withColumn("snrm2", expr("vec_dot(sv, sv)"))
+    def assign(cb: DataFrame): DataFrame = sub
+      .join(broadcast(cb), "m")
+      .withColumn("d2", col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rk") === 1)
+    def mean(assigned: DataFrame): DataFrame = assigned
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("cv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
+      .withColumn("cnrm2", expr("vec_dot(cvec, cvec)"))
+    val cb = graft.Tables.withConfs(s,
+      Seq("spark.sql.shuffle.partitions" -> "8")) {
+      var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
+        .select(col("m"), col("cid"), col("sv"))).localCheckpoint()
+      for (_ <- 1 to 2)
+        c = mean(assign(c).select(col("m"), col("cid"), col("sv"))).localCheckpoint()
+      c
+    }
+    assign(cb)
+  }
+
+  private val pqCodes = Op(
+    "vec_pq_codes",
+    (s, sf) =>
+      pqAssign(s, sf)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+        .orderBy("vec_id", "m"),
+    None,
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8, truncateRenorm)
+    quantizeInt8, truncateRenorm, pqCodes)
 }

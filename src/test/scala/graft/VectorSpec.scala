@@ -162,4 +162,33 @@ class VectorSpec extends SparkSpec {
       .count()
     assert(diff == 0, "codegen'd dot product diverges from sequential HOF fold")
   }
+
+  test("vec_pq_codes: complete, in-range, deterministic, beats the 1-centroid baseline") {
+    import org.apache.spark.sql.functions._
+    val codes = SparkEntry.queries("vec_pq_codes")(spark, sf).cache()
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(codes.count() == nVec * 4, "every vector needs exactly M=4 codes")
+    assert(codes.filter(col("code") < 0 || col("code") > 7).count() == 0)
+    val again = SparkEntry.queries("vec_pq_codes")(spark, sf)
+    assert(codes.exceptAll(again).count() == 0 && again.exceptAll(codes).count() == 0,
+      "PQ training must be deterministic")
+    // Trained codebook reconstructs strictly better than one centroid
+    // per subspace (k-means with K=8 can never be worse; strictness
+    // holds on any non-degenerate corpus).
+    val assigned = ops.Vectors.pqAssign(spark, sf)
+      .select(col("vec_id"), col("m"), col("sv"), col("d2"))
+    val pqErr = assigned.agg(avg(col("d2"))).head().getDouble(0)
+    val sub = assigned.select(col("m"), col("sv"),
+      expr("vec_dot(sv, sv)").as("snrm2"))
+    val one = sub.select(col("m"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("pos")).agg(avg(col("x").cast("double")).as("cv"))
+      .groupBy(col("m"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
+      .withColumn("cnrm2", expr("vec_dot(cvec, cvec)"))
+    val oneErr = sub.join(one, "m")
+      .select((col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2")).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+    assert(pqErr < oneErr,
+      s"PQ reconstruction error $pqErr not below 1-centroid baseline $oneErr")
+  }
 }
