@@ -285,15 +285,15 @@ object Vectors extends OpGroup {
 
   /** PRODUCT QUANTIZATION codes (r6) — the ANN compression step beyond
     * per-dim int8 (vec_quantize_int8): the 64-dim space splits into
-    * M = 4 subspaces of 16 dims, each with its own K = 8 codebook
-    * trained by 2 Lloyd iterations, and every vector compresses to 4
-    * codebook ids (64 floats → 4 bytes + shared codebooks — the PQ of
+    * M = 8 subspaces of 8 dims, each with its own K = 16 codebook
+    * trained by 2 Lloyd iterations, and every vector compresses to 8
+    * codebook ids (64 floats → 8 nibbles + shared codebooks — the PQ of
     * Jégou et al. 2011, public). Distributed shape: subvectors for ALL
     * subspaces explode into ONE relation keyed (vec_id, m), so every
     * training step — deterministic hash seeding, nearest-centroid
     * assignment (L2² = |x|²−2x·c+|c|², the codegen vec_dot kernel),
-    * per-(m, cid) re-averaging — runs for all 4 codebooks in the SAME
-    * jobs; no per-subspace loop. The 32-row codebook localCheckpoints
+    * per-(m, cid) re-averaging — runs for all 8 codebooks in the SAME
+    * jobs; no per-subspace loop. The 128-row codebook localCheckpoints
     * between iterations (the IVF discipline: tiny shuffles at few
     * partitions, lineage truncated, training eager / search lazy). No
     * oracle (trained quantizer is engine-specific); VectorSpec asserts
@@ -301,19 +301,34 @@ object Vectors extends OpGroup {
     * trained codebook reconstructs strictly better than the 1-centroid
     * baseline.
     */
-  private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame = {
-    val M = 4
-    val sub = Tables.embeddings(s, sf)
+  /** Subvector relation: one row per (vec_id, subspace m) with the
+    * 16-dim slice and its squared norm — the shared input of PQ
+    * training, assignment and ADC search.
+    */
+  private[graft] def pqSubvectors(s: SparkSession, sf: String): DataFrame = {
+    val M = 8
+    Tables.embeddings(s, sf)
       .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(embedding, m * 16 + 1, 16) AS sv))")).as("e"))
+        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
       .withColumn("snrm2", expr("vec_dot(sv, sv)"))
-    def assign(cb: DataFrame): DataFrame = sub
-      .join(broadcast(cb), "m")
-      .withColumn("d2", col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)))
-      .filter(col("rk") === 1)
+  }
+
+  /** Nearest-codebook-entry assignment per (vec_id, m): L2² via the
+    * codegen vec_dot kernel, cid-ascending tie break.
+    */
+  private[graft] def pqNearest(sub: DataFrame, cb: DataFrame): DataFrame = sub
+    .join(broadcast(cb), "m")
+    .withColumn("d2", col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2"))
+    .withColumn("rk", row_number().over(
+      Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)))
+    .filter(col("rk") === 1)
+
+  /** Train the 8 × 16 codebook (2 Lloyd iterations, deterministic hash
+    * seeding); 128 rows, localCheckpointed per iteration.
+    */
+  private[graft] def pqTrain(s: SparkSession, sf: String): DataFrame = {
+    val sub = pqSubvectors(s, sf)
     def mean(assigned: DataFrame): DataFrame = assigned
       .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("cid"), col("pos"))
@@ -321,16 +336,18 @@ object Vectors extends OpGroup {
       .groupBy(col("m"), col("cid"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
       .withColumn("cnrm2", expr("vec_dot(cvec, cvec)"))
-    val cb = graft.Tables.withConfs(s,
+    graft.Tables.withConfs(s,
       Seq("spark.sql.shuffle.partitions" -> "8")) {
-      var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(8)).cast("int"))
+      var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(16)).cast("int"))
         .select(col("m"), col("cid"), col("sv"))).localCheckpoint()
       for (_ <- 1 to 2)
-        c = mean(assign(c).select(col("m"), col("cid"), col("sv"))).localCheckpoint()
+        c = mean(pqNearest(sub, c).select(col("m"), col("cid"), col("sv"))).localCheckpoint()
       c
     }
-    assign(cb)
   }
+
+  private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame =
+    pqNearest(pqSubvectors(s, sf), pqTrain(s, sf))
 
   private val pqCodes = Op(
     "vec_pq_codes",
@@ -341,6 +358,46 @@ object Vectors extends OpGroup {
     None,
   )
 
+  /** PQ ASYMMETRIC-DISTANCE top-k search (r6) — the compressed-domain
+    * query path that makes vec_pq_codes an index, not just compression
+    * (ADC of Jégou et al. 2011): each query computes an 8 × 16 lookup
+    * table of exact subspace distances to the codebook ONCE, and every
+    * database vector's approximate distance is then the SUM OF 8 TABLE
+    * LOOKUPS over its stored codes — the database side never touches a
+    * float vector again. Distributed shape: the per-query tables
+    * (queries × 128 rows) broadcast; the codes relation (n × 8 tiny
+    * ints — the only thing scanned at 100 TB) equi-joins on (m, cid)
+    * and aggregates per (query, vector); the top-k rank runs over the
+    * aggregated candidate rows. No oracle (trained quantizer);
+    * VectorSpec bounds recall@5 against the exact L2 top-5 and asserts
+    * self-retrieval.
+    */
+  private val pqAdcTopk = Op(
+    "vec_pq_adc_topk",
+    (s, sf) => {
+      val cb = pqTrain(s, sf)
+      val codes = pqNearest(pqSubvectors(s, sf), cb)
+        .select(col("vec_id"), col("m"), col("cid"))
+      val qtab = pqSubvectors(s, sf).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"), col("m"), col("sv"), col("snrm2"))
+        .join(broadcast(cb), "m")
+        .select(col("q_vec_id"), col("m"), col("cid"),
+          (col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2")).as("d2q"))
+      codes.join(broadcast(qtab), Seq("m", "cid"))
+        .groupBy(col("q_vec_id"), col("vec_id"))
+        .agg(sum(col("d2q")).as("adc_d2"))
+        .filter(col("q_vec_id") =!= col("vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_vec_id"))
+            .orderBy(col("adc_d2").asc, col("vec_id").asc)).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("q_vec_id"), col("rk"), col("vec_id"),
+          graft.ops.parity.r6(col("adc_d2")).as("adc_d2"))
+        .orderBy("q_vec_id", "rk")
+    },
+    None,
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8, truncateRenorm, pqCodes)
+    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk)
 }
