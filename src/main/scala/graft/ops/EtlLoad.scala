@@ -136,19 +136,21 @@ object EtlLoad extends OpGroup {
     * predicate as residual — hash-co-partitioned on the entity key at
     * 100 TB, with per-user version chains small by construction.
     */
-  private val scd2PointInTime = Op(
-    "join_scd2_pointintime",
-    (s, sf) => {
+  /** The lookup factored over any events-shaped relation so the
+    * same-timestamp / zero-width-interval edge cases are testable on
+    * synthetic data (Scd2Spec) beyond the fixture oracle.
+    */
+  private[graft] def scd2PointInTimeFrom(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val dim = Tables.events(s, sf)
+      val dim = ev
         .filter(col("event_type") =!= "purchase")
         .withColumn("prev_state", lag(col("event_type"), 1).over(wOrd))
         .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
         .withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
         .select(col("user_id"), col("event_type").as("state"),
           col("ts").as("valid_from"), col("valid_to"))
-      val facts = Tables.events(s, sf).filter(col("event_type") === "purchase")
+      val facts = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id").as("f_user"), col("ts"))
       facts.join(dim,
           col("f_user") === col("user_id") &&
@@ -158,7 +160,11 @@ object EtlLoad extends OpGroup {
           col("state"), col("valid_from"),
           (col("state").isNotNull && col("valid_to").isNull).as("is_current_version"))
         .orderBy("event_id")
-    },
+  }
+
+  private val scd2PointInTime = Op(
+    "join_scd2_pointintime",
+    (s, sf) => scd2PointInTimeFrom(Tables.events(s, sf)),
     Some("""WITH dim AS (SELECT user_id, state, ts AS valid_from, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM (SELECT user_id, event_type AS state, ts, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE event_type <> 'purchase') t WHERE prev IS NULL OR prev <> state), f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT f.event_id, f.user_id, f.ts, d.state, d.valid_from, d.state IS NOT NULL AND d.valid_to IS NULL AS is_current_version FROM f LEFT JOIN dim d ON d.user_id = f.user_id AND f.ts >= d.valid_from AND (d.valid_to IS NULL OR f.ts < d.valid_to) ORDER BY f.event_id"""),
   )
 
