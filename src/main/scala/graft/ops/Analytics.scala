@@ -403,19 +403,19 @@ object Analytics extends OpGroup {
     * confidence / lift over brand pairs co-occurring in one order: the
     * recommender / cross-sell aggregate. Facts reduce ONCE to sorted
     * per-order brand SETS (collect_set dedups; sort fixes the canonical
-    * a < b pair order) and pair counts, marginals and the order count
-    * all derive from that single basket relation — the textbook
-    * items-self-join formulation computed the distinct-items subtree
-    * twice (differently-pruned references defeat exchange reuse;
-    * wall time is host-noise-bound at ~1.8 s either way at sf0.1; the win is the plan, one fact pass instead of three). Pairs generate IN-ROW
-    * by a HOF over each basket (≤ C(basket, 2) structs, bounded by
-    * basket size — never a cartesian across orders), so the op is one
-    * fact shuffle on the order key plus aggregations of bounded
-    * relations; the DuckDB oracle keeps the self-join formulation as
-    * the semantic dual. The order count folds in as a 1-row
-    * scalar aggregate cross join (the etl_dq_checks discipline, no
-    * driver action); brand marginals broadcast back onto the ≤ C(25,2)
-    * aggregated pair rows. All ratios divide doubles derived from exact
+    * a < b pair order); each basket then emits, IN-ROW by HOFs, its
+    * C(basket, 2) pair structs PLUS one singleton struct per brand
+    * (brand_b NULL) PLUS one order marker (both NULL), so pair counts,
+    * brand marginals and the order count all fall out of a SINGLE
+    * exploded groupBy — one fact shuffle + one bounded agg shuffle,
+    * never a cartesian across orders, and no persisted basket relation
+    * at all (the r6 form persisted baskets and eagerly pinned the
+    * result; the combined emission makes both unnecessary). The tally
+    * is bounded by the brand universe — ≤ C(25,2) + 25 + 1 rows at ANY
+    * scale factor — so it collects once into a LocalRelation and the
+    * ratios derive from jobless local broadcasts of that pin; the
+    * DuckDB oracle keeps the textbook self-join formulation as the
+    * semantic dual. All ratios divide doubles derived from exact
     * counts.
     */
   private val basketAffinity = Op(
@@ -427,15 +427,30 @@ object Analytics extends OpGroup {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-        .persist()
-      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-      val marg = baskets.select(explode(col("bs")).as("p_brand"))
-        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
-      val pairs = baskets.select(explode(expr(
-          "flatten(transform(bs, (a, i) -> transform(slice(bs, i + 2, size(bs)), b -> struct(a AS brand_a, b AS brand_b))))")).as("p"))
+      // One emission covers all three tallies: pairs (a, b), marginals
+      // (a, NULL), and the per-order marker (NULL, NULL).
+      val tally = baskets.select(explode(expr(
+          """concat(
+            |  flatten(transform(bs, (a, i) -> transform(slice(bs, i + 2, size(bs)), b -> struct(a AS brand_a, b AS brand_b)))),
+            |  transform(bs, a -> struct(a AS brand_a, CAST(NULL AS STRING) AS brand_b)),
+            |  array(struct(CAST(NULL AS STRING) AS brand_a, CAST(NULL AS STRING) AS brand_b)))""".stripMargin)).as("p"))
         .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
-        .agg(count(lit(1)).as("n_ab"))
-      val out = pairs
+        .agg(count(lit(1)).as("n"))
+      // The tally is bounded by the BRAND UNIVERSE (25 in TPC-H), not by
+      // SF: ≤ C(25,2)+25+1 rows at any scale. Collect it once (the op's
+      // single driver action, the same bounded-pin class as
+      // join_bloom_runtime's conf scope) and finish on LocalRelations —
+      // broadcasting a LocalRelation needs no Spark job, so the whole op
+      // is two jobs: the fact pipeline and the final sort.
+      import scala.jdk.CollectionConverters._
+      val t = s.createDataFrame(tally.collect().toSeq.asJava, tally.schema)
+      val nOrders = t.where(col("brand_a").isNull)
+        .select(col("n").as("n_orders"))
+      val marg = t.where(col("brand_a").isNotNull && col("brand_b").isNull)
+        .select(col("brand_a").as("p_brand"), col("n").as("n_b"))
+      val pairs = t.where(col("brand_b").isNotNull)
+        .select(col("brand_a"), col("brand_b"), col("n").as("n_ab"))
+      pairs
         .join(broadcast(marg.select(col("p_brand").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
         .join(broadcast(marg.select(col("p_brand").as("brand_b"), col("n_b").as("n_bb"))), "brand_b")
         .crossJoin(nOrders)
@@ -445,13 +460,7 @@ object Analytics extends OpGroup {
           r6(col("n_ab").cast("double") / col("n_bb")).as("conf_b_to_a"),
           r6(col("n_ab").cast("double") * col("n_orders") /
             (col("n_a").cast("double") * col("n_bb"))).as("lift"))
-      // Pin the bounded result off the pinned-baskets lineage, free the
-      // basket blocks (the graph kernels' block hygiene), sort last.
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      baskets.unpersist(false)
-      pinned.orderBy("brand_a", "brand_b")
+        .orderBy("brand_a", "brand_b")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON p_partkey = l_partkey), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items), marg AS (SELECT p_brand, COUNT(*) AS n_b FROM items GROUP BY p_brand), pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand GROUP BY 1, 2) SELECT p.brand_a, p.brand_b, p.n_ab, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / ma.n_b, 6) AS conf_a_to_b, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) / mb.n_b, 6) AS conf_b_to_a, ROUND(1e-9 + CAST(p.n_ab AS DOUBLE) * n.n_orders / (CAST(ma.n_b AS DOUBLE) * mb.n_b), 6) AS lift FROM pairs p JOIN marg ma ON ma.p_brand = p.brand_a JOIN marg mb ON mb.p_brand = p.brand_b CROSS JOIN n ORDER BY p.brand_a, p.brand_b"""),
   )

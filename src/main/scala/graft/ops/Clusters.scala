@@ -327,12 +327,19 @@ object Clusters extends OpGroup {
     * every per-edge contribution is rounded then decimal-cast before
     * the order-free sum, and each new rank is rounded — identical
     * inputs ⇒ identical doubles ⇒ identical next iteration. N folds in
-    * as a 1-row cross join (no driver action); each iteration is pinned
-    * (the clusterCc plan-truncation + block-hygiene pattern) and every
-    * intermediate's blocks are freed before the op returns. The
-    * undirected graph has no dangling nodes by construction (every
-    * connected node has out-degree ≥ 1), so no teleport-mass correction
-    * term is needed.
+    * as a 1-row cross join (no driver action). The undirected graph has
+    * no dangling nodes by construction (every connected node has
+    * out-degree ≥ 1), so no teleport-mass correction term is needed.
+    *
+    * Loop mechanics (r7): the static per-node columns (deg, nn) live in
+    * ONE pinned node-meta relation and each iteration's `next` rebuilds
+    * them from that pin instead of carrying them through `pr` — so `pr`
+    * is referenced exactly ONCE per iteration (the contrib join) and the
+    * lineage is a LINEAR 5-deep chain, not the 2^k tree that forced the
+    * r6 every-other-iteration eager pin. Two driver actions total (the
+    * node-meta pin and the result pin) instead of six; all five
+    * iterations execute as one job at the result pin. Blocks are freed
+    * before return (clusterCc hygiene).
     */
   private val copurchasePagerank = Op(
     "graph_copurchase_pagerank",
@@ -345,28 +352,36 @@ object Clusters extends OpGroup {
         handles ::= rdd
         s.createDataFrame(rdd, df.schema)
       }
-      Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+      // AQE off for this op: the static planner keeps the 5 iterations'
+      // identical sym-side exchanges canonically equal, so the edge
+      // shuffle runs ONCE and is ReusedExchange'd by iterations 2-5 —
+      // AQE's per-stage re-planning materializes each reference as its
+      // own stage job instead.
+      Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.adaptive.enabled" -> "false")) {
       val edges = copurchaseEdges(s, sf).persist()
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = pin(sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       val nN = deg.agg(count(lit(1)).as("nn"))
-      var pr = pin(deg.crossJoin(nN)
-        .select(col("node"), col("deg"), col("nn"),
-          r6(lit(1000000.0) / col("nn")).as("pr")))
-      for (i <- 1 to 5) {
+      // One pinned static relation carries (node, deg, nn); deg is
+      // referenced twice inside this single action (nN + the cross
+      // join), a cheap in-job recompute of one 8-partition agg.
+      val meta = pin(deg.crossJoin(nN))
+      var pr = meta.select(col("node"), col("deg"), col("nn"),
+        r6(lit(1000000.0) / col("nn")).as("pr"))
+      for (_ <- 1 to 5) {
         val contrib = sym
           .join(pr.select(col("node").as("u"), col("deg"), col("pr")), "u")
           .select(col("v").as("node"), dec(r6(col("pr") / col("deg"))).as("c"))
           .groupBy("node").agg(sum(col("c")).as("sc"))
-        val next = pr.select(col("node"), col("deg"), col("nn")).join(contrib, "node")
+        // Rebuild the static columns from the PINNED meta (broadcast —
+        // one build, reused every iteration), not from pr: pr is
+        // referenced once per iteration, so the chain stays linear and
+        // needs no mid-loop eager pin.
+        pr = broadcast(meta).join(contrib, "node")
           .select(col("node"), col("deg"), col("nn"),
             r6(lit(150000.0) / col("nn") +
               lit(0.85) * col("sc").cast("double")).as("pr"))
-        // Pin every second iteration: a 2-deep lazy chain re-executes one
-        // extra join/agg at the next pin (cheap — inputs are pinned or
-        // persisted) but halves the per-iteration driver-action count,
-        // which dominates at graph sizes this small.
-        pr = if (i % 2 == 0 || i == 5) pin(next) else next
       }
       val out = pin(pr.select(col("node").as("p_partkey"), col("deg").as("degree"),
         col("pr").as("pagerank_ppm")))
