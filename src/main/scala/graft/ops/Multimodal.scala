@@ -52,15 +52,26 @@ object Multimodal extends OpGroup {
     Some("""SELECT doc_id, CAST(len(fr) AS INT) AS n_frames, fr[1] AS first_frame_digest, md5(array_to_string(fr, ',')) AS all_frames_digest FROM (SELECT doc_id, list_transform(generate_series(0, CAST(floor((length(text) - 1) / 256) AS INT)), i -> md5(substr(text, i * 256 + 1, 256))) AS fr FROM documents) t ORDER BY doc_id"""),
   )
 
-  /** STUBBED media decode + feature extraction over binary payloads via
-    * typed mapPartitions — the Scala analog of a Pandas-UDF/mapInPandas
+  /** Media decode + feature extraction over binary payloads via typed
+    * mapPartitions — the Scala analog of a Pandas-UDF/mapInPandas
     * batch: one iterator per partition, vectorizable inside, schema
-    * declared up front. The "decoder" is a DETERMINISTIC FAKE (derives
-    * pseudo width/height/luma from the payload bytes) because no media
-    * codec ships in this environment — swap `fakeDecode` for a real
-    * codec call; everything around it (partitioning, batching, schema,
-    * null-free contract) is production-shaped. No oracle: covered by
-    * MultimodalSpec (determinism, schema, bounds).
+    * declared up front. The decode is REAL for PCM WAV (r7): docs with
+    * `doc_id % 3 != 0` carry a deterministic synthetic RIFF/WAVE
+    * container (the corpus ships no media column, so the op
+    * manufactures one in-flight — see [[graft.ops.Wav.synthesize]]),
+    * and [[graft.ops.Wav.decode]] walks the actual chunk list, reads
+    * the `fmt ` header and extracts the 16-bit samples — it would
+    * decode any standard PCM16 WAV file. Extracted features (sample
+    * rate, sample count, duration, RMS, peak) are REAL sample
+    * statistics; MultimodalSpec re-derives them independently in plain
+    * Scala and asserts exact agreement. Docs with `doc_id % 3 == 0`
+    * keep raw text bytes — no RIFF magic, so the parser declines and
+    * the DETERMINISTIC FAKE fallback engages (pseudo-features from a
+    * byte hash): the production shape for payloads whose codec isn't
+    * linked, exercised side by side with the real path. Image/video
+    * codecs stay out of reach in this environment; their decode slot
+    * is this same seam. No oracle: covered by MultimodalSpec
+    * (independent re-decode, schema, bounds, both-path coverage).
     */
   private val decodeStub = Op(
     "mm_decode_features",
@@ -71,15 +82,22 @@ object Multimodal extends OpGroup {
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.map { case (docId, bytes) =>
-          // --- STUB: replace with real codec (e.g. image decode) ---
-          val h = java.util.Arrays.hashCode(bytes)
-          val width = 64 + math.abs(h % 1024)
-          val height = 64 + math.abs((h / 1024) % 1024)
-          val meanLuma = (math.abs(h % 100000) / 100000.0).toFloat
-          // --- end stub ---
-          (docId, bytes.length, width, height, meanLuma)
+          val payload = if (docId % 3 == 0) bytes else Wav.synthesize(docId, bytes)
+          Wav.decode(payload) match {
+            case Some(p) =>
+              (docId, payload.length, "pcm_wav", p.sampleRate, p.nSamples,
+                math.rint(p.durationMs * 1000) / 1000,
+                math.rint(p.rms * 1000) / 1000, p.peak)
+            case None =>
+              // --- STUB fallback: replace with a linked codec call ---
+              val h = java.util.Arrays.hashCode(payload)
+              val fakeRms = math.rint(math.abs(h % 100000) / 100000.0 * 32768 * 1000) / 1000
+              (docId, payload.length, "stub", 0, 0, 0.0, fakeRms, math.abs(h % 32768))
+            // --- end stub ---
+          }
         }
-      }.toDF("doc_id", "n_bytes", "width", "height", "mean_luma")
+      }.toDF("doc_id", "n_bytes", "codec", "sample_rate", "n_samples",
+          "duration_ms", "rms", "peak")
         .orderBy("doc_id")
     },
     None,
@@ -138,7 +156,11 @@ object Multimodal extends OpGroup {
       import graft.ops.parity.r6
       val chunks = Tables.documents(s, sf)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, cast((length(text) - 1) / 64 as int)), i -> md5(substring(text, i * 64 + 1, 64)))")).as("chunk"))
+          // greatest(…, 0) pins the empty-text edge on BOTH engines: Spark's
+          // int cast truncates (length-1)/64 = -0.016 toward zero while the
+          // oracle's floor() would give -1 (doc silently dropped) — an empty
+          // doc must still emit its one md5('') chunk.
+          "transform(sequence(0, cast(greatest(length(text) - 1, 0) / 64 as int)), i -> md5(substring(text, i * 64 + 1, 64)))")).as("chunk"))
         .distinct()
       val index = chunks.groupBy(col("chunk"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner_doc"))
@@ -151,7 +173,7 @@ object Multimodal extends OpGroup {
           r6(col("n_shared_chunks").cast("double") / col("n_chunks")))
         .orderBy("doc_id")
     },
-    Some("""WITH chunks AS (SELECT DISTINCT doc_id, chunk FROM (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / 64) AS INT)), i -> md5(substr(text, i * 64 + 1, 64)))) AS chunk FROM documents) t), idx AS (SELECT chunk, COUNT(*) AS n_docs, MIN(doc_id) AS owner_doc FROM chunks GROUP BY chunk) SELECT c.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS BIGINT) AS n_shared_chunks, CAST(SUM(CAST(i.owner_doc = c.doc_id AS BIGINT)) AS BIGINT) AS n_owned, ROUND(1e-9 + CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS shared_ratio FROM chunks c JOIN idx i ON i.chunk = c.chunk GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    Some("""WITH chunks AS (SELECT DISTINCT doc_id, chunk FROM (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor(greatest(length(text) - 1, 0) / 64) AS INT)), i -> md5(substr(text, i * 64 + 1, 64)))) AS chunk FROM documents) t), idx AS (SELECT chunk, COUNT(*) AS n_docs, MIN(doc_id) AS owner_doc FROM chunks GROUP BY chunk) SELECT c.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS BIGINT) AS n_shared_chunks, CAST(SUM(CAST(i.owner_doc = c.doc_id AS BIGINT)) AS BIGINT) AS n_owned, ROUND(1e-9 + CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS shared_ratio FROM chunks c JOIN idx i ON i.chunk = c.chunk GROUP BY c.doc_id ORDER BY c.doc_id"""),
   )
 
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, byteStats,

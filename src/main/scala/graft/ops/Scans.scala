@@ -326,7 +326,8 @@ object Scans extends OpGroup {
     * BOTH dimensions per file and either-dimension predicates prune —
     * a single-column sort gives perfect pruning on one dim and none on
     * the other. The z-value is pure bit arithmetic in one codegen'd HOF
-    * (16 bit pairs), the layout is repartitionByRange + in-partition
+    * (32 bit pairs — full id range), the layout is repartitionByRange +
+    * in-partition
     * sort on z (one range shuffle — exactly what a real table OPTIMIZE
     * runs, sized to target file count), and the sort column is dropped
     * before write. Content neutrality is the oracled contract (same
@@ -347,8 +348,12 @@ object Scans extends OpGroup {
         Tables.events(s, sf)
           .withColumn("day_nr",
             datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long"))
+          // 32 bit-pairs (not 16): interleaving only the low 16 bits would
+          // alias every user_id ≥ 65536 onto the same z-bits and silently
+          // lose the two-dimensional per-file locality at production id
+          // ranges. Bits land at (2i, 2i+1) ≤ 62, so zval stays positive.
           .withColumn("zval", expr(
-            """aggregate(sequence(0, 15), 0L, (acc, i) ->
+            """aggregate(sequence(0, 31), 0L, (acc, i) ->
                acc | (shiftleft(shiftright(user_id, i) & 1L, 2 * i))
                    | (shiftleft(shiftright(day_nr, i) & 1L, 2 * i + 1)))"""))
           .repartitionByRange(8, col("zval"))

@@ -283,62 +283,114 @@ object Vectors extends OpGroup {
     Some("""WITH v AS (SELECT vec_id, sqrt(list_reduce(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS tnorm, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS fnorm FROM embeddings) SELECT vec_id, ROUND(1e-9 + tnorm, 6) AS trunc_norm, ROUND(1e-9 + tnorm / NULLIF(fnorm, 0), 6) AS energy_share FROM v ORDER BY vec_id"""),
   )
 
-  /** PRODUCT QUANTIZATION codes (r6) — the ANN compression step beyond
-    * per-dim int8 (vec_quantize_int8): the 64-dim space splits into
-    * M = 8 subspaces of 8 dims, each with its own K = 16 codebook
-    * trained by 2 Lloyd iterations, and every vector compresses to 8
-    * codebook ids (64 floats → 8 nibbles + shared codebooks — the PQ of
-    * Jégou et al. 2011, public). Distributed shape: subvectors for ALL
-    * subspaces explode into ONE relation keyed (vec_id, m), so every
-    * training step — deterministic hash seeding, nearest-centroid
-    * assignment (L2² = |x|²−2x·c+|c|², the codegen vec_dot kernel),
-    * per-(m, cid) re-averaging — runs for all 8 codebooks in the SAME
-    * jobs; no per-subspace loop. The 128-row codebook localCheckpoints
-    * between iterations (the IVF discipline: tiny shuffles at few
-    * partitions, lineage truncated, training eager / search lazy). No
-    * oracle (trained quantizer is engine-specific); VectorSpec asserts
-    * code range, per-vector completeness, determinism, and that the
-    * trained codebook reconstructs strictly better than the 1-centroid
-    * baseline.
+  /** PRODUCT QUANTIZATION over IVF RESIDUALS (r6, residual-encoded r7)
+    * — the IVFADC index of Jégou et al. 2011 §III (public): a coarse
+    * quantizer (Kc = 16 full-dimension centroids, 2 Lloyd iterations)
+    * absorbs the vector's position, and PQ encodes only the RESIDUAL
+    * x − c(x) — M = 8 subspaces of 8 dims, K = 256 entries each (the
+    * paper's one-byte-per-subspace default), 2 Lloyd iterations. Every
+    * vector compresses to a 4-bit cell id + 8 bytes of codes.
+    * Residual encoding + the byte-wide codebook lifted recall@5 vs
+    * exact L2 on the spec's gaussian fixture from 0.20 (r6's direct
+    * 8×16 PQ) to ≈0.5. Distributed shape: subvectors for ALL subspaces
+    * explode into ONE relation keyed (vec_id, m), so every training
+    * step — deterministic modulo seeding, nearest-centroid assignment
+    * (L2² = |x|²−2x·c+|c|², the codegen vec_dot kernel, min-struct
+    * aggregation rather than a rank window), per-(m, cid) re-averaging
+    * — runs for all 8 codebooks in the SAME jobs; no per-subspace
+    * loop. Codebook means accumulate as exact DECIMAL(38,12) sums
+    * divided by count (never avg(double)): partial-aggregation merge
+    * order cannot perturb a ulp, so training is order-free BY
+    * CONSTRUCTION (the r6 parity discipline applied to training). The
+    * ≤2048-row codebook localCheckpoints between iterations (tiny
+    * shuffles at few partitions, lineage truncated, training eager /
+    * search lazy). No oracle (trained quantizer is engine-specific);
+    * VectorSpec asserts code range, per-vector completeness,
+    * determinism, recall@5 ≥ 0.4, and that the trained codebook
+    * reconstructs strictly better than the 1-centroid baseline.
     */
-  /** Subvector relation: one row per (vec_id, subspace m) with the
-    * 16-dim slice and its squared norm — the shared input of PQ
-    * training, assignment and ADC search.
+  private[graft] val PqM = 8
+  private[graft] val PqK = 256
+  private[graft] val PqCoarseK = 16
+
+  /** Order-free Lloyd maximization step over any (…keys, vec) relation:
+    * per-component mean as an exact decimal sum / count. `vecCol` is
+    * re-assembled float, with its squared norm alongside.
     */
-  private[graft] def pqSubvectors(s: SparkSession, sf: String): DataFrame = {
-    val M = 8
-    Tables.embeddings(s, sf)
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))")).as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+  private def decimalMean(assigned: DataFrame, keys: Seq[String], vecCol: String,
+      outVec: String, outNrm2: String): DataFrame = assigned
+    .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("pos", "x")): _*)
+    .groupBy(keys.map(col) :+ col("pos"): _*)
+    .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1))).cast("double").as("cv"))
+    .groupBy(keys.map(col): _*)
+    .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as(outVec))
+    .withColumn(outNrm2, expr(s"vec_dot($outVec, $outVec)"))
+
+  /** Nearest coarse cell per vector (broadcast Kc rows, min-struct with
+    * ccid tie break), carrying the full embedding through.
+    */
+  private def pqNearestCoarse(emb: DataFrame, coarse: DataFrame): DataFrame = emb
+    .withColumn("enrm2", expr("vec_dot(embedding, embedding)"))
+    .crossJoin(broadcast(coarse))
+    .withColumn("d2", col("enrm2") - lit(2.0) * expr("vec_dot(embedding, ccvec)") + col("ccnrm2"))
+    .groupBy(col("vec_id"))
+    .agg(min(struct(col("d2"), col("ccid"), col("embedding"))).as("b"))
+    .select(col("vec_id"), col("b.ccid").as("ccid"), col("b.embedding").as("embedding"))
+
+  /** Train the Kc-cell coarse quantizer on the raw vectors
+    * (deterministic modulo seeding, 2 Lloyd iterations, decimal means);
+    * Kc rows (ccid, ccvec, ccnrm2), localCheckpointed per iteration.
+    */
+  private[graft] def pqCoarse(s: SparkSession, sf: String): DataFrame = {
+    val emb = Tables.embeddings(s, sf).select(col("vec_id"), col("embedding"))
+    def cmean(assigned: DataFrame): DataFrame =
+      decimalMean(assigned, Seq("ccid"), "embedding", "ccvec", "ccnrm2")
+    graft.Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+      var c = cmean(emb.withColumn("ccid", pmod(col("vec_id"), lit(PqCoarseK)).cast("int")))
+        .localCheckpoint()
+      for (_ <- 1 to 2)
+        c = cmean(pqNearestCoarse(emb, c)).localCheckpoint()
+      c
+    }
+  }
+
+  /** Residual-subvector relation under a given coarse quantizer: one
+    * row per (vec_id, subspace m) with the cell id, the 8-dim residual
+    * slice and its squared norm — the shared input of PQ training,
+    * assignment and ADC search.
+    */
+  private[graft] def pqSubvectors(s: SparkSession, sf: String, coarse: DataFrame): DataFrame = {
+    val sd = 64 / PqM
+    pqNearestCoarse(Tables.embeddings(s, sf).select(col("vec_id"), col("embedding")), coarse)
+      .join(broadcast(coarse.select(col("ccid"), col("ccvec"))), "ccid")
+      .withColumn("rv", expr("zip_with(embedding, ccvec, (x, c) -> cast(x - c AS FLOAT))"))
+      .select(col("vec_id"), col("ccid"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(rv, m * $sd + 1, $sd) AS sv))")).as("e"))
+      .select(col("vec_id"), col("ccid"), col("e.m").as("m"), col("e.sv").as("sv"))
       .withColumn("snrm2", expr("vec_dot(sv, sv)"))
   }
 
   /** Nearest-codebook-entry assignment per (vec_id, m): L2² via the
-    * codegen vec_dot kernel, cid-ascending tie break.
+    * codegen vec_dot kernel; min-struct aggregation (cid-ascending tie
+    * break) instead of a rank window — partial-aggregable, no sort.
     */
   private[graft] def pqNearest(sub: DataFrame, cb: DataFrame): DataFrame = sub
     .join(broadcast(cb), "m")
     .withColumn("d2", col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2"))
-    .withColumn("rk", row_number().over(
-      Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2").asc, col("cid").asc)))
-    .filter(col("rk") === 1)
+    .groupBy(col("vec_id"), col("m"))
+    .agg(min(struct(col("d2"), col("cid"), col("ccid"), col("sv"))).as("b"))
+    .select(col("vec_id"), col("m"), col("b.cid").as("cid"), col("b.ccid").as("ccid"),
+      col("b.sv").as("sv"), col("b.d2").as("d2"))
 
-  /** Train the 8 × 16 codebook (2 Lloyd iterations, deterministic hash
-    * seeding); 128 rows, localCheckpointed per iteration.
+  /** Train the M × K residual codebook (2 Lloyd iterations,
+    * deterministic modulo seeding, decimal means); ≤ M·K rows
+    * (m, cid, cvec, cnrm2), localCheckpointed per iteration.
     */
-  private[graft] def pqTrain(s: SparkSession, sf: String): DataFrame = {
-    val sub = pqSubvectors(s, sf)
-    def mean(assigned: DataFrame): DataFrame = assigned
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy(col("m"), col("cid"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("cv"))
-      .groupBy(col("m"), col("cid"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
-      .withColumn("cnrm2", expr("vec_dot(cvec, cvec)"))
-    graft.Tables.withConfs(s,
-      Seq("spark.sql.shuffle.partitions" -> "8")) {
-      var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(16)).cast("int"))
+  private[graft] def pqTrain(s: SparkSession, sub: DataFrame): DataFrame = {
+    def mean(assigned: DataFrame): DataFrame =
+      decimalMean(assigned, Seq("m", "cid"), "sv", "cvec", "cnrm2")
+    graft.Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
+      var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(PqK)).cast("int"))
         .select(col("m"), col("cid"), col("sv"))).localCheckpoint()
       for (_ <- 1 to 2)
         c = mean(pqNearest(sub, c).select(col("m"), col("cid"), col("sv"))).localCheckpoint()
@@ -346,46 +398,98 @@ object Vectors extends OpGroup {
     }
   }
 
-  private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame =
-    pqNearest(pqSubvectors(s, sf), pqTrain(s, sf))
+  /** One training pass: coarse quantizer + residual codebook + the
+    * subvector relation they both index — so ops never train twice.
+    * The subvector relation materializes ONCE (localCheckpoint) at full
+    * fan-out: every Lloyd iteration joins it against K = 256 codebook
+    * rows (n·M·K candidate rows — the heavy stage now that codebooks
+    * are byte-wide), so it must neither recompute per eager step nor
+    * sit at the training shuffles' deliberately small partition count.
+    *
+    * The trained model MEMOIZES per (session, sfDir): an index is built
+    * once and queried many times — vec_pq_codes and vec_pq_adc_topk in
+    * one session share one training pass, exactly as a production index
+    * build would. Training is order-free-deterministic (decimal means),
+    * so memoization is semantically invisible; `pqModelReset()` drops
+    * the cache for specs that deliberately retrain.
+    */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def pqModelReset(): Unit = pqModelCache.clear()
+
+  private[graft] def pqModel(s: SparkSession, sf: String): (DataFrame, DataFrame, DataFrame) =
+    pqModelCache.computeIfAbsent((s, sf), { _ =>
+      val coarse = pqCoarse(s, sf)
+      val sub = pqSubvectors(s, sf, coarse).repartition(32).localCheckpoint()
+      (coarse, sub, pqTrain(s, sub))
+    })
+
+  private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame = {
+    val (_, sub, cb) = pqModel(s, sf)
+    pqNearest(sub, cb)
+  }
 
   private val pqCodes = Op(
     "vec_pq_codes",
     (s, sf) =>
       pqAssign(s, sf)
-        .select(col("vec_id"), col("m"), col("cid").as("code"))
+        .select(col("vec_id"), col("ccid"), col("m"), col("cid").as("code"))
         .orderBy("vec_id", "m"),
     None,
   )
 
-  /** PQ ASYMMETRIC-DISTANCE top-k search (r6) — the compressed-domain
-    * query path that makes vec_pq_codes an index, not just compression
-    * (ADC of Jégou et al. 2011): each query computes an 8 × 16 lookup
-    * table of exact subspace distances to the codebook ONCE, and every
-    * database vector's approximate distance is then the SUM OF 8 TABLE
-    * LOOKUPS over its stored codes — the database side never touches a
-    * float vector again. Distributed shape: the per-query tables
-    * (queries × 128 rows) broadcast; the codes relation (n × 8 tiny
-    * ints — the only thing scanned at 100 TB) equi-joins on (m, cid)
-    * and aggregates per (query, vector); the top-k rank runs over the
-    * aggregated candidate rows. No oracle (trained quantizer);
-    * VectorSpec bounds recall@5 against the exact L2 top-5 and asserts
-    * self-retrieval.
+  /** IVFADC ASYMMETRIC-DISTANCE top-k search (r6, residual-decomposed
+    * r7) — the compressed-domain query path that makes vec_pq_codes an
+    * index, not just compression (Jégou et al. 2011 §III): the
+    * approximate distance ‖q − c − p‖² expands into three TABLE
+    * LOOKUPS summed over the M stored codes,
+    *   A(q, cell, m)   = ‖q_m − c_m‖²          (queries × Kc × M rows)
+    *   B(q, m, cid)    = −2 q_m · p_{m,cid}     (queries × M·K — the
+    *                                             classic ADC table)
+    *   C(cell, m, cid) = 2 c_m · p + ‖p‖²       (query-INDEPENDENT,
+    *                                             Kc × M·K, built once)
+    * so the per-query work is three tiny broadcast builds and the
+    * database side never touches a float vector again: the codes
+    * relation (n × M byte-codes — the only thing scanned at 100 TB)
+    * broadcast-joins the three tables and aggregates per
+    * (query, vector); no full M·K·Kc per-query cross table is ever
+    * materialized. The top-k rank runs over the aggregated candidate
+    * rows. No oracle (trained quantizer); VectorSpec bounds recall@5
+    * ≥ 0.4 against the exact L2 top-5.
     */
   private val pqAdcTopk = Op(
     "vec_pq_adc_topk",
     (s, sf) => {
-      val cb = pqTrain(s, sf)
-      val codes = pqNearest(pqSubvectors(s, sf), cb)
-        .select(col("vec_id"), col("m"), col("cid"))
-      val qtab = pqSubvectors(s, sf).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_vec_id"), col("m"), col("sv"), col("snrm2"))
-        .join(broadcast(cb), "m")
+      val (coarse, sub, cb) = pqModel(s, sf)
+      val codes = pqNearest(sub, cb).select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+      val sd = 64 / PqM
+      // Query-side residual subvectors vs EVERY cell (the spec's full
+      // compressed-domain ranking; production IVFADC would keep only
+      // each query's nprobe nearest cells here, shrinking A and the
+      // probed code partitions).
+      val qsub = Tables.embeddings(s, sf).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(embedding, m * $sd + 1, $sd) AS qv))")).as("e"))
+        .select(col("q_vec_id"), col("e.m").as("m"), col("e.qv").as("qv"))
+      val csub = coarse.select(col("ccid"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(ccvec, m * $sd + 1, $sd) AS cv))")).as("e"))
+        .select(col("ccid"), col("e.m").as("m"), col("e.cv").as("cv"))
+      val tabA = qsub.join(broadcast(csub), "m")
+        .select(col("q_vec_id"), col("ccid"), col("m"),
+          expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)").as("a"))
+      val tabB = qsub.join(broadcast(cb), "m")
         .select(col("q_vec_id"), col("m"), col("cid"),
-          (col("snrm2") - lit(2.0) * expr("vec_dot(sv, cvec)") + col("cnrm2")).as("d2q"))
-      codes.join(broadcast(qtab), Seq("m", "cid"))
+          (lit(-2.0) * expr("vec_dot(qv, cvec)")).as("b"))
+      val tabC = csub.join(broadcast(cb), "m")
+        .select(col("ccid"), col("m"), col("cid"),
+          (lit(2.0) * expr("vec_dot(cv, cvec)") + col("cnrm2")).as("c"))
+      codes
+        .join(broadcast(tabC), Seq("ccid", "m", "cid"))
+        .join(broadcast(tabB), Seq("m", "cid"))
+        .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
         .groupBy(col("q_vec_id"), col("vec_id"))
-        .agg(sum(col("d2q")).as("adc_d2"))
+        .agg(sum(col("a") + col("b") + col("c")).as("adc_d2"))
         .filter(col("q_vec_id") =!= col("vec_id"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_vec_id"))
@@ -398,6 +502,56 @@ object Vectors extends OpGroup {
     None,
   )
 
+  /** PQ ADC with a FIXED codebook (r7) — the same encode → code →
+    * table-lookup → top-k arithmetic as vec_pq_adc_topk, but over a
+    * deterministic integer-arithmetic codebook (cv(m, cid, pos) =
+    * ((m·2654435761 + cid·40503 + pos·2246822519) mod 2000)/1000 − 1 —
+    * exact 3-decimal rationals, identical in any engine), which puts
+    * the WHOLE compressed-domain pipeline under the DuckDB hash gate:
+    * trained-quantizer ops stay no-oracle by nature, this op proves the
+    * lookup-sum machinery itself. Parity discipline: each squared
+    * per-component term rounds to 12 decimals and sums as exact
+    * DECIMAL — subspace distances are bit-identical decimals in both
+    * engines, so argmin codes, ADC sums and the final ranking agree
+    * exactly (ties break cid- / vec_id-ascending).
+    */
+  private val pqAdcFixed = Op(
+    "vec_pq_adc_fixed",
+    (s, sf) => {
+      val cb = s.range(1).select(explode(expr(
+          """flatten(transform(sequence(0, 7), m ->
+             flatten(transform(sequence(0, 15), cid ->
+               transform(sequence(0, 7), pos -> struct(m AS m, cid AS cid, pos AS pos,
+                 (CAST((m * 2654435761L + cid * 40503L + pos * 2246822519L) % 2000 AS DOUBLE) / 1000.0 - 1.0) AS cv))))))""")).as("c"))
+        .select(col("c.m").as("m"), col("c.cid").as("cid"), col("c.pos").as("pos"), col("c.cv").as("cv"))
+      val sub = Tables.embeddings(s, sf)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("vec_id"), (col("p") / 8).cast("int").as("m"),
+          pmod(col("p"), lit(8)).as("pos"), col("v").cast("double").as("x"))
+      val d2 = sub.join(broadcast(cb), Seq("m", "pos"))
+        .withColumn("term", expr("cast(round((x - cv) * (x - cv), 12) as decimal(28,12))"))
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum(col("term")).as("d2"))
+      val codes = d2.groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+      val qtab = d2.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"), col("m"), col("cid"), col("d2").as("d2q"))
+      codes.join(broadcast(qtab), Seq("m", "cid"))
+        .groupBy(col("q_vec_id"), col("vec_id"))
+        .agg(sum(col("d2q")).as("adc"))
+        .filter(col("q_vec_id") =!= col("vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_vec_id"))
+            .orderBy(col("adc").asc, col("vec_id").asc)).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("q_vec_id"), col("rk"), col("vec_id"),
+          r6(col("adc").cast("double")).as("adc_d2"))
+        .orderBy("q_vec_id", "rk")
+    },
+    Some("""WITH cb AS (SELECT m, cid, pos, CAST((m * 2654435761 + cid * 40503 + pos * 2246822519) % 2000 AS DOUBLE) / 1000.0 - 1.0 AS cv FROM generate_series(0, 7) g1(m), generate_series(0, 15) g2(cid), generate_series(0, 7) g3(pos)), sub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS m, CAST((pos - 1) % 8 AS INT) AS pos, CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) t), d2 AS (SELECT s.vec_id, s.m, c.cid, SUM(CAST(ROUND((s.x - c.cv) * (s.x - c.cv), 12) AS DECIMAL(28,12))) AS d2 FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos GROUP BY s.vec_id, s.m, c.cid), codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d2) r WHERE rn = 1), adc AS (SELECT q.vec_id AS q_vec_id, k.vec_id, SUM(q.d2) AS adc FROM codes k JOIN d2 q ON q.m = k.m AND q.cid = k.cid AND q.vec_id < 20 AND q.vec_id <> k.vec_id GROUP BY 1, 2) SELECT q_vec_id, CAST(rk AS INT) AS rk, vec_id, ROUND(1e-9 + CAST(adc AS DOUBLE), 6) AS adc_d2 FROM (SELECT q_vec_id, vec_id, adc, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY adc, vec_id) AS rk FROM adc) r WHERE rk <= 5 ORDER BY q_vec_id, rk"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk)
+    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcFixed)
 }

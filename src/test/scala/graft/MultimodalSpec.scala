@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The stubbed decode path: the codec is fake (environment has none) but
-  * the plumbing contract — schema, determinism, coverage — is real and
-  * must hold for any codec swapped in.
+/** The decode seam: the WAV path is a REAL container parse (r7) whose
+  * extracted sample statistics are re-derived independently here; the
+  * stub fallback (opaque payloads) keeps the plumbing contract — schema,
+  * determinism, coverage — that must hold for any codec swapped in.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -14,20 +15,86 @@ class MultimodalSpec extends SparkSpec {
     assert(df.schema == StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("mean_luma", FloatType, nullable = false),
+      StructField("codec", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
     )))
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
-  test("mm_decode_features is deterministic across runs and partitionings") {
+  test("mm_decode_features is deterministic and exercises BOTH codec paths") {
     val a = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     assert(a.sameElements(b))
-    val bounds = SparkEntry.queries("mm_decode_features")(spark, sf)
-      .filter(col("width") < 64 || col("height") < 64 ||
-        col("mean_luma") < 0 || col("mean_luma") >= 1).count()
-    assert(bounds == 0)
+    val byCodec = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .groupBy("codec").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCodec.getOrElse("pcm_wav", 0L) > 0, "no docs took the real WAV path")
+    assert(byCodec.getOrElse("stub", 0L) > 0, "no docs took the stub fallback")
+    assert(byCodec.keySet == Set("pcm_wav", "stub"))
+  }
+
+  test("WAV-decoded features equal an independent plain-Scala re-decode") {
+    // The op synthesizes the container and parses it back with the real
+    // chunk-walking parser; here the expected features are derived a
+    // SECOND way — straight from the synthesis formula, no RIFF parsing
+    // — so header layout, sample extraction and statistics all have an
+    // independent witness.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .filter(col("codec") === "pcm_wav").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val src = docs(docId).getBytes("UTF-8")
+      val n = 200 + (math.abs(docId) % 56).toInt + (src.length % 256)
+      val l = math.max(src.length, 1)
+      val samples = (0 until n).map { i =>
+        val base = if (src.isEmpty) 0 else src(i % l) & 0xff
+        ((((base * 131 + i * 7 + docId % 251) % 65536) + 65536) % 65536 - 32768).toShort
+      }
+      val rms = math.sqrt(samples.foldLeft(0.0)((acc, x) => acc + x.toDouble * x) / n)
+      val peak = samples.foldLeft(0)((acc, x) => math.max(acc, math.abs(x.toInt)))
+      assert(r.getInt(3) == 8000, s"doc $docId: parsed sample rate")
+      assert(r.getInt(4) == n, s"doc $docId: parsed sample count")
+      assert(r.getDouble(5) == math.rint(n * 1000.0 / 8000 * 1000) / 1000, s"doc $docId: duration")
+      assert(r.getDouble(6) == math.rint(rms * 1000) / 1000, s"doc $docId: RMS from real samples")
+      assert(r.getInt(7) == peak, s"doc $docId: peak from real samples")
+      assert(r.getInt(1) == 44 + 2 * n, s"doc $docId: container size (44-byte header + PCM16)")
+    }
+  }
+
+  test("the WAV parser is a real one: foreign chunks, padding, and rejects") {
+    import graft.ops.Wav
+    // A hand-built file with an extra LIST chunk of ODD size before fmt/data
+    // (forces the pad-byte walk) still decodes to the same samples.
+    val plain = Wav.synthesize(7L, "abc".getBytes("UTF-8"))
+    val parsed = Wav.decode(plain).get
+    val withList = {
+      val listBody = Array[Byte](1, 2, 3) // odd size → pad byte required
+      val bb = java.nio.ByteBuffer.allocate(plain.length + 8 + listBody.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(plain, 0, 12)
+      bb.put("LIST".getBytes); bb.putInt(listBody.length); bb.put(listBody); bb.put(0.toByte)
+      bb.put(plain, 12, plain.length - 12)
+      val arr = bb.array()
+      // fix RIFF size field
+      val riffSize = arr.length - 8
+      arr(4) = (riffSize & 0xff).toByte; arr(5) = ((riffSize >> 8) & 0xff).toByte
+      arr(6) = ((riffSize >> 16) & 0xff).toByte; arr(7) = ((riffSize >> 24) & 0xff).toByte
+      arr
+    }
+    val reparsed = Wav.decode(withList).get
+    assert(reparsed.samples.sameElements(parsed.samples))
+    assert(reparsed.sampleRate == 8000 && reparsed.channels == 1)
+    // Rejects: truncated, wrong magic, non-PCM format tag.
+    assert(Wav.decode(plain.take(30)).isEmpty)
+    assert(Wav.decode("not a wav at all, just text bytes".getBytes).isEmpty)
+    val nonPcm = plain.clone(); nonPcm(20) = 3 // format tag 3 = IEEE float
+    assert(Wav.decode(nonPcm).isEmpty)
   }
 }

@@ -168,7 +168,12 @@ class VectorSpec extends SparkSpec {
     val codes = SparkEntry.queries("vec_pq_codes")(spark, sf).cache()
     val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
     assert(codes.count() == nVec * 8, "every vector needs exactly M=8 codes")
-    assert(codes.filter(col("code") < 0 || col("code") > 15).count() == 0)
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    assert(codes.filter(col("ccid") < 0 || col("ccid") > 15).count() == 0)
+    // Reset the memoized model so the second run RETRAINS from scratch —
+    // the assertion is that training itself (decimal-mean Lloyd) is
+    // order-free, not that a cached model equals itself.
+    ops.Vectors.pqModelReset()
     val again = SparkEntry.queries("vec_pq_codes")(spark, sf)
     assert(codes.exceptAll(again).count() == 0 && again.exceptAll(codes).count() == 0,
       "PQ training must be deterministic")
@@ -213,9 +218,10 @@ class VectorSpec extends SparkSpec {
       .join(exact, Seq("q_vec_id", "vec_id"), "left_semi").count()
     val recall = hits.toDouble / exact.count()
     info(s"ADC recall@5 over 20 queries: $recall")
-    // 32-bit codes on a random-gaussian corpus are still a coarse index; the
-    // spec pins that the compressed-domain ranking carries real signal
-    // (random ranking would land ~5/499 per query, recall ~0.01).
-    assert(recall >= 0.15, s"ADC recall@5 $recall below 0.15")
+    // IVF-residual encoding + byte-wide codebooks (r7) lift the
+    // compressed-domain ranking well clear of chance (random ranking
+    // would land ~5/499 per query, recall ~0.01); measured ≈0.5 on this
+    // fixture, r6's direct 8×16 PQ sat at 0.20.
+    assert(recall >= 0.4, s"ADC recall@5 $recall below 0.4")
   }
 }
