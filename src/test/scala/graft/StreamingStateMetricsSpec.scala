@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, StreamingQueryProgress}
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import scala.collection.mutable
+
+/** Executed witness for docs/streaming.md's state-boundedness claim
+  * (r6 VERDICT "missing" #4): result equality under RocksDB was already
+  * proven (RocksDbStateSpec); this suite asserts the state METRICS —
+  * after the final no-data micro-batch, `numRowsTotal` equals/bounds
+  * the watermark-horizon population (open sessions; in-horizon join
+  * rows), not the full stream, and the watermark actually evicted rows.
+  * Metrics come from `StreamingQueryProgress.stateOperators` captured
+  * by a listener around the ops' own AvailableNow runs, under the
+  * RocksDB provider — the exact deployment surface a 100 TB stream
+  * monitors.
+  */
+class StreamingStateMetricsSpec extends SparkSpec {
+
+  private val confKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withProvider[T](cls: String)(body: => T): T = {
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, cls)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
+  private final class Capture extends StreamingQueryListener {
+    val progresses = mutable.ArrayBuffer[StreamingQueryProgress]()
+    @volatile var terminated = false
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      synchronized { progresses += e.progress }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      terminated = true
+  }
+
+  /** Run one op under RocksDB with a listener attached; return (result
+    * row count, progresses with state operators, ordered).
+    */
+  private def runCaptured(key: String): (Long, Seq[StreamingQueryProgress]) = {
+    val cap = new Capture
+    spark.streams.addListener(cap)
+    try {
+      val n = withProvider(rocks) { SparkEntry.queries(key)(spark, sf).count() }
+      // Listener delivery is async; wait for the termination event so the
+      // final micro-batch's progress is in the buffer.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cap.terminated && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cap.terminated, s"$key: no QueryTerminatedEvent within 30 s")
+      (n, cap.synchronized { cap.progresses.filter(_.stateOperators.nonEmpty).toSeq })
+    } finally spark.streams.removeListener(cap)
+  }
+
+  test("stream_session_window state ends at exactly the OPEN sessions, evicting the rest") {
+    val (closed, progs) = runCaptured("stream_session_window")
+    assert(progs.nonEmpty, "no state-operator progress captured")
+    val last = progs.last.stateOperators.map(_.numRowsTotal).sum
+    val removedTotal = progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    // Independent batch sessionization: total sessions; open = total − closed.
+    val ev = Tables.events(spark, sf)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val totalSessions = ev
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .select(when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000, 1L)
+        .otherwise(0L).as("new_sess"))
+      .agg(sum(col("new_sess"))).head().getLong(0)
+    val open = totalSessions - closed
+    assert(open > 0, "fixture leaves no open sessions — horizon assertion vacuous")
+    assert(last == open,
+      s"final state rows $last != open sessions $open (total $totalSessions, emitted $closed)")
+    assert(removedTotal >= closed,
+      s"watermark removed $removedTotal < $closed emitted sessions — eviction not witnessed")
+    val totalEvents = ev.count()
+    assert(last < totalEvents / 10,
+      s"state ($last) is not small against the stream ($totalEvents events)")
+  }
+
+  test("stream_stream_join state is bounded by the join-window watermark horizon") {
+    val (_, progs) = runCaptured("stream_stream_join")
+    assert(progs.nonEmpty, "no state-operator progress captured")
+    val last = progs.last.stateOperators.map(_.numRowsTotal).sum
+    val removedTotal = progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+    val sides = ev.count()
+    // Horizon: 2 × (1-day watermark delay + 30-minute join window). The
+    // factor-2 slack absorbs the join state-watermark's batch-granularity
+    // lag (measured: final state lands between the 24.5 h and 30 h
+    // populations — 16/18/20 rows at sf0.001); the bound stays an
+    // order of magnitude below the full two-sided stream, which is the
+    // claim under test: state tracks the horizon, not the stream.
+    val horizon = ev.crossJoin(ev.agg(max(col("ts")).as("mx")))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 49 HOURS"))
+      .count()
+    assert(removedTotal > 0, "watermark never evicted join state")
+    assert(last <= horizon,
+      s"final join state $last exceeds the watermark-horizon population $horizon")
+    assert(last < sides,
+      s"final join state $last did not drop below the full two-sided input $sides")
+  }
+}
