@@ -1,0 +1,97 @@
+package graft.ops
+
+/** Minimal pure-JVM 24-bit BMP codec — the image sibling of
+  * [[graft.ops.Wav]]: `decode` is a REAL parser (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, signed height
+  * for top-down files) that decodes any uncompressed 24-bpp BMP;
+  * `synthesize` builds a deterministic image from seed bytes for the
+  * fixture side.
+  */
+object Bmp {
+
+  final case class Image(width: Int, height: Int, pixels: Array[Int]) { // packed 0xRRGGBB
+    /** BT.601 luma over all pixels, in [0, 255]. */
+    def meanLuma: Double =
+      if (pixels.isEmpty) 0.0
+      else pixels.foldLeft(0.0) { (a, p) =>
+        a + 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      } / pixels.length
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Parse a BMP byte array; None unless it is well-formed, uncompressed
+    * 24-bpp with in-bounds pixel data.
+    */
+  def decode(b: Array[Byte]): Option[Image] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (width <= 0 || heightRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowBytes = (3 * width + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > b.length) return None
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      // Rows are stored bottom-up unless height was negative.
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = dataOff + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val o = base + 3 * x // little-endian BGR triplets
+        px(y * width + x) = ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(width, height, px))
+  }
+
+  /** Deterministic 24-bpp BMP from seed bytes: dimensions and pixels
+    * derive from (seed, bytes) by integer arithmetic only.
+    */
+  def synthesize(seed: Long, src: Array[Byte]): Array[Byte] = {
+    val width = 8 + (math.abs(seed) % 24).toInt
+    val height = 8 + (src.length % 24)
+    val l = math.max(src.length, 1)
+    val rowBytes = (3 * width + 3) / 4 * 4
+    val dataLen = rowBytes * height
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte); out.putInt(54 + dataLen)
+    out.putShort(0); out.putShort(0); out.putInt(54)
+    out.putInt(40); out.putInt(width); out.putInt(height)
+    out.putShort(1); out.putShort(24); out.putInt(0); out.putInt(dataLen)
+    out.putInt(2835); out.putInt(2835); out.putInt(0); out.putInt(0)
+    var y = 0
+    while (y < height) { // bottom-up row order, as a standard writer emits
+      val imgY = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val base = if (src.isEmpty) 0 else src((x * 31 + imgY * 7) % l) & 0xff
+        out.put((((base * 7 + x) % 256) & 0xff).toByte)   // B
+        out.put((((base * 11 + imgY) % 256) & 0xff).toByte) // G
+        out.put((((base * 13 + x + imgY) % 256) & 0xff).toByte) // R
+        x += 1
+      }
+      var pad = rowBytes - 3 * width
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    out.array()
+  }
+}

@@ -55,23 +55,26 @@ object Multimodal extends OpGroup {
   /** Media decode + feature extraction over binary payloads via typed
     * mapPartitions — the Scala analog of a Pandas-UDF/mapInPandas
     * batch: one iterator per partition, vectorizable inside, schema
-    * declared up front. The decode is REAL for PCM WAV (r7): docs with
-    * `doc_id % 3 != 0` carry a deterministic synthetic RIFF/WAVE
-    * container (the corpus ships no media column, so the op
-    * manufactures one in-flight — see [[graft.ops.Wav.synthesize]]),
-    * and [[graft.ops.Wav.decode]] walks the actual chunk list, reads
-    * the `fmt ` header and extracts the 16-bit samples — it would
-    * decode any standard PCM16 WAV file. Extracted features (sample
-    * rate, sample count, duration, RMS, peak) are REAL sample
-    * statistics; MultimodalSpec re-derives them independently in plain
-    * Scala and asserts exact agreement. Docs with `doc_id % 3 == 0`
-    * keep raw text bytes — no RIFF magic, so the parser declines and
-    * the DETERMINISTIC FAKE fallback engages (pseudo-features from a
-    * byte hash): the production shape for payloads whose codec isn't
-    * linked, exercised side by side with the real path. Image/video
-    * codecs stay out of reach in this environment; their decode slot
-    * is this same seam. No oracle: covered by MultimodalSpec
-    * (independent re-decode, schema, bounds, both-path coverage).
+    * declared up front. TWO real codecs since r7: docs with
+    * `doc_id % 3 == 1` carry a deterministic synthetic RIFF/WAVE
+    * container and docs with `doc_id % 3 == 2` a 24-bpp BMP (the
+    * corpus ships no media column, so the op manufactures one
+    * in-flight — [[graft.ops.Wav.synthesize]] /
+    * [[graft.ops.Bmp.synthesize]]); [[graft.ops.Wav.decode]] walks the
+    * actual RIFF chunk list and extracts 16-bit samples,
+    * [[graft.ops.Bmp.decode]] parses the real header + bottom-up
+    * padded pixel rows — each would decode any standard file of its
+    * format. Extracted features (sample rate/count/duration/RMS/peak;
+    * width/height/mean-luma) are REAL payload statistics, re-derived
+    * independently in MultimodalSpec. Docs with `doc_id % 3 == 0` keep
+    * raw text bytes — no magic matches, both parsers decline, and the
+    * DETERMINISTIC FAKE fallback engages (pseudo-features from a byte
+    * hash): the production shape for payloads whose codec isn't
+    * linked, exercised side by side with the real paths. The output is
+    * the union schema of all modalities (audio fields zero for images
+    * and vice versa) — the realistic multimodal-feature-table shape.
+    * No oracle: covered by MultimodalSpec (independent re-decode per
+    * codec, schema, three-path coverage, reject cases).
     */
   private val decodeStub = Op(
     "mm_decode_features",
@@ -82,22 +85,30 @@ object Multimodal extends OpGroup {
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.map { case (docId, bytes) =>
-          val payload = if (docId % 3 == 0) bytes else Wav.synthesize(docId, bytes)
-          Wav.decode(payload) match {
-            case Some(p) =>
+          val payload = docId % 3 match {
+            case 1 => Wav.synthesize(docId, bytes)
+            case 2 => Bmp.synthesize(docId, bytes)
+            case _ => bytes
+          }
+          (Wav.decode(payload), Bmp.decode(payload)) match {
+            case (Some(p), _) =>
               (docId, payload.length, "pcm_wav", p.sampleRate, p.nSamples,
                 math.rint(p.durationMs * 1000) / 1000,
-                math.rint(p.rms * 1000) / 1000, p.peak)
-            case None =>
+                math.rint(p.rms * 1000) / 1000, p.peak, 0, 0, 0.0)
+            case (_, Some(img)) =>
+              (docId, payload.length, "bmp", 0, 0, 0.0, 0.0, 0,
+                img.width, img.height, math.rint(img.meanLuma * 1000) / 1000)
+            case _ =>
               // --- STUB fallback: replace with a linked codec call ---
               val h = java.util.Arrays.hashCode(payload)
               val fakeRms = math.rint(math.abs(h % 100000) / 100000.0 * 32768 * 1000) / 1000
-              (docId, payload.length, "stub", 0, 0, 0.0, fakeRms, math.abs(h % 32768))
+              (docId, payload.length, "stub", 0, 0, 0.0, fakeRms,
+                math.abs(h % 32768), 0, 0, 0.0)
             // --- end stub ---
           }
         }
       }.toDF("doc_id", "n_bytes", "codec", "sample_rate", "n_samples",
-          "duration_ms", "rms", "peak")
+          "duration_ms", "rms", "peak", "width", "height", "mean_luma")
         .orderBy("doc_id")
     },
     None,

@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The decode seam: the WAV path is a REAL container parse (r7) whose
-  * extracted sample statistics are re-derived independently here; the
-  * stub fallback (opaque payloads) keeps the plumbing contract — schema,
-  * determinism, coverage — that must hold for any codec swapped in.
+/** The decode seam: the WAV and BMP paths are REAL container parses
+  * (r7) whose extracted payload statistics are re-derived independently
+  * here; the stub fallback (opaque payloads) keeps the plumbing
+  * contract — schema, determinism, coverage — that must hold for any
+  * codec swapped in.
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("mm_decode_features has the declared schema and full coverage") {
+  test("mm_decode_features has the declared union schema and full coverage") {
     val df = SparkEntry.queries("mm_decode_features")(spark, sf)
     assert(df.schema == StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -21,19 +22,23 @@ class MultimodalSpec extends SparkSpec {
       StructField("duration_ms", DoubleType, nullable = false),
       StructField("rms", DoubleType, nullable = false),
       StructField("peak", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false),
     )))
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
-  test("mm_decode_features is deterministic and exercises BOTH codec paths") {
+  test("mm_decode_features is deterministic and exercises ALL THREE codec paths") {
     val a = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     assert(a.sameElements(b))
     val byCodec = SparkEntry.queries("mm_decode_features")(spark, sf)
       .groupBy("codec").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byCodec.getOrElse("pcm_wav", 0L) > 0, "no docs took the real WAV path")
+    assert(byCodec.getOrElse("bmp", 0L) > 0, "no docs took the real BMP path")
     assert(byCodec.getOrElse("stub", 0L) > 0, "no docs took the stub fallback")
-    assert(byCodec.keySet == Set("pcm_wav", "stub"))
+    assert(byCodec.keySet == Set("pcm_wav", "bmp", "stub"))
   }
 
   test("WAV-decoded features equal an independent plain-Scala re-decode") {
@@ -50,6 +55,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { r =>
       val docId = r.getLong(0)
+      assert(docId % 3 == 1, s"doc $docId on the WAV path without a WAV payload")
       val src = docs(docId).getBytes("UTF-8")
       val n = 200 + (math.abs(docId) % 56).toInt + (src.length % 256)
       val l = math.max(src.length, 1)
@@ -65,6 +71,43 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(6) == math.rint(rms * 1000) / 1000, s"doc $docId: RMS from real samples")
       assert(r.getInt(7) == peak, s"doc $docId: peak from real samples")
       assert(r.getInt(1) == 44 + 2 * n, s"doc $docId: container size (44-byte header + PCM16)")
+    }
+  }
+
+  test("BMP-decoded features equal an independent plain-Scala re-decode") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .filter(col("codec") === "bmp").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      assert(docId % 3 == 2, s"doc $docId on the BMP path without a BMP payload")
+      val src = docs(docId).getBytes("UTF-8")
+      val width = 8 + (math.abs(docId) % 24).toInt
+      val height = 8 + (src.length % 24)
+      val l = math.max(src.length, 1)
+      // Mean BT.601 luma straight from the pixel formula — never through
+      // the BMP container the op round-trips.
+      var acc = 0.0
+      for (y <- 0 until height; x <- 0 until width) {
+        val base = if (src.isEmpty) 0 else src((x * 31 + y * 7) % l) & 0xff
+        val bl = (base * 7 + x) % 256
+        val g = (base * 11 + y) % 256
+        val rd = (base * 13 + x + y) % 256
+        acc += 0.299 * rd + 0.587 * g + 0.114 * bl
+      }
+      val meanLuma = acc / (width * height)
+      val rowBytes = (3 * width + 3) / 4 * 4
+      assert(r.getInt(8) == width, s"doc $docId: parsed width")
+      assert(r.getInt(9) == height, s"doc $docId: parsed height")
+      assert(r.getDouble(10) == math.rint(meanLuma * 1000) / 1000,
+        s"doc $docId: mean luma from real pixels")
+      assert(r.getInt(1) == 54 + rowBytes * height,
+        s"doc $docId: container size (54-byte headers + padded rows)")
+      assert(r.getInt(4) == 0 && r.getDouble(6) == 0.0,
+        s"doc $docId: audio fields must be zero on the image path")
     }
   }
 
@@ -96,5 +139,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.decode("not a wav at all, just text bytes".getBytes).isEmpty)
     val nonPcm = plain.clone(); nonPcm(20) = 3 // format tag 3 = IEEE float
     assert(Wav.decode(nonPcm).isEmpty)
+  }
+
+  test("the BMP parser is a real one: top-down files, padding, and rejects") {
+    import graft.ops.Bmp
+    val plain = Bmp.synthesize(11L, "hello bmp".getBytes("UTF-8"))
+    val img = Bmp.decode(plain).get
+    // Flip the stored row order by negating the height field (a legal
+    // top-down BMP) and re-ordering the rows; pixels must come back
+    // identical — proving the parser honors the sign convention rather
+    // than reading rows blindly.
+    val topDown = {
+      val arr = plain.clone()
+      val h = img.height
+      val negH = -h
+      arr(22) = (negH & 0xff).toByte; arr(23) = ((negH >> 8) & 0xff).toByte
+      arr(24) = ((negH >> 16) & 0xff).toByte; arr(25) = ((negH >> 24) & 0xff).toByte
+      val rowBytes = (3 * img.width + 3) / 4 * 4
+      val data = plain.slice(54, 54 + rowBytes * h)
+      for (y <- 0 until h)
+        System.arraycopy(data, (h - 1 - y) * rowBytes, arr, 54 + y * rowBytes, rowBytes)
+      arr
+    }
+    val img2 = Bmp.decode(topDown).get
+    assert(img2.width == img.width && img2.height == img.height)
+    assert(img2.pixels.sameElements(img.pixels),
+      "top-down decode disagrees with bottom-up decode of the same image")
+    // Rejects: truncated, wrong magic, 8-bpp, compressed.
+    assert(Bmp.decode(plain.take(40)).isEmpty)
+    assert(Bmp.decode("definitely not a bitmap".getBytes).isEmpty)
+    val bpp8 = plain.clone(); bpp8(28) = 8
+    assert(Bmp.decode(bpp8).isEmpty)
+    val rle = plain.clone(); rle(30) = 1 // BI_RLE8
+    assert(Bmp.decode(rle).isEmpty)
   }
 }
