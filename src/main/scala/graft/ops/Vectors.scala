@@ -126,14 +126,18 @@ object Vectors extends OpGroup {
       .filter(col("crk") <= nprobe)
 
   /** Lloyd maximization step: element-wise mean of each cell's members,
-    * re-assembled into a float centroid vector (posexplode → avg →
+    * re-assembled into a float centroid vector (posexplode → mean →
     * regroup — the `vec_centroid_per_label` machinery generalized to
-    * arbitrary cell assignments).
+    * arbitrary cell assignments). Means accumulate as exact
+    * DECIMAL(38,12) sums / count (r7, the PQ-training discipline):
+    * partial-aggregation merge order cannot perturb a ulp, so quantizer
+    * training across the whole vector family is order-free by
+    * construction.
     */
   private[graft] def meanCentroids(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("cv"))
+      .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1))).cast("double").as("cv"))
       .groupBy(col("cid"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
       .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
@@ -157,24 +161,23 @@ object Vectors extends OpGroup {
     * property (candidate sets are supersets in nprobe, so recall vs the
     * exact top-k can only grow).
     */
-  private[graft] def annIvfSearch(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
+  /** Train (or fetch the memoized) IVF coarse quantizer: label-mean
+    * seeding + 2 Lloyd iterations, decimal means throughout (order-free
+    * — see [[meanCentroids]]). The training loop's three jobs execute
+    * EAGERLY (localCheckpoint) and their shuffles carry K≈10 centroid
+    * rows — run at few partitions (the CC-loop / streaming
+    * state-volume rationale: per-partition task overhead dominates tiny
+    * shuffles at core-count fan-out), restored before the
+    * lazily-executed search plan. Memoized per (session, sfDir) like
+    * the PQ model: one index build serves every probe of the session.
+    */
+  private[graft] def ivfCentroids(s: SparkSession, sf: String): DataFrame =
+    memoized(s, sf, "ivf") {
       val v = normed(s, sf)
-      // The training loop's three jobs (seed + 2 Lloyd iterations)
-      // execute EAGERLY here (localCheckpoint), and their shuffles carry
-      // K≈10 centroid rows — run them at few partitions (the CC-loop /
-      // streaming state-volume rationale: per-partition task overhead
-      // dominates tiny shuffles at core-count fan-out). Restored before
-      // the lazily-executed search plan, which keeps the session
-      // fan-out.
-      val cent = graft.Tables.withConfs(s,
+      graft.Tables.withConfs(s,
         Seq("spark.sql.shuffle.partitions" -> "8")) {
-        var c = Tables.embeddings(s, sf)
-          .select(col("label").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("x").cast("double")).as("cv"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
-          .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+        var c = meanCentroids(Tables.embeddings(s, sf)
+            .select(col("label").as("cid"), col("embedding")))
           .localCheckpoint()
         for (_ <- 1 to 2)
           c = meanCentroids(
@@ -182,6 +185,11 @@ object Vectors extends OpGroup {
             .localCheckpoint()
         c
       }
+    }
+
+  private[graft] def annIvfSearch(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
+      val v = normed(s, sf)
+      val cent = ivfCentroids(s, sf)
       val probes = nearestCells(v, cent, nprobe)
         .select(col("vec_id").as("a_vec_id"), col("embedding").as("a_emb"),
           col("nrm").as("a_nrm"), col("cid").as("bucket"))
@@ -413,17 +421,25 @@ object Vectors extends OpGroup {
     * so memoization is semantically invisible; `pqModelReset()` drops
     * the cache for specs that deliberately retrain.
     */
-  private val pqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+  /** Memo store for trained models (PQ, IVF), keyed
+    * (session, sfDir, kind). Training is order-free-deterministic, so
+    * memoization is semantically invisible; [[pqModelReset]] drops it
+    * for specs that deliberately retrain.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
 
-  private[graft] def pqModelReset(): Unit = pqModelCache.clear()
+  private def memoized[T <: AnyRef](s: SparkSession, sf: String, kind: String)(build: => T): T =
+    modelCache.computeIfAbsent((s, sf, kind), _ => build).asInstanceOf[T]
+
+  private[graft] def pqModelReset(): Unit = modelCache.clear()
 
   private[graft] def pqModel(s: SparkSession, sf: String): (DataFrame, DataFrame, DataFrame) =
-    pqModelCache.computeIfAbsent((s, sf), { _ =>
+    memoized(s, sf, "pq") {
       val coarse = pqCoarse(s, sf)
       val sub = pqSubvectors(s, sf, coarse).repartition(32).localCheckpoint()
       (coarse, sub, pqTrain(s, sub))
-    })
+    }
 
   private[graft] def pqAssign(s: SparkSession, sf: String): DataFrame = {
     val (_, sub, cb) = pqModel(s, sf)
