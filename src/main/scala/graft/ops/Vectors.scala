@@ -544,10 +544,15 @@ object Vectors extends OpGroup {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
         .select(col("vec_id"), (col("p") / 8).cast("int").as("m"),
           pmod(col("p"), lit(8)).as("pos"), col("v").cast("double").as("x"))
+      // Both the codes side and the query tables consume d2 with
+      // different pruning — exchange reuse cannot unify them (the
+      // cluster-cc lesson), a cache can: one 512k-row term pipeline
+      // materializes once, ~n·M·K bounded rows retained.
       val d2 = sub.join(broadcast(cb), Seq("m", "pos"))
         .withColumn("term", expr("cast(round((x - cv) * (x - cv), 12) as decimal(28,12))"))
         .groupBy(col("vec_id"), col("m"), col("cid"))
         .agg(sum(col("term")).as("d2"))
+        .persist()
       val codes = d2.groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("d2"), col("cid"))).as("b"))
         .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
