@@ -38,12 +38,16 @@ object Bmp {
     val planes = le16(b, 26)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (width <= 0 || heightRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
-      return None
+    if (width <= 0 || heightRaw == 0 || heightRaw == Int.MinValue ||
+      planes != 1 || bpp != 24 || compression != 0) return None
     val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
-    val rowBytes = (3 * width + 3) / 4 * 4
-    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > b.length) return None
+    // All-Long geometry: crafted widths must fail the bound check, not
+    // overflow past it into a negative allocation.
+    val rowBytesL = (3L * width + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + rowBytesL * height > b.length) return None
+    // The bound above caps width*height at b.length/3 < Int.MaxValue.
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -374,11 +374,18 @@ object Clusters extends OpGroup {
           .join(pr.select(col("node").as("u"), col("deg"), col("pr")), "u")
           .select(col("v").as("node"), dec(r6(col("pr") / col("deg"))).as("c"))
           .groupBy("node").agg(sum(col("c")).as("sc"))
-        // Rebuild the static columns from the PINNED meta (broadcast —
-        // one build, reused every iteration), not from pr: pr is
-        // referenced once per iteration, so the chain stays linear and
-        // needs no mid-loop eager pin.
-        pr = broadcast(meta).join(contrib, "node")
+        // Rebuild the static columns from the PINNED meta, not from pr:
+        // pr is referenced once per iteration, so the chain stays linear
+        // and needs no mid-loop eager pin. NO broadcast hint: meta is
+        // one row per graph NODE — broadcasting it caps the op at the
+        // driver/broadcast limit at production graph sizes. As a shuffle
+        // join it hashes on `node`, the same key contrib just aggregated
+        // on, and meta's exchange subtree is identical across the 5
+        // iterations, so (AQE off) it materializes once and is
+        // ReusedExchange'd like the edge shuffle — per-iteration cost is
+        // one co-partitioned join, no per-node driver traffic at any
+        // scale.
+        pr = meta.join(contrib, "node")
           .select(col("node"), col("deg"), col("nn"),
             r6(lit(150000.0) / col("nn") +
               lit(0.85) * col("sc").cast("double")).as("pr"))

@@ -351,11 +351,17 @@ object Scans extends OpGroup {
           // 32 bit-pairs (not 16): interleaving only the low 16 bits would
           // alias every user_id ≥ 65536 onto the same z-bits and silently
           // lose the two-dimensional per-file locality at production id
-          // ranges. Bits land at (2i, 2i+1) ≤ 62, so zval stays positive.
+          // ranges. day_nr is clamped at 0 (a pre-epoch backfill row would
+          // otherwise sign-extend 1s into every odd position) and carries
+          // bits 0..30 only, so the top odd position is 61 — bit 63 stays
+          // clear and zval is always non-negative; user_id carries all 32
+          // bits at even positions ≤ 62.
           .withColumn("zval", expr(
             """aggregate(sequence(0, 31), 0L, (acc, i) ->
                acc | (shiftleft(shiftright(user_id, i) & 1L, 2 * i))
-                   | (shiftleft(shiftright(day_nr, i) & 1L, 2 * i + 1)))"""))
+                   | (CASE WHEN i < 31
+                      THEN shiftleft(shiftright(greatest(day_nr, 0L), i) & 1L, 2 * i + 1)
+                      ELSE 0L END))"""))
           .repartitionByRange(8, col("zval"))
           .sortWithinPartitions(col("zval"))
           .drop("zval", "day_nr")

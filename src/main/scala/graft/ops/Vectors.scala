@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Op, OpGroup, Tables}
 import graft.functions.FloatVecDot
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import parity._
@@ -135,12 +135,9 @@ object Vectors extends OpGroup {
     * construction.
     */
   private[graft] def meanCentroids(assigned: DataFrame): DataFrame =
-    assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("x").cast("decimal(38,12)")) / count(lit(1))).cast("double").as("cv"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), s -> cast(s.cv as float))").as("cvec"))
-      .withColumn("cnrm", sqrt(expr("vec_dot(cvec, cvec)")))
+    decimalMean(assigned, Seq("cid"), "embedding", "cvec", "cnrm2")
+      .withColumn("cnrm", sqrt(col("cnrm2")))
+      .drop("cnrm2")
 
   /** IVF approximate nearest neighbors with a TRAINED coarse quantizer
     * (r3 verdict next-round #6 — previously the label column stood in
@@ -540,23 +537,27 @@ object Vectors extends OpGroup {
                transform(sequence(0, 7), pos -> struct(m AS m, cid AS cid, pos AS pos,
                  (CAST((m * 2654435761L + cid * 40503L + pos * 2246822519L) % 2000 AS DOUBLE) / 1000.0 - 1.0) AS cv))))))""")).as("c"))
         .select(col("c.m").as("m"), col("c.cid").as("cid"), col("c.pos").as("pos"), col("c.cv").as("cv"))
-      val sub = Tables.embeddings(s, sf)
+      // Subspace distances from any (filtered) slice of the corpus. The
+      // codes side needs all vectors, the query tables only vec_id < 20:
+      // building each from its OWN pipeline pushes the query filter into
+      // the scan (~4% extra work) instead of caching/pinning the shared
+      // 512k-row relation for two differently-pruned consumers.
+      // spread: the single-file scan is ONE partition, and everything up
+      // to the first exchange (the 16-way join fan-out + partial agg)
+      // inherits it — the docs/scale.md narrow-stage lesson.
+      def d2Of(filter: Column): DataFrame = Tables.spread(s, Tables.embeddings(s, sf)
+        .filter(filter))
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
         .select(col("vec_id"), (col("p") / 8).cast("int").as("m"),
           pmod(col("p"), lit(8)).as("pos"), col("v").cast("double").as("x"))
-      // Both the codes side and the query tables consume d2 with
-      // different pruning — exchange reuse cannot unify them (the
-      // cluster-cc lesson), a cache can: one 512k-row term pipeline
-      // materializes once, ~n·M·K bounded rows retained.
-      val d2 = sub.join(broadcast(cb), Seq("m", "pos"))
-        .withColumn("term", expr("cast(round((x - cv) * (x - cv), 12) as decimal(28,12))"))
+        .join(broadcast(cb), Seq("m", "pos"))
+        .withColumn("term", expr("cast(round((x - cv) * (x - cv), 12) as decimal(18,12))"))
         .groupBy(col("vec_id"), col("m"), col("cid"))
         .agg(sum(col("term")).as("d2"))
-        .persist()
-      val codes = d2.groupBy(col("vec_id"), col("m"))
+      val codes = d2Of(lit(true)).groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("d2"), col("cid"))).as("b"))
         .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
-      val qtab = d2.filter(col("vec_id") < 20)
+      val qtab = d2Of(col("vec_id") < 20)
         .select(col("vec_id").as("q_vec_id"), col("m"), col("cid"), col("d2").as("d2q"))
       codes.join(broadcast(qtab), Seq("m", "cid"))
         .groupBy(col("q_vec_id"), col("vec_id"))
@@ -570,7 +571,7 @@ object Vectors extends OpGroup {
           r6(col("adc").cast("double")).as("adc_d2"))
         .orderBy("q_vec_id", "rk")
     },
-    Some("""WITH cb AS (SELECT m, cid, pos, CAST((m * 2654435761 + cid * 40503 + pos * 2246822519) % 2000 AS DOUBLE) / 1000.0 - 1.0 AS cv FROM generate_series(0, 7) g1(m), generate_series(0, 15) g2(cid), generate_series(0, 7) g3(pos)), sub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS m, CAST((pos - 1) % 8 AS INT) AS pos, CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) t), d2 AS (SELECT s.vec_id, s.m, c.cid, SUM(CAST(ROUND((s.x - c.cv) * (s.x - c.cv), 12) AS DECIMAL(28,12))) AS d2 FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos GROUP BY s.vec_id, s.m, c.cid), codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d2) r WHERE rn = 1), adc AS (SELECT q.vec_id AS q_vec_id, k.vec_id, SUM(q.d2) AS adc FROM codes k JOIN d2 q ON q.m = k.m AND q.cid = k.cid AND q.vec_id < 20 AND q.vec_id <> k.vec_id GROUP BY 1, 2) SELECT q_vec_id, CAST(rk AS INT) AS rk, vec_id, ROUND(1e-9 + CAST(adc AS DOUBLE), 6) AS adc_d2 FROM (SELECT q_vec_id, vec_id, adc, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY adc, vec_id) AS rk FROM adc) r WHERE rk <= 5 ORDER BY q_vec_id, rk"""),
+    Some("""WITH cb AS (SELECT m, cid, pos, CAST((m * 2654435761 + cid * 40503 + pos * 2246822519) % 2000 AS DOUBLE) / 1000.0 - 1.0 AS cv FROM generate_series(0, 7) g1(m), generate_series(0, 15) g2(cid), generate_series(0, 7) g3(pos)), sub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS m, CAST((pos - 1) % 8 AS INT) AS pos, CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) t), d2 AS (SELECT s.vec_id, s.m, c.cid, SUM(CAST(ROUND((s.x - c.cv) * (s.x - c.cv), 12) AS DECIMAL(18,12))) AS d2 FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos GROUP BY s.vec_id, s.m, c.cid), codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d2) r WHERE rn = 1), adc AS (SELECT q.vec_id AS q_vec_id, k.vec_id, SUM(q.d2) AS adc FROM codes k JOIN d2 q ON q.m = k.m AND q.cid = k.cid AND q.vec_id < 20 AND q.vec_id <> k.vec_id GROUP BY 1, 2) SELECT q_vec_id, CAST(rk AS INT) AS rk, vec_id, ROUND(1e-9 + CAST(adc AS DOUBLE), 6) AS adc_d2 FROM (SELECT q_vec_id, vec_id, adc, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY adc, vec_id) AS rk FROM adc) r WHERE rk <= 5 ORDER BY q_vec_id, rk"""),
   )
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,

@@ -45,18 +45,19 @@ object Wav {
     */
   def decode(b: Array[Byte]): Option[Pcm] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var off = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // (formatTag, channels, rate, bits)
+    var off = 12L // Long walk: a crafted u32 chunk size must fail the
+    var fmt: Option[(Int, Int, Int, Int)] = None // bound check, not overflow past it
     var data: Option[(Int, Int)] = None          // (offset, length)
     while (off + 8 <= b.length) {
-      val id = tag(b, off)
-      val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      val id = tag(b, off.toInt)
+      val size = le32(b, off.toInt + 4).toLong & 0xffffffffL // chunk size is u32
+      if (off + 8 + size > b.length) return None
       id match {
         case "fmt " if size >= 16 =>
-          fmt = Some((le16(b, off + 8), le16(b, off + 10), le32(b, off + 12), le16(b, off + 22)))
+          val o = off.toInt
+          fmt = Some((le16(b, o + 8), le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
         case "data" =>
-          data = Some((off + 8, size))
+          data = Some((off.toInt + 8, size.toInt))
         case _ => () // skip unknown chunks (LIST, fact, …)
       }
       off += 8 + size + (size & 1) // odd chunk sizes carry a pad byte
