@@ -114,6 +114,155 @@ object Multimodal extends OpGroup {
     None,
   )
 
+  /** AUDIO SPECTRAL FEATURES (r7) — the feature-extraction stage AFTER
+    * decode: the WAV-carrying docs (`doc_id % 3 == 1`, same in-flight
+    * synthesis as mm_decode_features) decode through the real RIFF
+    * parser and their 16-bit samples reduce to the classic audio
+    * screening features — zero-crossing rate, spectral centroid,
+    * 85% spectral rolloff, spectral flatness — computed from the full
+    * half-spectrum power via the Goertzel recurrence (one cosine per
+    * bin, multiply-adds in the inner loop; O(n²/2) per clip but n ≤ 511
+    * here, and at scale the clip length is bounded by framing anyway).
+    * This is per-row embarrassingly-parallel compute-over-bytes — the
+    * mapPartitions seam scales as the scan does; nothing shuffles until
+    * the tiny feature table sorts. No oracle (DuckDB cannot parse the
+    * container); MultimodalSpec re-derives the spectrum with an
+    * independent naive DFT and checks bounds/determinism.
+    */
+  private val audioSpectral = Op(
+    "mm_audio_spectral",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.spread(s, Tables.documents(s, sf))
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          Wav.decode(Wav.synthesize(docId, bytes)).map { p =>
+            val x = p.samples
+            val n = x.length
+            var zc = 0
+            var i = 1
+            while (i < n) {
+              if ((x(i - 1) < 0) != (x(i) < 0)) zc += 1
+              i += 1
+            }
+            val nb = n / 2 // bins 1..n/2 (DC excluded, Nyquist included)
+            val pw = new Array[Double](nb)
+            var k = 1
+            while (k <= nb) {
+              // Goertzel: |X_k|^2 = s1^2 + s2^2 - coeff*s1*s2.
+              val w = 2.0 * math.Pi * k / n
+              val coeff = 2.0 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
+              i = 0
+              while (i < n) {
+                val s0 = x(i) + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              pw(k - 1) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+              k += 1
+            }
+            val tot = pw.sum
+            val hz = p.sampleRate.toDouble / n
+            val centroid =
+              if (tot <= 0) 0.0
+              else pw.iterator.zipWithIndex.map { case (e, j) => (j + 1) * hz * e }.sum / tot
+            var cum = 0.0; var roll = nb
+            if (tot > 0) {
+              var j = 0
+              var found = false
+              while (j < nb && !found) {
+                cum += pw(j)
+                if (cum >= 0.85 * tot) { roll = j + 1; found = true }
+                j += 1
+              }
+            }
+            // Flatness: exp(mean ln power) / mean power, eps-guarded.
+            val eps = 1e-12
+            val flat =
+              if (tot <= 0) 0.0
+              else math.exp(pw.iterator.map(e => math.log(e + eps)).sum / nb) / (tot / nb)
+            def r3(v: Double): Double = math.rint(v * 1000) / 1000
+            (docId, n, r3(zc.toDouble / math.max(n - 1, 1)),
+              r3(centroid), r3(roll * hz), r3(flat))
+          }
+        }
+      }.toDF("doc_id", "n_samples", "zcr", "centroid_hz", "rolloff85_hz", "flatness")
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
+  /** IMAGE FEATURES (r7) — the image sibling: BMP-carrying docs
+    * (`doc_id % 3 == 2`) decode through the real 24-bpp parser and the
+    * pixel plane reduces to screening features — BT.601 luma variance,
+    * mean absolute gradient (horizontal + vertical neighbor deltas — the
+    * blur/flat-image screen), and 16-bin luma-histogram entropy (nats —
+    * the contrast/degenerate-image screen). Same scale shape as the
+    * audio path: per-row compute, no shuffle before the feature table.
+    * No oracle; MultimodalSpec re-derives per-image features
+    * independently from the same decoded pixels.
+    */
+  private val imageFeatures = Op(
+    "mm_image_features",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.spread(s, Tables.documents(s, sf))
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          Bmp.decode(Bmp.synthesize(docId, bytes)).map { img =>
+            val w = img.width; val h = img.height
+            val luma = new Array[Double](w * h)
+            var i = 0
+            while (i < luma.length) {
+              val p = img.pixels(i)
+              luma(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                0.114 * (p & 0xff)
+              i += 1
+            }
+            val n = luma.length
+            val mean = luma.sum / n
+            val varr = luma.iterator.map(v => (v - mean) * (v - mean)).sum / n
+            var grad = 0.0; var edges = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = luma(y * w + x)
+                if (x + 1 < w) { grad += math.abs(luma(y * w + x + 1) - v); edges += 1 }
+                if (y + 1 < h) { grad += math.abs(luma((y + 1) * w + x) - v); edges += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val hist = new Array[Long](16)
+            i = 0
+            while (i < n) {
+              hist(math.min((luma(i) / 16).toInt, 15)) += 1
+              i += 1
+            }
+            val ent = -hist.iterator.filter(_ > 0).map { c =>
+              val q = c.toDouble / n
+              q * math.log(q)
+            }.sum
+            def r3(v: Double): Double = math.rint(v * 1000) / 1000
+            (docId, w, h, r3(mean), r3(varr),
+              r3(if (edges == 0) 0.0 else grad / edges), r3(ent))
+          }
+        }
+      }.toDF("doc_id", "width", "height", "mean_luma", "luma_var",
+          "edge_energy", "luma_entropy")
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
   /** BYTE-STATISTICS screening (r5) — the real features you can compute
     * on an opaque payload WITHOUT a codec: byte count, mean byte value,
     * distinct-byte count, and Shannon entropy (nats). This is the
@@ -187,6 +336,6 @@ object Multimodal extends OpGroup {
     Some("""WITH chunks AS (SELECT DISTINCT doc_id, chunk FROM (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor(greatest(length(text) - 1, 0) / 64) AS INT)), i -> md5(substr(text, i * 64 + 1, 64)))) AS chunk FROM documents) t), idx AS (SELECT chunk, COUNT(*) AS n_docs, MIN(doc_id) AS owner_doc FROM chunks GROUP BY chunk) SELECT c.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS BIGINT) AS n_shared_chunks, CAST(SUM(CAST(i.owner_doc = c.doc_id AS BIGINT)) AS BIGINT) AS n_owned, ROUND(1e-9 + CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS shared_ratio FROM chunks c JOIN idx i ON i.chunk = c.chunk GROUP BY c.doc_id ORDER BY c.doc_id"""),
   )
 
-  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, byteStats,
-    chunkDedup)
+  val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
+    imageFeatures, byteStats, chunkDedup)
 }

@@ -369,7 +369,47 @@ object TextOps extends OpGroup {
     Some("""WITH sh AS (SELECT DISTINCT doc_id, source, s AS sh FROM (SELECT doc_id, source, unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 1)), i -> md5(array_to_string(toks[i:i+7], ' ')))) AS s FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents) t) u), bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'), corpus AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0') SELECT c.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits, CAST(SUM(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) > 0 AS contaminated FROM corpus c LEFT JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id ORDER BY c.doc_id"""),
   )
 
+  /** WITHIN-DOCUMENT REPETITION FILTER (r7) — the Gopher-style quality
+    * gate (Rae et al. 2021 §A1.1, public): templated/degenerate text
+    * shows up as a single word or n-gram dominating its own document.
+    * Per doc: top-word share, top-bigram share, and the fraction of
+    * trigram instances belonging to a repeated trigram; docs exceeding
+    * the (adapted, token-level) thresholds flag for removal. One
+    * explode emits ALL gram sizes (1..3) into a single (doc, n, gram)
+    * relation — one count aggregation and one per-(doc, n) rollup serve
+    * every feature, instead of three scans; both aggregations are
+    * map-side-combinable and linear in corpus size, and nothing beyond
+    * the per-doc feature table shuffles. Flags compare the ROUNDED
+    * shares (both engines), so the gate itself is parity-exact.
+    */
+  private val repetitionGopher = Op(
+    "text_repetition_gopher",
+    (s, sf) => {
+      val g = Tables.spread(s, Tables.documents(s, sf))
+        .withColumn("ws", expr("filter(split(lower(text), ' '), w -> w <> '')"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """flatten(transform(sequence(1, 3), n ->
+             transform(sequence(1, size(ws) - n + 1), i ->
+               struct(n AS n, concat_ws(chr(1), slice(ws, i, n)) AS gram))))""")).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"))
+      val cnt = g.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      val per = cnt.groupBy("doc_id", "n").agg(
+        sum(col("c")).as("tot"), max(col("c")).as("mx"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+      per.groupBy("doc_id").agg(
+          max(when(col("n") === 1, col("tot"))).as("n_words"),
+          r6(max(when(col("n") === 1, col("mx").cast("double") / col("tot")))).as("top_word_share"),
+          r6(max(when(col("n") === 2, col("mx").cast("double") / col("tot")))).as("top_bigram_share"),
+          r6(max(when(col("n") === 3, col("dup").cast("double") / col("tot")))).as("dup_trigram_frac"))
+        .withColumn("flagged",
+          col("top_bigram_share") > 0.18 || col("dup_trigram_frac") > 0.30)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws FROM documents), dd AS (SELECT * FROM d WHERE len(ws) >= 3), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM dd UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(ws) - 1), i -> array_to_string(ws[i:i+1], chr(1)))) AS gram FROM dd UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], chr(1)))) AS gram FROM dd), cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram), per AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS tot, MAX(c) AS mx, COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup FROM cnt GROUP BY doc_id, n) SELECT doc_id, MAX(CASE WHEN n = 1 THEN tot END) AS n_words, ROUND(1e-9 + MAX(CASE WHEN n = 1 THEN CAST(mx AS DOUBLE) / tot END), 6) AS top_word_share, ROUND(1e-9 + MAX(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 6) AS top_bigram_share, ROUND(1e-9 + MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 6) AS dup_trigram_frac, (ROUND(1e-9 + MAX(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 6) > 0.18 OR ROUND(1e-9 + MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 6) > 0.30) AS flagged FROM per GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
     piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
-    contaminationCheck)
+    contaminationCheck, repetitionGopher)
 }

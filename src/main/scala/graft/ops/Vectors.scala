@@ -471,47 +471,97 @@ object Vectors extends OpGroup {
     * rows. No oracle (trained quantizer); VectorSpec bounds recall@5
     * ≥ 0.4 against the exact L2 top-5.
     */
+  /** The three ADC lookup tables plus the codes relation, shared by the
+    * full ranking (vec_pq_adc_topk) and the nprobe-pruned production
+    * search (vec_pq_adc_probe). Shapes: codes n×M bytes (the only
+    * 100 TB-scale relation), A queries × Kc × M, B queries × M·K,
+    * C (query-independent) Kc × M·K.
+    */
+  private def adcTables(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (coarse, sub, cb) = pqModel(s, sf)
+    val codes = pqNearest(sub, cb).select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+    val sd = 64 / PqM
+    val qsub = Tables.embeddings(s, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(embedding, m * $sd + 1, $sd) AS qv))")).as("e"))
+      .select(col("q_vec_id"), col("e.m").as("m"), col("e.qv").as("qv"))
+    val csub = coarse.select(col("ccid"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(ccvec, m * $sd + 1, $sd) AS cv))")).as("e"))
+      .select(col("ccid"), col("e.m").as("m"), col("e.cv").as("cv"))
+    val tabA = qsub.join(broadcast(csub), "m")
+      .select(col("q_vec_id"), col("ccid"), col("m"),
+        expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)").as("a"))
+    val tabB = qsub.join(broadcast(cb), "m")
+      .select(col("q_vec_id"), col("m"), col("cid"),
+        (lit(-2.0) * expr("vec_dot(qv, cvec)")).as("b"))
+    val tabC = csub.join(broadcast(cb), "m")
+      .select(col("ccid"), col("m"), col("cid"),
+        (lit(2.0) * expr("vec_dot(cv, cvec)") + col("cnrm2")).as("c"))
+    (codes, tabA, tabB, tabC)
+  }
+
+  /** Top-k rank + 6-decimal rounding over aggregated (q, vec, adc) rows. */
+  private def adcRank(cand: DataFrame): DataFrame = cand
+    .filter(col("q_vec_id") =!= col("vec_id"))
+    .withColumn("rk", row_number().over(
+      Window.partitionBy(col("q_vec_id"))
+        .orderBy(col("adc_d2").asc, col("vec_id").asc)).cast("int"))
+    .filter(col("rk") <= 5)
+    .select(col("q_vec_id"), col("rk"), col("vec_id"),
+      graft.ops.parity.r6(col("adc_d2")).as("adc_d2"))
+    .orderBy("q_vec_id", "rk")
+
   private val pqAdcTopk = Op(
     "vec_pq_adc_topk",
     (s, sf) => {
-      val (coarse, sub, cb) = pqModel(s, sf)
-      val codes = pqNearest(sub, cb).select(col("vec_id"), col("ccid"), col("m"), col("cid"))
-      val sd = 64 / PqM
-      // Query-side residual subvectors vs EVERY cell (the spec's full
-      // compressed-domain ranking; production IVFADC would keep only
-      // each query's nprobe nearest cells here, shrinking A and the
-      // probed code partitions).
-      val qsub = Tables.embeddings(s, sf).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_vec_id"), explode(expr(
-          s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(embedding, m * $sd + 1, $sd) AS qv))")).as("e"))
-        .select(col("q_vec_id"), col("e.m").as("m"), col("e.qv").as("qv"))
-      val csub = coarse.select(col("ccid"), explode(expr(
-          s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(ccvec, m * $sd + 1, $sd) AS cv))")).as("e"))
-        .select(col("ccid"), col("e.m").as("m"), col("e.cv").as("cv"))
-      val tabA = qsub.join(broadcast(csub), "m")
-        .select(col("q_vec_id"), col("ccid"), col("m"),
-          expr("vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)").as("a"))
-      val tabB = qsub.join(broadcast(cb), "m")
-        .select(col("q_vec_id"), col("m"), col("cid"),
-          (lit(-2.0) * expr("vec_dot(qv, cvec)")).as("b"))
-      val tabC = csub.join(broadcast(cb), "m")
-        .select(col("ccid"), col("m"), col("cid"),
-          (lit(2.0) * expr("vec_dot(cv, cvec)") + col("cnrm2")).as("c"))
-      codes
+      // Query-side residual tables vs EVERY cell (the spec's full
+      // compressed-domain ranking; vec_pq_adc_probe is the nprobe-pruned
+      // production variant of the same tables).
+      val (codes, tabA, tabB, tabC) = adcTables(s, sf)
+      adcRank(codes
         .join(broadcast(tabC), Seq("ccid", "m", "cid"))
         .join(broadcast(tabB), Seq("m", "cid"))
         .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
         .groupBy(col("q_vec_id"), col("vec_id"))
-        .agg(sum(col("a") + col("b") + col("c")).as("adc_d2"))
-        .filter(col("q_vec_id") =!= col("vec_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_vec_id"))
-            .orderBy(col("adc_d2").asc, col("vec_id").asc)).cast("int"))
-        .filter(col("rk") <= 5)
-        .select(col("q_vec_id"), col("rk"), col("vec_id"),
-          graft.ops.parity.r6(col("adc_d2")).as("adc_d2"))
-        .orderBy("q_vec_id", "rk")
+        .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
     },
+    None,
+  )
+
+  /** PRODUCTION IVFADC probe (r7): the same three-table ADC arithmetic
+    * as vec_pq_adc_topk, but each query ranks only the vectors stored in
+    * its `nprobe` nearest coarse cells (Jégou et al. 2011 §III-C) —
+    * Σ_m A(q, cell, m) = ‖q − c‖² is exactly the coarse distance, so the
+    * probe set falls out of table A with no extra vector arithmetic.
+    * The candidate build joins the probe list against the codes relation
+    * FIRST: at 100 TB, with codes partitioned by cell id, this is the
+    * partition-pruned scan — ~nprobe/Kc of the index is read per query,
+    * which is the entire point of IVF. nprobe = Kc degenerates to the
+    * full ranking (spec-asserted); the op runs nprobe = 4 (Kc/4 of the
+    * work at ≈0.7× the full-ADC recall on the spec fixture — the
+    * recall/cost dial every IVF deployment tunes).
+    */
+  private[graft] def pqAdcProbe(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
+    val (codes, tabA, tabB, tabC) = adcTables(s, sf)
+    val probes = tabA.groupBy(col("q_vec_id"), col("ccid"))
+      .agg(sum(col("a")).as("cd2"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(col("cd2").asc, col("ccid").asc)))
+      .filter(col("prk") <= nprobe)
+      .select(col("q_vec_id"), col("ccid"))
+    adcRank(codes
+      .join(broadcast(probes), "ccid")
+      .join(broadcast(tabC), Seq("ccid", "m", "cid"))
+      .join(broadcast(tabB), Seq("q_vec_id", "m", "cid"))
+      .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
+      .groupBy(col("q_vec_id"), col("vec_id"))
+      .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
+  }
+
+  private val pqAdcProbeOp = Op(
+    "vec_pq_adc_probe",
+    (s, sf) => pqAdcProbe(s, sf, 4),
     None,
   )
 
@@ -575,5 +625,5 @@ object Vectors extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcFixed)
+    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed)
 }

@@ -111,6 +111,123 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_spectral equals an independent naive-DFT re-derivation") {
+    // The op computes the half-spectrum with the Goertzel recurrence;
+    // here the same features derive a SECOND way — samples straight from
+    // the synthesis formula (no RIFF parse), spectrum by textbook naive
+    // DFT — so the recurrence, binning, and each feature formula have an
+    // independent witness. Tolerances: 5e-4 output rounding + fp noise;
+    // rolloff gets one-bin slack (a cumulative-energy boundary is the
+    // one place two summation orders could legitimately disagree).
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_audio_spectral")(spark, sf).collect()
+    assert(out.length == docs.keys.count(_ % 3 == 1), "one row per WAV doc")
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val src = docs(docId).getBytes("UTF-8")
+      val n = 200 + (math.abs(docId) % 56).toInt + (src.length % 256)
+      val l = math.max(src.length, 1)
+      val x = (0 until n).map { i =>
+        val base = if (src.isEmpty) 0 else src(i % l) & 0xff
+        ((((base * 131 + i * 7 + docId % 251) % 65536) + 65536) % 65536 - 32768).toDouble
+      }
+      assert(r.getInt(1) == n, s"doc $docId: sample count")
+      val zc = (1 until n).count(i => (x(i - 1) < 0) != (x(i) < 0))
+      assert(math.abs(r.getDouble(2) - zc.toDouble / (n - 1)) <= 1e-3,
+        s"doc $docId: zero-crossing rate")
+      val nb = n / 2
+      val pw = (1 to nb).map { k =>
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < n) {
+          val a = 2.0 * math.Pi * k * i / n
+          re += x(i) * math.cos(a); im -= x(i) * math.sin(a)
+          i += 1
+        }
+        re * re + im * im
+      }
+      val tot = pw.sum
+      val hz = 8000.0 / n
+      val centroid = (1 to nb).map(k => k * hz * pw(k - 1)).sum / tot
+      assert(math.abs(r.getDouble(3) - centroid) <= 0.01,
+        s"doc $docId: spectral centroid ${r.getDouble(3)} vs naive-DFT $centroid")
+      var cum = 0.0
+      val roll = pw.indexWhere { e => cum += e; cum >= 0.85 * tot } + 1
+      assert(math.abs(r.getDouble(4) - roll * hz) <= hz + 1e-6,
+        s"doc $docId: rolloff ${r.getDouble(4)} vs naive-DFT ${roll * hz}")
+      val flat = math.exp(pw.map(e => math.log(e + 1e-12)).sum / nb) / (tot / nb)
+      assert(math.abs(r.getDouble(5) - flat) <= 1e-3,
+        s"doc $docId: flatness ${r.getDouble(5)} vs naive-DFT $flat")
+    }
+  }
+
+  test("mm_audio_spectral features sit in their physical ranges and are deterministic") {
+    val a = SparkEntry.queries("mm_audio_spectral")(spark, sf).collect()
+    val b = SparkEntry.queries("mm_audio_spectral")(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, "zcr is a fraction")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 4000.0,
+        "centroid within (0, Nyquist] for 8 kHz audio")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 4000.0 + 1e-6,
+        "rolloff within (0, Nyquist]")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9,
+        "flatness is a ratio in [0, 1]")
+    }
+  }
+
+  test("mm_image_features equals an independent re-derivation from the pixel formula") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_image_features")(spark, sf).collect()
+    assert(out.length == docs.keys.count(_ % 3 == 2), "one row per BMP doc")
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val src = docs(docId).getBytes("UTF-8")
+      val w = 8 + (math.abs(docId) % 24).toInt
+      val h = 8 + (src.length % 24)
+      val l = math.max(src.length, 1)
+      def luma(x: Int, y: Int): Double = {
+        val base = if (src.isEmpty) 0 else src((x * 31 + y * 7) % l) & 0xff
+        0.299 * ((base * 13 + x + y) % 256) + 0.587 * ((base * 11 + y) % 256) +
+          0.114 * ((base * 7 + x) % 256)
+      }
+      val all = for (y <- 0 until h; x <- 0 until w) yield luma(x, y)
+      val mean = all.sum / all.length
+      val varr = all.map(v => (v - mean) * (v - mean)).sum / all.length
+      var grad = 0.0; var edges = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        if (x + 1 < w) { grad += math.abs(luma(x + 1, y) - luma(x, y)); edges += 1 }
+        if (y + 1 < h) { grad += math.abs(luma(x, y + 1) - luma(x, y)); edges += 1 }
+      }
+      val hist = all.groupBy(v => math.min((v / 16).toInt, 15)).view.mapValues(_.size)
+      val ent = -hist.values.map { c =>
+        val q = c.toDouble / all.length
+        q * math.log(q)
+      }.sum
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $docId: dimensions")
+      assert(math.abs(r.getDouble(3) - mean) <= 1e-3, s"doc $docId: mean luma")
+      assert(math.abs(r.getDouble(4) - varr) <= 1e-3, s"doc $docId: luma variance")
+      assert(math.abs(r.getDouble(5) - grad / edges) <= 1e-3, s"doc $docId: edge energy")
+      assert(math.abs(r.getDouble(6) - ent) <= 1e-3, s"doc $docId: histogram entropy")
+    }
+  }
+
+  test("mm_image_features ranges: variance ≥ 0, entropy within ln(16), deterministic") {
+    val a = SparkEntry.queries("mm_image_features")(spark, sf).collect()
+    val b = SparkEntry.queries("mm_image_features")(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, "variance is nonnegative")
+      assert(r.getDouble(5) >= 0.0, "edge energy is nonnegative")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= math.log(16.0) + 1e-9,
+        "16-bin entropy is bounded by ln 16")
+    }
+  }
+
   test("the WAV parser is a real one: foreign chunks, padding, and rejects") {
     import graft.ops.Wav
     // A hand-built file with an extra LIST chunk of ODD size before fmt/data

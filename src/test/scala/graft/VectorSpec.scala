@@ -224,4 +224,49 @@ class VectorSpec extends SparkSpec {
     // fixture, r6's direct 8×16 PQ sat at 0.20.
     assert(recall >= 0.4, s"ADC recall@5 $recall below 0.4")
   }
+
+  test("vec_pq_adc_probe: nprobe=Kc degenerates to the full ADC ranking") {
+    // The pruned search differs from vec_pq_adc_topk ONLY in which
+    // (query, cell) pairs survive — probing every cell must reproduce
+    // the full compressed-domain ranking row for row. Ranking triples
+    // only (the ADC sums aggregate in different join orders, so the
+    // doubles may differ in the last ulp; the ORDER they induce cannot,
+    // short of exact ties a gaussian fixture does not produce).
+    val full = SparkEntry.queries("vec_pq_adc_topk")(spark, sf)
+      .select(col("q_vec_id"), col("rk"), col("vec_id"))
+    val atK = ops.Vectors.pqAdcProbe(spark, sf, ops.Vectors.PqCoarseK)
+      .select(col("q_vec_id"), col("rk"), col("vec_id"))
+    assert(atK.exceptAll(full).count() == 0 && full.exceptAll(atK).count() == 0,
+      "probing all Kc cells must equal the unpruned ADC ranking")
+  }
+
+  test("vec_pq_adc_probe: the op's nprobe=4 keeps most of the full-ADC recall at Kc/4 of the work") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("qv"))
+    val exact = q.join(e.select(col("vec_id"), col("embedding")),
+        col("q_vec_id") =!= col("vec_id"))
+      .withColumn("d2", expr("vec_dot(qv, qv) - 2 * vec_dot(qv, embedding) + vec_dot(embedding, embedding)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_vec_id"), col("vec_id")).cache()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("q_vec_id"), col("vec_id"))
+        .join(exact, Seq("q_vec_id", "vec_id"), "left_semi").count().toDouble / exact.count()
+    val probed = SparkEntry.queries("vec_pq_adc_probe")(spark, sf)
+    assert(probed.groupBy("q_vec_id").count().filter(col("count") =!= 5).count() == 0,
+      "every query needs exactly 5 results even under pruning")
+    val rProbe = recallOf(probed)
+    val rFull = recallOf(SparkEntry.queries("vec_pq_adc_topk")(spark, sf))
+    info(s"recall@5: nprobe=4 $rProbe vs full ADC $rFull")
+    // Pruning to 4/16 cells reads a quarter of the index; on this
+    // fixture the probe set still contains most true neighbors. Floor
+    // set at 2/3 of the full-ADC recall (measured 0.38 vs 0.53 full —
+    // 0.72× — on the gaussian fixture).
+    assert(rProbe >= rFull * 2.0 / 3.0,
+      s"nprobe=4 recall $rProbe collapsed vs full ADC $rFull")
+    exact.unpersist()
+  }
 }
