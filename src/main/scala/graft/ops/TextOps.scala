@@ -409,7 +409,56 @@ object TextOps extends OpGroup {
     Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws FROM documents), dd AS (SELECT * FROM d WHERE len(ws) >= 3), g AS (SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM dd UNION ALL SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(ws) - 1), i -> array_to_string(ws[i:i+1], chr(1)))) AS gram FROM dd UNION ALL SELECT doc_id, 3 AS n, unnest(list_transform(generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], chr(1)))) AS gram FROM dd), cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram), per AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS tot, MAX(c) AS mx, COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup FROM cnt GROUP BY doc_id, n) SELECT doc_id, MAX(CASE WHEN n = 1 THEN tot END) AS n_words, ROUND(1e-9 + MAX(CASE WHEN n = 1 THEN CAST(mx AS DOUBLE) / tot END), 6) AS top_word_share, ROUND(1e-9 + MAX(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 6) AS top_bigram_share, ROUND(1e-9 + MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 6) AS dup_trigram_frac, (ROUND(1e-9 + MAX(CASE WHEN n = 2 THEN CAST(mx AS DOUBLE) / tot END), 6) > 0.18 OR ROUND(1e-9 + MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 6) > 0.30) AS flagged FROM per GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Corpus-trained character-trigram language-model scoring — the
+    * CCNet-style statistical quality filter (Wenzek 2020) with the
+    * KenLM stage replaced by a model the engine trains itself in two
+    * aggregations: c3(abc) and c2(ab) counts over every char position,
+    * add-one smoothing against the corpus character vocabulary V, and a
+    * per-doc mean next-char probability avg_prob = mean_p[(c3+1)/(c2+V)]
+    * with its negative-log surprise nll. Scale shape: one explode per
+    * pass (linear), two model aggregations (shuffle on gram key, output
+    * bounded by charset^3), then a join of positions against the models —
+    * no driver action, no pairwise stage; in production the two model
+    * relations are artifacts trained once and reused across scoring
+    * runs. Parity: probs are rounded to 12 decimals and decimal-summed
+    * (order-free); nll takes ln of the ALREADY-ROUNDED 6-decimal mean so
+    * both engines feed libm the identical double.
+    */
+  private val charlmScore = Op(
+    "text_charlm_score",
+    (s, sf) => {
+      def tri = Tables.spread(s,
+          Tables.documents(s, sf).filter(length(col("text")) >= 3))
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(col("doc_id"), explode(expr("sequence(1, length(lt) - 2)")).as("p"), col("lt"))
+        .select(col("doc_id"),
+          expr("substring(lt, p, 3)").as("t3"),
+          expr("substring(lt, p, 2)").as("t2"))
+      val m3 = tri.groupBy("t3").agg(count(lit(1)).as("c3"))
+      val m2 = tri.groupBy("t2").agg(count(lit(1)).as("c2"))
+      // |V| as a 1-row scalar-aggregate fold-in (no driver action).
+      val vDf = Tables.documents(s, sf).filter(length(col("text")) >= 1)
+        .select(lower(col("text")).as("lt"))
+        .select(explode(expr("sequence(1, length(lt))")).as("p"), col("lt"))
+        .agg(countDistinct(expr("substring(lt, p, 1)")).as("vs"))
+      val scored = tri.join(m3, "t3").join(m2, "t2").crossJoin(vDf)
+        .withColumn("prob",
+          expr("cast(round(cast(c3 + 1 as double) / (c2 + vs), 12) as decimal(18,12))"))
+      val perdoc = scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tri"), sum(col("prob")).as("sp"))
+      Tables.documents(s, sf)
+        .join(perdoc, Seq("doc_id"), "left_outer")
+        .withColumn("avg_prob", r6(col("sp").cast("double") / col("n_tri")))
+        .select(col("doc_id"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          col("avg_prob"),
+          r6(-log(col("avg_prob"))).as("nll"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tri AS (SELECT doc_id, substr(lower(text), p, 3) AS t3, substr(lower(text), p, 2) AS t2 FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS p) g WHERE length(text) >= 3), m3 AS (SELECT t3, COUNT(*) AS c3 FROM tri GROUP BY t3), m2 AS (SELECT t2, COUNT(*) AS c2 FROM tri GROUP BY t2), v AS (SELECT COUNT(DISTINCT substr(lower(text), p, 1)) AS vs FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS p) g WHERE length(text) >= 1), scored AS (SELECT tri.doc_id, CAST(ROUND(CAST(m3.c3 + 1 AS DOUBLE) / (m2.c2 + v.vs), 12) AS DECIMAL(18,12)) AS prob FROM tri JOIN m3 USING (t3) JOIN m2 USING (t2) CROSS JOIN v), perdoc AS (SELECT doc_id, COUNT(*) AS n_tri, SUM(prob) AS sp FROM scored GROUP BY doc_id) SELECT d.doc_id AS doc_id, COALESCE(p.n_tri, 0) AS n_tri, ROUND(1e-9 + CAST(p.sp AS DOUBLE) / p.n_tri, 6) AS avg_prob, ROUND(1e-9 + -LN(ROUND(1e-9 + CAST(p.sp AS DOUBLE) / p.n_tri, 6)), 6) AS nll FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
     piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
-    contaminationCheck, repetitionGopher)
+    contaminationCheck, repetitionGopher, charlmScore)
 }
