@@ -618,10 +618,14 @@ object Dedup extends OpGroup {
           coalesce(col("n_windows"), lit(0L)).as("n_windows"),
           coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
           coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-          r6(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars")).as("dup_frac"))
+          // greatest(n_chars, 1): an empty doc has dup_chars = 0, and
+          // 0/0 is NULL in Spark but NaN in DuckDB — the guard makes the
+          // ratio 0 on both engines (the mm_chunk_dedup empty-doc fix).
+          r6(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            greatest(col("n_chars"), lit(1L))).as("dup_frac"))
         .orderBy("doc_id")
     },
-    Some("""WITH win AS (SELECT doc_id, p AS pos, md5(substr(text, p, 40)) AS h FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 8)) AS p) g WHERE length(text) >= 40), dup AS (SELECT h FROM (SELECT h, doc_id FROM win GROUP BY h, doc_id) t GROUP BY h HAVING count(*) >= 2), cov AS (SELECT doc_id, pos, GREATEST(0, pos + 40 - GREATEST(COALESCE(MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS add_cov FROM win JOIN dup USING (h)), perdoc AS (SELECT doc_id, COUNT(*) AS n_dup_windows, CAST(SUM(add_cov) AS BIGINT) AS dup_chars FROM cov GROUP BY doc_id), nwin AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id) SELECT d.doc_id AS doc_id, COALESCE(n.n_windows, 0) AS n_windows, COALESCE(p.n_dup_windows, 0) AS n_dup_windows, COALESCE(p.dup_chars, 0) AS dup_chars, ROUND(1e-9 + CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / d.n_chars, 6) AS dup_frac FROM documents d LEFT JOIN nwin n USING (doc_id) LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""),
+    Some("""WITH win AS (SELECT doc_id, p AS pos, md5(substr(text, p, 40)) AS h FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 8)) AS p) g WHERE length(text) >= 40), dup AS (SELECT h FROM (SELECT h, doc_id FROM win GROUP BY h, doc_id) t GROUP BY h HAVING count(*) >= 2), cov AS (SELECT doc_id, pos, GREATEST(0, pos + 40 - GREATEST(COALESCE(MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS add_cov FROM win JOIN dup USING (h)), perdoc AS (SELECT doc_id, COUNT(*) AS n_dup_windows, CAST(SUM(add_cov) AS BIGINT) AS dup_chars FROM cov GROUP BY doc_id), nwin AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id) SELECT d.doc_id AS doc_id, COALESCE(n.n_windows, 0) AS n_windows, COALESCE(p.n_dup_windows, 0) AS n_dup_windows, COALESCE(p.dup_chars, 0) AS dup_chars, ROUND(1e-9 + CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / GREATEST(d.n_chars, 1), 6) AS dup_frac FROM documents d LEFT JOIN nwin n USING (doc_id) LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""),
   )
 
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,

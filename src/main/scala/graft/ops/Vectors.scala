@@ -176,10 +176,13 @@ object Vectors extends OpGroup {
         var c = meanCentroids(Tables.embeddings(s, sf)
             .select(col("label").as("cid"), col("embedding")))
           .localCheckpoint()
-        for (_ <- 1 to 2)
+        for (_ <- 1 to 2) {
+          val prev = c
           c = meanCentroids(
             nearestCells(v, c, 1).select(col("cid"), col("embedding")))
             .localCheckpoint()
+          releaseCheckpoint(prev) // the superseded iterate's blocks, eagerly
+        }
         c
       }
     }
@@ -353,8 +356,11 @@ object Vectors extends OpGroup {
     graft.Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
       var c = cmean(emb.withColumn("ccid", pmod(col("vec_id"), lit(PqCoarseK)).cast("int")))
         .localCheckpoint()
-      for (_ <- 1 to 2)
+      for (_ <- 1 to 2) {
+        val prev = c
         c = cmean(pqNearestCoarse(emb, c)).localCheckpoint()
+        releaseCheckpoint(prev)
+      }
       c
     }
   }
@@ -397,8 +403,11 @@ object Vectors extends OpGroup {
     graft.Tables.withConfs(s, Seq("spark.sql.shuffle.partitions" -> "8")) {
       var c = mean(sub.withColumn("cid", pmod(col("vec_id"), lit(PqK)).cast("int"))
         .select(col("m"), col("cid"), col("sv"))).localCheckpoint()
-      for (_ <- 1 to 2)
+      for (_ <- 1 to 2) {
+        val prev = c
         c = mean(pqNearest(sub, c).select(col("m"), col("cid"), col("sv"))).localCheckpoint()
+        releaseCheckpoint(prev)
+      }
       c
     }
   }
@@ -426,10 +435,57 @@ object Vectors extends OpGroup {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
 
-  private def memoized[T <: AnyRef](s: SparkSession, sf: String, kind: String)(build: => T): T =
-    modelCache.computeIfAbsent((s, sf, kind), _ => build).asInstanceOf[T]
+  /** Free the block-manager storage behind a localCheckpointed DataFrame
+    * NOW rather than when the ContextCleaner gets to the orphaned RDD:
+    * walk the plan for the checkpoint's LogicalRDD and unpersist it.
+    * No-op on plans that were never checkpointed.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
-  private[graft] def pqModelReset(): Unit = modelCache.clear()
+  private def releaseModel(v: AnyRef): Unit = {
+    def rel(x: Any): Unit = x match {
+      case d: org.apache.spark.sql.Dataset[_] => releaseCheckpoint(d.toDF())
+      case _                                  => ()
+    }
+    v match {
+      case p: Product => p.productIterator.foreach(rel)
+      case other      => rel(other)
+    }
+  }
+
+  /** get / putIfAbsent rather than computeIfAbsent: training runs
+    * multi-job Spark work, which must not execute inside the map's bin
+    * lock (it would block every concurrent cache access). A duplicate
+    * build that loses the race releases its storage and adopts the
+    * winner — training is order-free-deterministic, so the two are
+    * identical anyway.
+    */
+  private def memoized[T <: AnyRef](s: SparkSession, sf: String, kind: String)(build: => T): T = {
+    val k = (s, sf, kind)
+    val hit = modelCache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val built = build
+      val raced = modelCache.putIfAbsent(k, built)
+      if (raced == null) built
+      else { releaseModel(built); raced.asInstanceOf[T] }
+    }
+  }
+
+  /** Drop every memoized model AND release its checkpointed storage —
+    * retrain specs and long-lived sessions scoring many sfDirs both
+    * need the executor storage back, not just the map entries gone.
+    */
+  private[graft] def pqModelReset(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val vs = modelCache.values().asScala.toList
+    modelCache.clear()
+    vs.foreach(releaseModel)
+  }
 
   private[graft] def pqModel(s: SparkSession, sf: String): (DataFrame, DataFrame, DataFrame) =
     memoized(s, sf, "pq") {

@@ -34,7 +34,14 @@ class ScalingSpec extends SparkSpec {
     reps.min
   }
 
+  private val tiers =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
   for (key <- keys) test(s"$key grows sub-quadratically across the 10x sf0.01 -> sf0.1 step") {
+    // Wall-clock assertions only make sense when every tier exists —
+    // skip (not fail) on hosts without the generated fixtures.
+    assume(tiers.forall(d => new java.io.File(d).isDirectory),
+      "scale-tier fixtures not present on this host")
     val t001 = time(key, "/root/testdata/sf0.001")
     val t01 = time(key, "/root/testdata/sf0.01")
     val t1 = time(key, "/root/testdata/sf0.1")

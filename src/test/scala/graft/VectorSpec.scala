@@ -163,6 +163,20 @@ class VectorSpec extends SparkSpec {
     assert(diff == 0, "codegen'd dot product diverges from sequential HOF fold")
   }
 
+  test("IVF training is order-free: a from-scratch retrain reproduces the centroids exactly") {
+    import org.apache.spark.sql.functions._
+    val first = ops.Vectors.ivfCentroids(spark, sf)
+      .select(col("cid"), col("cvec")).cache()
+    first.count()
+    // Reset the memo so the second call RETRAINS — without it the
+    // comparison would be the cached plan against itself (vacuous).
+    ops.Vectors.pqModelReset()
+    val again = ops.Vectors.ivfCentroids(spark, sf).select(col("cid"), col("cvec"))
+    assert(first.exceptAll(again).count() == 0 && again.exceptAll(first).count() == 0,
+      "IVF Lloyd training must be order-free (decimal means)")
+    first.unpersist()
+  }
+
   test("vec_pq_codes: complete, in-range, deterministic, beats the 1-centroid baseline") {
     import org.apache.spark.sql.functions._
     val codes = SparkEntry.queries("vec_pq_codes")(spark, sf).cache()
