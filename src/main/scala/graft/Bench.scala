@@ -29,10 +29,14 @@ object Bench {
     // all land in the warm-up, leaving the timed loop to measure actual
     // data-path throughput — what a long-lived cluster session sees.
     val warmDir = "/root/testdata/sf0.001"
+    var warmFails = 0
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
-        catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try { fn(spark, warmDir).count(); () }
+        catch { case t: Throwable =>
+          warmFails += 1
+          System.err.println(s"warmup($warmDir) FAILED $name: ${t.getClass.getSimpleName}")
+        }
       }
     // Second warm pass at the bench tier itself: AQE re-plans some joins
     // differently at sf0.001 (broadcast) vs the bench sf (sort-merge), so
@@ -40,20 +44,31 @@ object Bench {
     // pass. One untimed pass at sfDir leaves the timed loop measuring
     // steady-state throughput — the long-lived-session number that is
     // comparable across rounds.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count(); () }
+      catch { case t: Throwable =>
+        warmFails += 1
+        System.err.println(s"warmup($sfDir) FAILED $name: ${t.getClass.getSimpleName}")
+      }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // Collect garbage OUTSIDE the timed region: with a 48g heap the
-      // warm passes leave enough floating garbage that a collection
-      // otherwise lands inside a random timed query (observed as 5x
-      // one-off spikes on otherwise-steady queries).
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A crashed query is NOT a timing: record its error class instead of
+    // letting time-to-crash masquerade as throughput (r8 benched 48
+    // analysis-crashing queries at fail-fast cost and nothing in the
+    // artifact said so). `err` per query, failure count in every summary
+    // line, non-zero exit if any timed query failed.
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        // Collect garbage OUTSIDE the timed region: with a 48g heap the
+        // warm passes leave enough floating garbage that a collection
+        // otherwise lands inside a random timed query (observed as 5x
+        // one-off spikes on otherwise-steady queries).
+        System.gc()
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    val failed = results.collect { case (name, _, Some(e)) => name -> e }
     // Driver capture is a bounded TAIL of stdout: one giant line loses its
     // HEAD (r2 lost the `"metric":"total"` prefix and 22 query times). So
     // (a) per-query times go out as small individual lines first, (b) the
@@ -61,18 +76,24 @@ object Bench {
     // at the END of the object (survives head-truncation), and (c) the
     // full-precision JSON also lands in bench_full.json next to the repo.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    results.foreach { case (k, v) =>
-      println(s"""{"metric":"query","name":"$k","value":${r3(v)},"unit":"sec"}""")
+    results.foreach { case (k, v, err) =>
+      val e = err.map(c => s""","err":"$c"""").getOrElse("")
+      println(s"""{"metric":"query","name":"$k","value":${r3(v)},"unit":"sec"$e}""")
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Crashed queries are excluded from the total (their elapsed is
+    // time-to-crash, not work) and reported via failed/errors instead.
+    val timed = results.collect { case (k, v, None) => k -> v }
+    val total = timed.map(_._2).sum
+    val qs3 = timed.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val qsFull = timed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errsJson = failed.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"warm_fails":$warmFails,"errors":$errsJson,"queries":$qsFull,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs3,"value":${r3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${failed.size},"errors":$errsJson,"queries":$qs3,"value":${r3(total)}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -22,15 +22,36 @@ object Tables {
   def part(s: SparkSession, sf: String): DataFrame      = table(s, sf, "part")
   def orders(s: SparkSession, sf: String): DataFrame    = table(s, sf, "orders")
   def lineitem(s: SparkSession, sf: String): DataFrame  = table(s, sf, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    * for: read it as a nanos long (legacy conf) and convert to a
-    * microsecond TimestampType — same truncation DuckDB applies, so the
-    * oracle sees identical instants.
+  /** events.ts has shipped under multiple physical encodings across fixture
+    * generations — INT64 TIMESTAMP(NANOS) (surfaces as a nanos long under
+    * the legacy conf, since Spark has no nanos type) and plain TIMESTAMP
+    * micros with/without UTC adjustment. A 100 TB lake has mixed-vintage
+    * files, so the reader adapts to the scanned schema instead of
+    * hard-coding one encoding (the r8 hard-coded nanos assumption broke 55
+    * operators when the fixture switched to micros). All branches land on
+    * a microsecond TimestampType with the same instant the oracle sees
+    * (session timeZone is UTC everywhere, so the NTZ cast is a relabel,
+    * not a shift).
     */
   def events(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, sf, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(table(s, sf, "events"))
+  }
+
+  /** Normalize an events frame's `ts` column to microsecond TimestampType,
+    * whatever physical encoding the scan surfaced. Shared by the batch and
+    * streaming readers so the two can never diverge again.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType     => df
+      case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
   def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")

@@ -36,25 +36,21 @@ object Streaming extends OpGroup {
   /** Memory-sink query names must be unique per invocation. */
   private val runId = new AtomicInteger
 
-  /** events as a stream: explicit schema (file streams can't infer), ts
-    * read as nanos long (same legacy conf as Tables.events) and
-    * converted to a microsecond timestamp.
+  /** events as a stream: file streams can't infer a schema, so derive it
+    * from a batch scan of the same file (under the same nanos-as-long
+    * conf) rather than re-declaring one — a hard-coded `ts LongType`
+    * silently read a micros fixture as if nanos and produced 1970-era
+    * windows (r8). The shared Tables.normalizeEventsTs then applies the
+    * matching ts conversion, so batch and stream can't diverge.
     */
   private def eventsStream(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType),
-    ))
+    val raw = s.read.parquet(s"$sf/events.parquet").schema
     // The file stream source wants a directory; glob-filter down to the
     // events file (the other tables' parquet share the directory).
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventsTs(
+      s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
+        .parquet(sf))
   }
 
   /** Run a (finite) streaming DataFrame to completion, return the sink. */

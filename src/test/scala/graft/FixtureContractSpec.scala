@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture contract: the events reader must tolerate every ts encoding the
+  * driver corpus has shipped — INT64 TIMESTAMP(NANOS) (surfaces as a long
+  * under the legacy conf), TIMESTAMP micros (UTC-adjusted), and
+  * TIMESTAMP_NTZ micros — and normalize all of them to the SAME instants.
+  * The r8 fixture regeneration flipped nanos→micros and silently broke 55
+  * operators because the reader hard-coded one encoding; this spec turns
+  * any future drift into one pinpointed failure instead.
+  */
+class FixtureContractSpec extends SparkSpec {
+
+  private val instantsUs: Seq[Long] = Seq(
+    1706628453123456L, // 2024-01-30T14:47:33.123456Z
+    1706628454000000L,
+    1706628455999999L,
+    1709999999000001L,
+    1710000000000000L,
+  )
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_fixture_$tag").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  /** Read back `path` through the shared normalizer and return epoch-micros. */
+  private def normalizedMicros(path: String): Seq[Long] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = Tables.normalizeEventsTs(spark.read.parquet(path))
+    assert(df.schema("ts").dataType == TimestampType,
+      s"normalizer must land on TimestampType, got ${df.schema("ts").dataType}")
+    df.select(unix_micros(col("ts")).as("us")).orderBy("us")
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("normalizeEventsTs: nanos-as-long encoding (pre-r8 fixtures)") {
+    // A genuine TIMESTAMP(NANOS) file surfaces as LongType under the legacy
+    // conf; a plain INT64 nanos column takes the identical reader branch.
+    val dir = tmpDir("nanos")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(instantsUs.map(us => Row(us * 1000L))),
+      StructType(Seq(StructField("ts", LongType))),
+    ).write.mode("overwrite").parquet(dir)
+    assert(normalizedMicros(dir) == instantsUs.sorted)
+  }
+
+  test("normalizeEventsTs: TIMESTAMP micros encoding") {
+    val dir = tmpDir("micros")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(instantsUs.map(us => Row(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(us / 1000000, (us % 1000000) * 1000))))),
+      StructType(Seq(StructField("ts", TimestampType))),
+    ).write.mode("overwrite").parquet(dir)
+    assert(normalizedMicros(dir) == instantsUs.sorted)
+  }
+
+  test("normalizeEventsTs: TIMESTAMP_NTZ micros encoding (r8+ fixtures)") {
+    // Session tz is UTC, so the NTZ→TS cast must be a relabel, not a shift.
+    val dir = tmpDir("ntz")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(instantsUs.map(us =>
+        Row(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000, ((us % 1000000) * 1000).toInt, java.time.ZoneOffset.UTC)))),
+      StructType(Seq(StructField("ts", TimestampNTZType))),
+    ).write.mode("overwrite").parquet(dir)
+    assert(normalizedMicros(dir) == instantsUs.sorted)
+  }
+
+  test("normalizeEventsTs: rejects an unsupported ts type loudly") {
+    val df = spark.range(1).select(col("id").cast(StringType).as("ts"))
+    val e = intercept[IllegalStateException](Tables.normalizeEventsTs(df))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("driver fixture: events reader yields 2024-era TimestampType at sf0.001") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val Row(lo: java.sql.Timestamp, hi: java.sql.Timestamp) =
+      ev.agg(min("ts"), max("ts")).head()
+    // The corpus is a ~30-day 2024 window; a unit-factor bug (nanos read as
+    // micros or vice versa) lands in 1970 or year ~56k — both far outside.
+    assert(lo.getTime > 1500000000000L && hi.getTime < 2500000000000L,
+      s"events.ts range [$lo, $hi] outside plausible 2024-era bounds — encoding drift?")
+  }
+
+  test("driver fixture: core table schemas at sf0.001 match the engine contract") {
+    def names(t: String): Seq[String] =
+      spark.read.parquet(s"$sf/$t.parquet").schema.fieldNames.toSeq
+    assert(names("events").toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(names("documents").contains("doc_id"))
+    assert(names("embeddings").toSet == Set("vec_id", "embedding", "label"))
+    assert(names("lineitem").contains("l_orderkey"))
+    assert(names("orders").contains("o_orderkey"))
+  }
+}

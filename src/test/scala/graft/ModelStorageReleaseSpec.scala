@@ -1,0 +1,31 @@
+package graft
+
+/** r8's model-cache fix claimed `pqModelReset`/`releaseCheckpoint` return
+  * executor storage; this spec witnesses it under the multi-sfDir session
+  * shape the advice called out: train models at one tier after another,
+  * resetting between, and assert the block manager holds NO persisted RDDs
+  * beyond what other suites had already pinned — i.e. every
+  * localCheckpoint the model training created was actually released, not
+  * just dropped from the memo map. (Suites share one JVM session and run
+  * sequentially under Test/fork, so the pre-existing set is stable.)
+  */
+class ModelStorageReleaseSpec extends SparkSpec {
+
+  test("pqModelReset frees all model checkpoints across a 3-sfDir train/reset loop") {
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.VecTopK.register(spark)
+    ops.Vectors.pqModelReset() // start from a clean memo map
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val dirs = Seq(sf, "/root/testdata/sf0.01", sf) // third loop retrains post-reset
+    for (dir <- dirs if new java.io.File(dir).isDirectory) {
+      SparkEntry.queries("vec_pq_adc_topk")(spark, dir).count() // trains + memoizes PQ
+      SparkEntry.queries("vec_ann_ivf")(spark, dir).count()     // trains + memoizes IVF
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "expected the trained models to hold checkpointed storage before reset")
+      ops.Vectors.pqModelReset()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+      assert(leaked.isEmpty,
+        s"pqModelReset left ${leaked.size} persisted RDD(s) in the block manager: $leaked")
+    }
+  }
+}

@@ -39,7 +39,10 @@ class ScalingSpec extends SparkSpec {
 
   for (key <- keys) test(s"$key grows sub-quadratically across the 10x sf0.01 -> sf0.1 step") {
     // Wall-clock assertions only make sense when every tier exists —
-    // skip (not fail) on hosts without the generated fixtures.
+    // skip (not fail) on hosts without the generated fixtures. A noisy or
+    // shared host can also opt out wholesale (canceled, not failed).
+    assume(sys.env.get("GRAFT_SKIP_SCALING").isEmpty,
+      "GRAFT_SKIP_SCALING set — wall-clock scaling assertions opted out")
     assume(tiers.forall(d => new java.io.File(d).isDirectory),
       "scale-tier fixtures not present on this host")
     val t001 = time(key, "/root/testdata/sf0.001")

@@ -60,4 +60,24 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() > 0)
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
+
+  test("stream_sliding_avg = batch sliding windows restricted to closed windows") {
+    // r8's micros fixture exposed that the watermark-eviction predicate is
+    // load-bearing: on a mis-decoded timeline every window stays open and
+    // append mode emits nothing. Assert on the CURRENT fixture that the
+    // emitted set equals the batch dual (same window()/slide), restricted
+    // to windows with end ≤ wm = ms_floor(max ts) − 30 min delay —
+    // AvailableNow's final no-data batch must evict exactly those.
+    val stream = SparkEntry.queries("stream_sliding_avg")(spark, sf)
+    val wmUs = (graft.Tables.events(spark, sf)
+      .agg(expr("unix_micros(max(ts)) div 1000")).head.getLong(0) - 30L * 60 * 1000) * 1000
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        ops.parity.r6(sum(ops.parity.dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      .filter(unix_micros(col("window.end")) <= wmUs)
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
+    assert(stream.count() > 0, "no closed windows emitted — eviction predicate broken")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
 }
