@@ -54,7 +54,26 @@ object Tables {
     }
   }
   def documents(s: SparkSession, sf: String): DataFrame = table(s, sf, "documents")
-  def embeddings(s: SparkSession, sf: String): DataFrame = table(s, sf, "embeddings")
+
+  /** embeddings.embedding normalized to array<float> whatever element
+    * width the file shipped — the identical drift class to events.ts: a
+    * fixture regeneration to array<double> would otherwise fail every
+    * vec_* / dedup_embedding op at analysis (vec_dot enforces
+    * array<float>). float32 is also the deliberate engine-side width
+    * (docs/scale.md: half the shuffle bytes of double at equal recall).
+    */
+  def embeddings(s: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = table(s, sf, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported physical type $other (expected array<float> or array<double>)")
+    }
+  }
 
   /** Spread a scan across the session's full parallelism before a
     * compute-heavy narrow stage. The fixture tables are single parquet

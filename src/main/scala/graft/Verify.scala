@@ -19,13 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Loud tail summary (r8: 48 crashed keys were only visible as absent
+    // rows in the driver's compare): one unmissable line, but exit 0 so
+    // the driver still gets the dump + oracle json for the keys that ran.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries CRASHED: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -90,6 +90,30 @@ class FixtureContractSpec extends SparkSpec {
       s"events.ts range [$lo, $hi] outside plausible 2024-era bounds — encoding drift?")
   }
 
+  test("embeddings reader normalizes both float and double element widths") {
+    // Live fixture (whatever width it ships) must land on array<float>.
+    assert(Tables.embeddings(spark, sf).schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    // A double-element vintage takes the cast branch with identical values
+    // (these doubles are exactly float-representable).
+    val sfDir = tmpDir("embdouble") // acts as a miniature sf directory
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(0.5d, -2.25d, 8.0d), 0),
+        Row(2L, Seq(1.5d, 0.0d, -0.125d), 1))),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)),
+        StructField("label", IntegerType))),
+    ).write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    val out = Tables.embeddings(spark, sfDir)
+    assert(out.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    val v1 = out.filter(col("vec_id") === 1L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    assert(v1 == Seq(0.5f, -2.25f, 8.0f))
+  }
+
   test("driver fixture: core table schemas at sf0.001 match the engine contract") {
     def names(t: String): Seq[String] =
       spark.read.parquet(s"$sf/$t.parquet").schema.fieldNames.toSeq
