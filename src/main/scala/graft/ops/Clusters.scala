@@ -69,7 +69,7 @@ object Clusters extends OpGroup {
     dbg("start")
     var (e, remaining) =
       pinN(edges.select(col("u"), col("v")).where(col("u") =!= col("v")))
-    dbg("edges pinned")
+    dbg(s"edges pinned n=$remaining")
     // The loop's shuffles carry the shrinking edge/label tables — small
     // from round 1 on — so run them at few partitions (same state-volume
     // rationale as the streaming family): per-partition task overhead
@@ -82,13 +82,18 @@ object Clusters extends OpGroup {
     val maps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var rounds = 0
     // Bounded-tail endgame threshold: once the contracted graph fits in
-    // ~1 MB of driver memory, more distributed rounds are pure job
-    // overhead (3 pinned materializations each, measured ~1 s/round at
-    // this tier for 914→3→0 edges). The bound is a CONSTANT, not
+    // a few tens of MB of driver memory, more distributed rounds are
+    // pure job overhead (3 pinned materializations each, measured
+    // ~1.3–1.7 s/round at sf0.1). The bound is a CONSTANT, not
     // data-dependent — at any corpus scale the loop stays distributed
     // until the remainder is this small, which geometric contraction
-    // guarantees it becomes.
-    val tailEdges = 1 << 16
+    // guarantees it becomes. Sized so the tail's driver cost (a ≤2^20-
+    // pair primitive collect ≈ 16 MB + O(E α) union-find, measured
+    // ~0.1 s) stays well under ONE distributed round's job overhead —
+    // the r9 measurement: sf0.1 enters with 1.045M edges and one round
+    // only reaches 914, so the 64 Ki bound bought a ~1.4 s round to
+    // avoid a ~0.15 s collect.
+    val tailEdges = 1 << 20
     while (remaining > tailEdges && rounds < 32) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // m: edge-incident node → min(self, neighbors). Map-side partial
@@ -128,13 +133,16 @@ object Clusters extends OpGroup {
       dbg(s"round=$rounds edges=$remaining")
     }
     if (remaining > 0) {
-      // Finish the ≤64k-edge remainder with a driver union-find (one
+      // Finish the ≤tailEdges remainder with a driver union-find (one
       // bounded collect, zero per-round job overhead) — the standard
       // endgame for iterative CC (GraphX/Kiveris finish small contracted
       // graphs centrally). Union-by-min keeps the invariant that every
       // tree root is its component's minimum id, so the resulting map
-      // composes with the distributed rounds' maps unchanged.
-      val tail = e.select(col("u"), col("v")).collect()
+      // composes with the distributed rounds' maps unchanged. Collected
+      // as specialized (Long, Long) pairs, not Rows: at the 2^20 bound a
+      // Row collect is ~150 MB of GenericRow boxing vs ~32 MB of
+      // primitive tuples.
+      val tail = e.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -143,8 +151,8 @@ object Clusters extends OpGroup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      tail.foreach { row =>
-        val ru = find(row.getLong(0)); val rv = find(row.getLong(1))
+      tail.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
       val entries = parent.keysIterator.map(k => (k, find(k))).toList
