@@ -87,13 +87,16 @@ object Clusters extends OpGroup {
     // ~1.3–1.7 s/round at sf0.1). The bound is a CONSTANT, not
     // data-dependent — at any corpus scale the loop stays distributed
     // until the remainder is this small, which geometric contraction
-    // guarantees it becomes. Sized so the tail's driver cost (a ≤2^20-
-    // pair primitive collect ≈ 16 MB + O(E α) union-find, measured
+    // guarantees it becomes. Sized so the tail's driver cost (a ≤2^21-
+    // pair primitive collect ≈ 32 MB + O(E α) union-find, measured
     // ~0.1 s) stays well under ONE distributed round's job overhead —
-    // the r9 measurement: sf0.1 enters with 1.045M edges and one round
-    // only reaches 914, so the 64 Ki bound bought a ~1.4 s round to
-    // avoid a ~0.15 s collect.
-    val tailEdges = 1 << 20
+    // the r9 measurement: sf0.1 enters with 1.045M edges (the duplicate-
+    // inflated two-pairer union) and one round only reaches 914, so the
+    // 64 Ki bound bought a ~1.4 s round to avoid a ~0.15 s collect. 2^21
+    // leaves 2× headroom over that measured entry count: a bound a hair
+    // above the live value (2^20 was 0.35% above it) would flip back to
+    // the slow path on any small pair-count drift.
+    val tailEdges = 1 << 21
     while (remaining > tailEdges && rounds < 32) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // m: edge-incident node → min(self, neighbors). Map-side partial

@@ -43,9 +43,21 @@ object Streaming extends OpGroup {
     * windows (r8). The shared Tables.normalizeEventsTs then applies the
     * matching ts conversion, so batch and stream can't diverge.
     */
+  /** The derived stream schema is a parquet footer read — memoized per
+    * (session, sfDir, file fingerprint) so Bench's 3 passes × 10 streaming
+    * ops (and stream_stream_join's two sources per build) pay it once.
+    * Fingerprint-keyed like every other cached derived artifact: a
+    * mid-session fixture regeneration (the r8 event!) gets a fresh read,
+    * never a stale schema.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), StructType]()
+
   private def eventsStream(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$sf/events.parquet").schema
+    val raw = schemaCache.computeIfAbsent(
+      (s, sf, Tables.fingerprint(sf, "events")),
+      _ => s.read.parquet(s"$sf/events.parquet").schema)
     // The file stream source wants a directory; glob-filter down to the
     // events file (the other tables' parquet share the directory).
     Tables.normalizeEventsTs(

@@ -115,6 +115,11 @@ class FixtureContractSpec extends SparkSpec {
   }
 
   test("driver fixture: core table schemas at sf0.001 match the engine contract") {
+    // Set the legacy conf BEFORE the direct events read: on a nanos-vintage
+    // fixture the raw scan otherwise throws PARQUET_TYPE_ILLEGAL at schema
+    // resolution — and this test must not depend on an earlier test in the
+    // suite having set the sticky session conf first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def names(t: String): Seq[String] =
       spark.read.parquet(s"$sf/$t.parquet").schema.fieldNames.toSeq
     assert(names("events").toSet ==

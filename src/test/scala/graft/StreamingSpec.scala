@@ -45,6 +45,18 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  /** Final-watermark position in epoch micros for a given delay: ms-floor
+    * of the corpus max event time minus the delay (the boundary Spark's
+    * final no-data micro-batch evicts against — inclusive, verified
+    * empirically). ONE definition for every closed-window/-session
+    * assertion in this suite, so a convention change can't leave a stale
+    * copy asserting the old boundary.
+    */
+  private def eventsWatermarkUs(delayMinutes: Long): Long =
+    (graft.Tables.events(spark, sf)
+      .agg(expr("unix_micros(max(ts)) div 1000")).head.getLong(0)
+      - delayMinutes * 60 * 1000) * 1000
+
   test("stream_session_window = win_lag_sessionize restricted to closed sessions") {
     // Append mode (r4) withholds sessions still open at the final
     // watermark: a session emits iff last_event + 30min gap ≤
@@ -52,8 +64,7 @@ class StreamingSpec extends SparkSpec {
     // batch dual restricted to exactly that subset must match.
     val stream = SparkEntry.queries("stream_session_window")(spark, sf)
       .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
-    val wmUs = (graft.Tables.events(spark, sf)
-      .agg(expr("unix_micros(max(ts)) div 1000")).head.getLong(0) - 30L * 60 * 1000) * 1000
+    val wmUs = eventsWatermarkUs(30)
     val batch = SparkEntry.queries("win_lag_sessionize")(spark, sf)
       .filter(unix_micros(col("session_end")) + 1800L * 1000000 <= wmUs)
       .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
@@ -69,8 +80,7 @@ class StreamingSpec extends SparkSpec {
     // to windows with end ≤ wm = ms_floor(max ts) − 30 min delay —
     // AvailableNow's final no-data batch must evict exactly those.
     val stream = SparkEntry.queries("stream_sliding_avg")(spark, sf)
-    val wmUs = (graft.Tables.events(spark, sf)
-      .agg(expr("unix_micros(max(ts)) div 1000")).head.getLong(0) - 30L * 60 * 1000) * 1000
+    val wmUs = eventsWatermarkUs(30)
     val batch = graft.Tables.events(spark, sf)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
