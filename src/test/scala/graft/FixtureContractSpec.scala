@@ -73,6 +73,35 @@ class FixtureContractSpec extends SparkSpec {
     assert(normalizedMicros(dir) == instantsUs.sorted)
   }
 
+  test("normalizeEventsTs: all three encodings agree on random instants (property)") {
+    // Deterministic pseudo-random micros across 1970–2200 (including
+    // sub-second tails) — every encoding of the same instant set must
+    // normalize to the identical sorted sequence.
+    val rnd = new scala.util.Random(9)
+    val us = Seq.fill(200)(math.abs(rnd.nextLong()) % 7258118400000000L)
+    val dirs = Map(
+      "long" -> tmpDir("prop_long"), "ts" -> tmpDir("prop_ts"), "ntz" -> tmpDir("prop_ntz"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(us.map(u => Row(u * 1000L))),
+      StructType(Seq(StructField("ts", LongType))),
+    ).write.mode("overwrite").parquet(dirs("long"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(us.map(u => Row(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(u / 1000000, (u % 1000000) * 1000))))),
+      StructType(Seq(StructField("ts", TimestampType))),
+    ).write.mode("overwrite").parquet(dirs("ts"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(us.map(u =>
+        Row(java.time.LocalDateTime.ofEpochSecond(
+          u / 1000000, ((u % 1000000) * 1000).toInt, java.time.ZoneOffset.UTC)))),
+      StructType(Seq(StructField("ts", TimestampNTZType))),
+    ).write.mode("overwrite").parquet(dirs("ntz"))
+    val expected = us.sorted
+    dirs.foreach { case (enc, dir) =>
+      assert(normalizedMicros(dir) == expected, s"encoding $enc diverged")
+    }
+  }
+
   test("normalizeEventsTs: rejects an unsupported ts type loudly") {
     val df = spark.range(1).select(col("id").cast(StringType).as("ts"))
     val e = intercept[IllegalStateException](Tables.normalizeEventsTs(df))
