@@ -34,6 +34,7 @@ object SparkEntry {
     ops.Sampling,
     ops.Analytics,
     ops.Sketches,
+    ops.Drift,
   )
 
   private lazy val all: Seq[Op] = {

@@ -501,8 +501,46 @@ object Analytics extends OpGroup {
     Some("""SELECT event_id, user_id, ts, make_timestamp(first_view_us) AS first_view_ts, make_timestamp(last_click_us) AS last_click_ts, ROUND(1e-9 + value, 6) AS revenue FROM (SELECT event_id, user_id, ts, event_type, value, MIN(CASE WHEN event_type = 'view' THEN us END) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS first_view_us, LAST_VALUE(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us FROM (SELECT event_id, user_id, ts, event_type, value, epoch_us(ts) AS us FROM events) t) x WHERE event_type = 'purchase' ORDER BY event_id"""),
   )
 
+  /** Rolling distinct actives — DAU / WAU / MAU per calendar day (r9),
+    * the product-analytics headline triple. The naive shape (per-day
+    * range join against raw events, COUNT DISTINCT each) rescans the
+    * fact table once per day; here the fact table is read ONCE into the
+    * distinct (user, day) relation (linear, map-side combined), and each
+    * pair then VOTES for the ≤7 (WAU) / ≤30 (MAU) future days its
+    * activity covers via a bounded `sequence` explode — fanout is a
+    * constant 37× on the already-deduplicated pair relation, never on
+    * raw events, and the re-distinct + count is one hash-agg per
+    * horizon. The day spine is generated dense from min/max so gap days
+    * still emit rows (zero-filled DAU, window-carried WAU/MAU). Oracle
+    * uses the per-day range join — correctness-equivalent, scale-naive.
+    */
+  private val activeUsersRolling = Op(
+    "analytics_active_users_rolling",
+    (s, sf) => {
+      val pairs = Tables.events(s, sf)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = pairs.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+      def rolling(horizon: Int, name: String) = pairs
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), horizon))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as(name))
+      spine
+        .join(dau, Seq("day"), "left")
+        .join(rolling(6, "wau"), Seq("day"), "left")
+        .join(rolling(29, "mau"), Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .orderBy("day")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM p), s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b), d AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day), w AS (SELECT s.day, COUNT(DISTINCT p.user_id) AS wau FROM s JOIN p ON p.day BETWEEN s.day - 6 AND s.day GROUP BY s.day), m AS (SELECT s.day, COUNT(DISTINCT p.user_id) AS mau FROM s JOIN p ON p.day BETWEEN s.day - 29 AND s.day GROUP BY s.day) SELECT s.day AS day, COALESCE(d.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau, COALESCE(m.mau, 0) AS mau FROM s LEFT JOIN d ON d.day = s.day LEFT JOIN w ON w.day = s.day LEFT JOIN m ON m.day = s.day ORDER BY s.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
-    attributionTouch)
+    attributionTouch, activeUsersRolling)
 }

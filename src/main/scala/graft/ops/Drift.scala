@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.O (round 9) — distribution-drift statistics: the monitoring gates a
+  * production pipeline runs between ingestion batches (did this week's
+  * data shift under the model?). Three classical tests, each formulated
+  * over AGGREGATED relations only (value-NDV / bin / contingency-cell
+  * bounded), so the expensive pass is always one linear hash-agg of the
+  * fact table and the test statistic itself is window math over rows
+  * that fit anywhere. Reference analog: cobradb's load-time sanity
+  * queries (model_loading.py's count checks) — generalized to the
+  * statistical screens a 100 TB training-data lake actually needs.
+  */
+object Drift extends OpGroup {
+  import parity.{dec, r6}
+
+  /** Two-sample Kolmogorov-Smirnov drift test: event values in the first
+    * half of the corpus window (ts < Jan 16) vs the second half. EXACT
+    * and engine-portable by integer arithmetic: group by the (already
+    * 2-decimal) value → per-sample counts; the ECDF difference at value
+    * v is |ca·NB − cb·NA| / (NA·NB), computed in LONG numerators so the
+    * argmax over buckets has no float ties — the division to a double
+    * happens once, on the winning row. Scale shape: one conditional
+    * hash-agg of events (linear, map-side combined), then a running-sum
+    * window over the value-NDV-bounded bucket relation (coarsen the
+    * bucketing to cap NDV at petabyte scale; the statistic degrades
+    * gracefully to the binned-ECDF KS).
+    */
+  private val ksDrift = Op(
+    "stats_ks_drift",
+    (s, sf) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val g = Tables.events(s, sf)
+        .groupBy("value")
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("na"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("nb"))
+      val tot = g.agg(sum("na").as("tna"), sum("nb").as("tnb"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("value"), sum("na").over(w).as("ca"), sum("nb").over(w).as("cb"))
+        .crossJoin(tot)
+        .withColumn("dnum", abs(col("ca") * col("tnb") - col("cb") * col("tna")))
+        .orderBy(col("dnum").desc, col("value").asc)
+        .limit(1)
+        .select(col("tna").as("n_a"), col("tnb").as("n_b"),
+          r6(col("dnum").cast("double") / (col("tna") * col("tnb")).cast("double")).as("ks_stat"),
+          col("value").as("at_value"))
+    },
+    Some("""WITH g AS (SELECT value, SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS na, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS nb FROM events GROUP BY value), c AS (SELECT value, CAST(SUM(na) OVER (ORDER BY value) AS BIGINT) AS ca, CAST(SUM(nb) OVER (ORDER BY value) AS BIGINT) AS cb FROM g), t AS (SELECT CAST(SUM(na) AS BIGINT) AS tna, CAST(SUM(nb) AS BIGINT) AS tnb FROM g) SELECT tna AS n_a, tnb AS n_b, ROUND(1e-9 + ABS(ca * tnb - cb * tna) / CAST(tna * tnb AS DOUBLE), 6) AS ks_stat, value AS at_value FROM c, t ORDER BY ABS(ca * tnb - cb * tna) DESC, value ASC LIMIT 1"""),
+  )
+
+  /** Population Stability Index between week 1 (reference) and week 4
+    * (current) of the event stream: 10 equi-width bins anchored on the
+    * REFERENCE week's min/max (the deployed-model convention — the bin
+    * edges are frozen with the reference), out-of-range current values
+    * clamped into the edge bins. Laplace-smoothed shares (+0.5/+5) keep
+    * ln finite on empty bins. Float parity: the bin index is a floor of
+    * the identical double expression on both engines; shares and the
+    * ln argument are rounded to 6 decimals BEFORE ln (charlm's
+    * discipline — both engines feed libm the same double), and the PSI
+    * total is a decimal sum of rounded per-bin contributions. Scale
+    * shape: two linear conditional aggs + window math over 10 rows.
+    */
+  private val psiDrift = Op(
+    "stats_psi_drift",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+      val isRef = col("ts") < lit("2024-01-08").cast("timestamp")
+      val isCur = col("ts") >= lit("2024-01-22").cast("timestamp") &&
+        col("ts") < lit("2024-01-29").cast("timestamp")
+      val edges = ev.filter(isRef).agg(min("value").as("mn"), max("value").as("mx"))
+      val binned = ev.filter(isRef || isCur).crossJoin(broadcast(edges))
+        .withColumn("bin", least(lit(9), greatest(lit(0),
+          floor((col("value") - col("mn")) * lit(10.0) / (col("mx") - col("mn"))).cast("int"))))
+        .groupBy("bin")
+        .agg(sum(when(isRef, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(isCur, 1L).otherwise(0L)).as("n_cur"))
+      val spine = edges.select(explode(sequence(lit(0), lit(9))).as("bin"))
+      val tot = binned.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      val filled = spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .crossJoin(tot)
+        .withColumn("p", r6((col("n_ref") + lit(0.5)) / (col("tr") + lit(5.0))))
+        .withColumn("q", r6((col("n_cur") + lit(0.5)) / (col("tc") + lit(5.0))))
+        .withColumn("psi_contrib", r6((col("p") - col("q")) * log(r6(col("p") / col("q")))))
+      filled
+        .withColumn("psi_total",
+          sum(dec(col("psi_contrib"))).over(Window.partitionBy()).cast("double"))
+        .select("bin", "n_ref", "n_cur", "psi_contrib", "psi_total")
+        .orderBy("bin")
+    },
+    Some("""WITH e AS (SELECT value, ts < TIMESTAMP '2024-01-08' AS is_ref, ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' AS is_cur FROM events), edges AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM e WHERE is_ref), b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - mn) * 10.0 / (mx - mn)) AS INT))) AS bin, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref, SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur FROM e, edges WHERE is_ref OR is_cur GROUP BY 1), t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM b), f AS (SELECT s.bin, CAST(COALESCE(b.n_ref, 0) AS BIGINT) AS n_ref, CAST(COALESCE(b.n_cur, 0) AS BIGINT) AS n_cur FROM (SELECT unnest(generate_series(0, 9)) AS bin) s LEFT JOIN b ON b.bin = s.bin), c AS (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (p - q) * ln(ROUND(1e-9 + p / q, 6)), 6) AS psi_contrib FROM (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (n_ref + 0.5) / (tr + 5.0), 6) AS p, ROUND(1e-9 + (n_cur + 0.5) / (tc + 5.0), 6) AS q FROM f, t) z) SELECT bin, n_ref, n_cur, psi_contrib, CAST(SUM(CAST(psi_contrib AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS psi_total FROM c ORDER BY bin"""),
+  )
+
+  /** Chi-square test of independence, event_type × day-of-week: is the
+    * event mix stable across the weekly cycle? Observed counts are one
+    * hash-agg of events; row/column/grand totals are window sums over
+    * the ≤ |types|·7-cell contingency relation; expected = rt·ct/N and
+    * the per-cell contribution (O−E)²/E are identical double
+    * expressions both engines, rounded and decimal-summed to the
+    * statistic. day-of-week parity: Spark `dayofweek` is 1=Sunday..7;
+    * DuckDB `dayofweek` is 0=Sunday..6, so the oracle adds 1.
+    */
+  private val chisq = Op(
+    "stats_chisq_independence",
+    (s, sf) => {
+      val o = Tables.events(s, sf)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("observed"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dow")
+      val wAll = Window.partitionBy()
+      o.withColumn("rt", sum("observed").over(wr))
+        .withColumn("ct", sum("observed").over(wc))
+        .withColumn("n", sum("observed").over(wAll))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("expected", r6(col("e")))
+        .withColumn("contrib",
+          r6((col("observed") - col("e")) * (col("observed") - col("e")) / col("e")))
+        .withColumn("chi2_total", sum(dec(col("contrib"))).over(wAll).cast("double"))
+        .select("event_type", "dow", "observed", "expected", "contrib", "chi2_total")
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed FROM events GROUP BY 1, 2), x AS (SELECT event_type, dow, CAST(observed AS BIGINT) AS observed, CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) / CAST(SUM(observed) OVER () AS BIGINT) AS e FROM o) SELECT event_type, dow, observed, ROUND(1e-9 + e, 6) AS expected, ROUND(1e-9 + (observed - e) * (observed - e) / e, 6) AS contrib, CAST(SUM(CAST(ROUND(1e-9 + (observed - e) * (observed - e) / e, 6) AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS chi2_total FROM x ORDER BY event_type, dow"""),
+  )
+
+  override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq)
+}

@@ -318,7 +318,39 @@ object Windows extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y FROM events GROUP BY 1, 2), sc AS (SELECT event_type, day, CAST(ROW_NUMBER() OVER w AS INT) AS t, SUM(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(y) OVER (PARTITION BY event_type) AS stot, COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), cs AS (SELECT event_type, day, t, n, CAST(cum AS DOUBLE) - t * (CAST(stot AS DOUBLE) / n) AS cusum FROM sc) SELECT event_type, n AS n_days, day AS changepoint_day, t AS changepoint_idx, ROUND(1e-9 + cusum, 6) AS cusum_at_peak FROM cs QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, day ASC) = 1 ORDER BY event_type"""),
   )
 
+  /** Exact rolling 7-row MEDIAN of the daily revenue series per event
+    * type (r9) — the robust-smoothing counterpart of `win_moving_avg_rows`
+    * (mean) and `ts_ewma_smooth` (exponential): outlier days don't drag
+    * the trend. Exact medians don't stream the way sums do, so the
+    * window collects the ≤7-element frame as a list and sorts it —
+    * correct at any scale BECAUSE it runs over the aggregated daily
+    * series (days × types rows), never raw events; the frame is
+    * constant-bounded so collect_list is O(7) per row. Median of an
+    * even-length frame is the mean of the two middles; both middles are
+    * exact decimals (daily sums), converted to double (correctly-rounded,
+    * engine-identical) before the one float mean. Frame indices use
+    * integer `div` both sides.
+    */
+  private val rollingMedian = Op(
+    "win_rolling_median",
+    (s, sf) => {
+      val daily = graft.Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("dv"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("dv")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .select(col("event_type"), col("day"), col("dv").cast("double").as("daily_value"),
+          r6((element_at(col("arr"), expr("cast((n + 1) div 2 as int)")).cast("double") +
+            element_at(col("arr"), expr("cast((n + 2) div 2 as int)")).cast("double")) / lit(2.0)).as("med7"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS dv FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, CAST(dv AS DOUBLE) AS daily_value, list_sort(list(dv) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM d) SELECT event_type, day, daily_value, ROUND(1e-9 + (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2, 6) AS med7 FROM w ORDER BY event_type, day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
-    ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint)
+    ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
+    rollingMedian)
 }
