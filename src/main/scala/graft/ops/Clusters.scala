@@ -411,5 +411,58 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), nn AS (SELECT COUNT(*) AS c FROM deg), r0 AS (SELECT node, deg, ROUND(1000000.0 / nn.c + 1e-9, 6) AS pr FROM deg CROSS JOIN nn), r1 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r0 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r2 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r1 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r3 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r2 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r4 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r3 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c), r5 AS (SELECT d.node, d.deg, ROUND(150000.0 / nn.c + 0.85 * CAST(SUM(CAST(ROUND(r.pr / r.deg + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 6) AS pr FROM sym s JOIN r4 r ON r.node = s.u JOIN deg d ON d.node = s.v CROSS JOIN nn GROUP BY d.node, d.deg, nn.c) SELECT node AS p_partkey, deg AS degree, pr AS pagerank_ppm FROM r5 ORDER BY p_partkey"""),
   )
 
-  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank)
+  /** LABEL PROPAGATION community detection (r9) over the co-purchase
+    * graph — the fourth graph kernel, next to CC (connectivity),
+    * triangles (local density) and PageRank (centrality): Raghavan et
+    * al. 2007's LPA, made fully deterministic for the oracle gate by
+    * (a) SYNCHRONOUS updates (every node re-labels from the previous
+    * round's labels), (b) a pinned iteration count (3), and (c) an
+    * explicit mode tie-break (count desc, then smallest label). Each
+    * iteration is one equi-join of the symmetric edge list against the
+    * current label vector + one count agg + one per-node rank over the
+    * aggregated vote relation — per-iteration work O(edges), the same
+    * 100 TB iterative-dataflow shape as PageRank (and unlike PageRank
+    * it carries no float state at all: labels and votes are exact
+    * integers, so cross-engine parity is free). Lineage stays a linear
+    * 3-chain (labels referenced once per iteration, in the vote join);
+    * one result pin materializes all three iterations as a single job,
+    * then the pinned edge blocks are freed (clusterCc hygiene).
+    */
+  private val labelPropagation = Op(
+    "graph_label_propagation",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // Same sizing rationale as the other graph kernels: ~57k edge rows
+      // at sf0.1 — 32-way shuffles would be all overhead. Materialized
+      // eagerly (result pin) inside the scope so the conf is honored.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import org.apache.spark.sql.expressions.Window
+      val edges = copurchaseEdges(s, sf).persist()
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      var labels = sym.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to 3) {
+        labels = sym
+          .join(labels.select(col("node").as("u"), col("label")), "u")
+          .groupBy(col("v").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(Window.partitionBy("node")
+            .orderBy(col("c").desc, col("label").asc)))
+          .filter(col("rk") === 1)
+          .select("node", "label")
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+      val out = labels.join(sizes, "label")
+        .select(col("node").as("p_partkey"), col("label").as("community"),
+          col("community_size"))
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      edges.unpersist(false)
+      pinned.orderBy("p_partkey")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym), v1 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l0 l ON l.node = s.u GROUP BY 1, 2), l1 AS (SELECT node, label FROM v1 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v2 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l1 l ON l.node = s.u GROUP BY 1, 2), l2 AS (SELECT node, label FROM v2 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v3 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l2 l ON l.node = s.u GROUP BY 1, 2), l3 AS (SELECT node, label FROM v3 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), cs AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY label) SELECT l3.node AS p_partkey, l3.label AS community, cs.community_size FROM l3 JOIN cs ON cs.label = l3.label ORDER BY p_partkey"""),
+  )
+
+  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
+    labelPropagation)
 }

@@ -680,6 +680,65 @@ object Vectors extends OpGroup {
     Some("""WITH cb AS (SELECT m, cid, pos, CAST((m * 2654435761 + cid * 40503 + pos * 2246822519) % 2000 AS DOUBLE) / 1000.0 - 1.0 AS cv FROM generate_series(0, 7) g1(m), generate_series(0, 15) g2(cid), generate_series(0, 7) g3(pos)), sub AS (SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS m, CAST((pos - 1) % 8 AS INT) AS pos, CAST(v AS DOUBLE) AS x FROM (SELECT vec_id, unnest(embedding) AS v, unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) t), d2 AS (SELECT s.vec_id, s.m, c.cid, SUM(CAST(ROUND((s.x - c.cv) * (s.x - c.cv), 12) AS DECIMAL(18,12))) AS d2 FROM sub s JOIN cb c ON c.m = s.m AND c.pos = s.pos GROUP BY s.vec_id, s.m, c.cid), codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d2) r WHERE rn = 1), adc AS (SELECT q.vec_id AS q_vec_id, k.vec_id, SUM(q.d2) AS adc FROM codes k JOIN d2 q ON q.m = k.m AND q.cid = k.cid AND q.vec_id < 20 AND q.vec_id <> k.vec_id GROUP BY 1, 2) SELECT q_vec_id, CAST(rk AS INT) AS rk, vec_id, ROUND(1e-9 + CAST(adc AS DOUBLE), 6) AS adc_d2 FROM (SELECT q_vec_id, vec_id, adc, ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY adc, vec_id) AS rk FROM adc) r WHERE rk <= 5 ORDER BY q_vec_id, rk"""),
   )
 
+  /** Signed-random-projection (hyperplane) LSH candidate pairs (r9,
+    * Charikar 2002) — the 100 TB SCALE PATH for embedding near-dup that
+    * `dedup_embedding_cosine`'s broadcast verify loop runs per-bucket
+    * within: P[sign agrees] = 1 − θ/π, so vectors at high cosine
+    * collide on whole 8-bit band keys with high probability while the
+    * corpus partitions into ~2^8 buckets per band. Everything is
+    * deterministic and engine-portable: the 16 hyperplanes are LCG
+    * rationals (a_{j,d} = (1103515245·(64j+d) + 12345) mod 2^31 mapped
+    * onto [−1,1) — exact dyadic doubles both engines), each projection
+    * is a decimal sum of 6-rounded products (order-free, exact sign),
+    * and band keys are integer bit-packs — so the candidate PAIR SET
+    * (not just the sims) is oracle-exact. Bands: 2 × 8 bits (tune
+    * bands/bits to corpus size in production — more bits per band cuts
+    * bucket occupancy geometrically). The verify join evaluates
+    * codegen'd vec_dot on candidates only (~2% of the pair space at
+    * sf0.1) — the same plan per bucket at any scale, never all-pairs.
+    */
+  private val srpLshPairs = Op(
+    "vec_srp_lsh_pairs",
+    (s, sf) => {
+      val v = normed(s, sf)
+      val e = v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+        .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+      val planes = v.agg(count(lit(1)).as("one"))
+        .select(explode(sequence(lit(0), lit(15))).as("j"))
+        .select(col("j"), explode(sequence(lit(0), lit(63))).as("d"))
+        .withColumn("h",
+          ((lit(1103515245L) * (col("j") * 64 + col("d")) + lit(12345L)) % lit(2147483648L))
+            .cast("double") / lit(1073741824.0) - lit(1.0))
+      val dots = e.join(broadcast(planes), "d")
+        .groupBy("vec_id", "j")
+        .agg(sum(dec(r6(col("h") * col("x")))).as("dot"))
+      val keys = dots.groupBy("vec_id").agg(
+        sum(when(col("j") < 8 && col("dot") >= 0,
+          expr("shiftleft(1, cast(j as int))")).otherwise(0)).cast("int").as("k0"),
+        sum(when(col("j") >= 8 && col("dot") >= 0,
+          expr("shiftleft(1, cast(j - 8 as int))")).otherwise(0)).cast("int").as("k1"))
+      def band(c: String) = keys
+        .select(col("vec_id").as("a_vec_id"), col(c).as("bk"))
+        .join(keys.select(col("vec_id").as("b_vec_id"), col(c).as("bk")), "bk")
+        .filter(col("a_vec_id") < col("b_vec_id"))
+        .select("a_vec_id", "b_vec_id")
+      // A pair colliding in both bands would duplicate: distinct over the
+      // union (candidate volume, not corpus volume; the minhash
+      // first-collision trick applies here too if bands grow).
+      val cand = band("k0").union(band("k1")).distinct()
+      val va = v.select(col("vec_id").as("a_vec_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val vb = v.select(col("vec_id").as("b_vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      cand.join(va, "a_vec_id").join(vb, "b_vec_id")
+        .select(col("a_vec_id"), col("b_vec_id"),
+          r6(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+        .orderBy("a_vec_id", "b_vec_id")
+    },
+    Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings) SELECT c.a_vec_id, c.b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id ORDER BY c.a_vec_id, c.b_vec_id"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
-    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed)
+    quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
+    srpLshPairs)
 }
