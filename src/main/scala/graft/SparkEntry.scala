@@ -35,6 +35,7 @@ object SparkEntry {
     ops.Analytics,
     ops.Sketches,
     ops.Drift,
+    ops.Bpe,
   )
 
   private lazy val all: Seq[Op] = {

@@ -65,6 +65,73 @@ object Bmp {
     Some(Image(width, height, px))
   }
 
+  /** gw×gh grid of block-mean BT.601 lumas (row-major): cell (gx, gy)
+    * averages the pixel block [gx·w/gw, (gx+1)·w/gw) × [gy·h/gh,
+    * (gy+1)·h/gh) — the integer-bound downsample perceptual hashes are
+    * built on. Requires w ≥ gw and h ≥ gh (every cell non-empty), which
+    * [[synthesize]] guarantees (min dimension 8) and real thumbnails
+    * satisfy by construction.
+    */
+  private[graft] def blockLuma(img: Image, gw: Int, gh: Int): Array[Double] = {
+    val out = new Array[Double](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * img.height / gh
+      val y1 = (gy + 1) * img.height / gh
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * img.width / gw
+        val x1 = (gx + 1) * img.width / gw
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.pixels(y * img.width + x)
+            s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = s / ((y1 - y0) * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Average-hash: 8×8 block lumas, bit k set iff cell k exceeds the
+    * grid mean (strict > — deterministic on the boundary).
+    */
+  private[graft] def aHash(img: Image): Long = {
+    val g = blockLuma(img, 8, 8)
+    val mean = g.sum / g.length
+    var bits = 0L
+    var k = 0
+    while (k < 64) { if (g(k) > mean) bits |= 1L << k; k += 1 }
+    bits
+  }
+
+  /** Difference-hash: 9×8 block lumas, bit (y·8 + x) set iff the cell
+    * right of (x, y) is strictly brighter — gradient structure, robust
+    * to global brightness shifts that flip aHash wholesale.
+    */
+  private[graft] def dHash(img: Image): Long = {
+    val g = blockLuma(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** Deterministic 24-bpp BMP from seed bytes: dimensions and pixels
     * derive from (seed, bytes) by integer arithmetic only.
     */

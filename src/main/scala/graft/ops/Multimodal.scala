@@ -336,6 +336,63 @@ object Multimodal extends OpGroup {
     Some("""WITH chunks AS (SELECT DISTINCT doc_id, chunk FROM (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor(greatest(length(text) - 1, 0) / 64) AS INT)), i -> md5(substr(text, i * 64 + 1, 64)))) AS chunk FROM documents) t), idx AS (SELECT chunk, COUNT(*) AS n_docs, MIN(doc_id) AS owner_doc FROM chunks GROUP BY chunk) SELECT c.doc_id, COUNT(*) AS n_chunks, CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS BIGINT) AS n_shared_chunks, CAST(SUM(CAST(i.owner_doc = c.doc_id AS BIGINT)) AS BIGINT) AS n_owned, ROUND(1e-9 + CAST(SUM(CAST(i.n_docs > 1 AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS shared_ratio FROM chunks c JOIN idx i ON i.chunk = c.chunk GROUP BY c.doc_id ORDER BY c.doc_id"""),
   )
 
+  /** PERCEPTUAL IMAGE HASHING + banded hamming near-dup (r9) — the
+    * image-modality member of the dedup family (text has minhash/simhash;
+    * images dedup on perceptual hashes, which survive re-encoding and
+    * resizing where the byte digest of `mm_binary_meta` does not). The
+    * BMP-carrying docs (`doc_id % 3 == 2`, same in-flight synthesis as
+    * mm_decode_features) decode through the real parser and reduce to
+    * two classic 64-bit hashes via an 8×8 / 9×8 block-mean luma
+    * downsample ([[Bmp.aHash]] brightness profile, [[Bmp.dHash]]
+    * horizontal gradients — per-row compute-over-bytes, shuffle-free).
+    * Near-dup candidates come from 4×16-bit band buckets of the aHash
+    * (simhash's pigeonhole, exact for the hamming ≤ 3 verify: ≤3 flipped
+    * bits cannot touch all 4 bands), verified by codegen'd
+    * `bit_count(a XOR b)` inside the bucket only — never an all-pairs
+    * image join. Output is the per-image hash catalog + near-dup degree
+    * (the synthetic corpus has no near-identical images, so degrees are
+    * honestly 0 here; PhashSpec perturbs real payloads to exercise
+    * collision and near-miss paths). No oracle: DuckDB cannot decode the
+    * container.
+    */
+  private val phashHamming = Op(
+    "mm_phash_hamming",
+    (s, sf) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, sf)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, bytes) =>
+            Bmp.decode(Bmp.synthesize(docId, bytes)).map { img =>
+              (docId, Bmp.aHash(img), Bmp.dHash(img))
+            }
+          }
+        }.toDF("doc_id", "ahash", "dhash")
+      val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("b"),
+          shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("bd"))
+        .select(col("doc_id"), col("ahash"), col("bd.b").as("b"), col("bd.k").as("k"))
+      val near = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_doc"), col("x.ahash").as("a_h"),
+          col("y.doc_id").as("b_doc"), col("y.ahash").as("b_h"))
+        .distinct()
+        .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= 3)
+      val deg = near.select(explode(array(col("a_doc"), col("b_doc"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+      hashes.join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          lpad(hex(col("ahash")), 16, "0").as("ahash_hex"),
+          lpad(hex(col("dhash")), 16, "0").as("dhash_hex"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
-    imageFeatures, byteStats, chunkDedup)
+    imageFeatures, byteStats, chunkDedup, phashHamming)
 }

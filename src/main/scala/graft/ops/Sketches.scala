@@ -128,5 +128,44 @@ object Sketches extends OpGroup {
     None,
   )
 
-  val ops: Seq[Op] = Seq(heavyHitters, hllMergeRollup)
+  /** Count-min-sketch frequency estimation (r9, Cormode & Muthukrishnan
+    * 2005) — the third mergeable summary next to HLL (distinct) and
+    * Misra-Gries (candidates): per-user event counts estimated from ONE
+    * corpus pass through the builtin codegen'd `count_min_sketch`
+    * aggregate (eps 0.001, conf 0.99, pinned seed), then audited
+    * against the exact counts. The single `head()` collects the SKETCH,
+    * not data — its size is the eps/confidence-determined constant
+    * (d×w counters, corpus-independent; that bounded mergeability is
+    * the entire point of the structure: at 100 TB the per-partition
+    * sketches merge in the agg, and the summary ships anywhere). The
+    * estimate pass deserializes the broadcast sketch once per partition
+    * and maps over the aggregated per-key relation. The CMS one-sided
+    * guarantee — estimate ≥ exact always, ≤ exact + eps·N w.h.p. — is
+    * emitted as audit columns and asserted in SketchSpec. No oracle:
+    * estimates are hash-construction-specific by design.
+    */
+  private val cmsHeavy = Op(
+    "agg_cms_heavy",
+    (s, sf) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      import s.implicits._
+      val ev = Tables.events(s, sf)
+      val skBytes = ev
+        .agg(count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val bc = s.sparkContext.broadcast(skBytes)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      exact.as[(Long, Long)].mapPartitions { it =>
+        val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bc.value))
+        it.map { case (uid, n) =>
+          (uid, n, sk.estimateCount(java.lang.Long.valueOf(uid)))
+        }
+      }.toDF("user_id", "exact_n", "cms_estimate")
+        .withColumn("overestimate_ok", col("cms_estimate") >= col("exact_n"))
+        .orderBy("user_id")
+    },
+    None,
+  )
+
+  val ops: Seq[Op] = Seq(heavyHitters, hllMergeRollup, cmsHeavy)
 }

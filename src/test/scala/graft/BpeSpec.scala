@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.Bpe
+
+/** text_bpe_merges: the distributed trainer must agree with an
+  * independent in-memory reference BPE on the same corpus, be
+  * deterministic, and produce merges that re-apply cleanly.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Straight-line reference trainer (Sennrich alg. 1): greedy argmax
+    * over adjacent-pair counts weighted by word freq, same tie-break
+    * (count desc, pair lexicographic).
+    */
+  private def referenceBpe(vocab: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var state: Map[String, (Long, Seq[String])] =
+      vocab.map { case (w, f) => w -> (f, Bpe.initSyms(w)) }
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.values.foreach { case (f, syms) =>
+        syms.lazyZip(syms.drop(1)).foreach { (l, r) =>
+          counts((l, r)) = counts.getOrElse((l, r), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        state = state.map { case (w, (f, syms)) => w -> (f, Bpe.mergePair(syms, l, r)) }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def corpusVocab(): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("trained merge table equals the independent reference trainer") {
+    val got = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val want = referenceBpe(corpusVocab(), 8).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
+    assert(got.toSeq == want)
+  }
+
+  test("merge table is deterministic across runs") {
+    val a = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mergePair is a greedy non-overlapping left scan") {
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(Bpe.mergePair(Seq("x"), "a", "b") == Seq("x"))
+    assert(Bpe.mergePair(Nil, "a", "b") == Nil)
+  }
+
+  test("applying the learned merges never destroys characters (round-trip)") {
+    val merges = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    corpusVocab().keys.take(50).foreach { w =>
+      var syms = Bpe.initSyms(w)
+      merges.foreach { case (l, r) => syms = Bpe.mergePair(syms, l, r) }
+      assert(syms.mkString == w + Bpe.Eow, s"round-trip broke for '$w': $syms")
+    }
+  }
+}

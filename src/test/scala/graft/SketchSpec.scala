@@ -60,4 +60,26 @@ class SketchSpec extends SparkSpec {
       .orderBy("bigram")
     assert(op.collect().toSeq == exact.collect().toSeq)
   }
+
+  test("agg_cms_heavy: estimates are one-sided and within the eps*N band") {
+    val rows = SparkEntry.queries("agg_cms_heavy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (exact, est, ok) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      // CMS hard guarantee: never an underestimate.
+      assert(est >= exact, s"user ${r.getLong(0)}: estimate $est < exact $exact")
+      assert(ok)
+      // eps = 0.001 => additive error <= eps * N (w.h.p.; pinned seed
+      // makes this a fixed property of the fixture).
+      assert(est - exact <= math.max(1L, (0.001 * total).ceil.toLong),
+        s"user ${r.getLong(0)}: estimate $est too far above $exact")
+    }
+  }
+
+  test("agg_cms_heavy is deterministic across runs (pinned seed)") {
+    val a = SparkEntry.queries("agg_cms_heavy")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("agg_cms_heavy")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }
