@@ -127,5 +127,46 @@ object Drift extends OpGroup {
     Some("""WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed FROM events GROUP BY 1, 2), x AS (SELECT event_type, dow, CAST(observed AS BIGINT) AS observed, CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) / CAST(SUM(observed) OVER () AS BIGINT) AS e FROM o) SELECT event_type, dow, observed, ROUND(1e-9 + e, 6) AS expected, ROUND(1e-9 + (observed - e) * (observed - e) / e, 6) AS contrib, CAST(SUM(CAST(ROUND(1e-9 + (observed - e) * (observed - e) / e, 6) AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS chi2_total FROM x ORDER BY event_type, dow"""),
   )
 
-  override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq)
+  /** Mann-Whitney U rank-sum test on the same first-half/second-half
+    * split as [[ksDrift]] — the LOCATION-shift screen next to KS's
+    * any-shape one (rank-based, so one fat-tailed outlier can't swamp
+    * it the way it would a t-test). Everything up to the final z is
+    * INTEGER arithmetic on the value-bucket relation: with per-bucket
+    * counts (na, nb) and exclusive running total cb, the doubled
+    * average rank is ar2 = 2·cb + na + nb + 1 exactly, so 2·R1 =
+    * Σ na·ar2 and 2·U1 = 2·R1 − n1(n1+1) are exact longs and U itself
+    * an exact half-integer double. The tie-corrected normal
+    * approximation (σ² = n1n2/12 · [(n+1) − Σ(t³−t)/(n(n−1))]) is one
+    * identical double expression both engines, rounded once. Scale
+    * shape: same as KS — one linear conditional agg, window math over
+    * the NDV-bounded bucket relation, a 1-row result.
+    */
+  private val mannWhitney = Op(
+    "stats_mannwhitney_u",
+    (s, sf) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val g = Tables.events(s, sf)
+        .groupBy("value")
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("na"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cb", coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+        .withColumn("ar2", lit(2) * col("cb") + col("na") + col("nb") + lit(1))
+        .withColumn("t", col("na") + col("nb"))
+        .agg(sum("na").as("n1"), sum("nb").as("n2"),
+          sum(col("na") * col("ar2")).as("r1x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        .select(col("n1").as("n_a"), col("n2").as("n_b"),
+          ((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2.0)).as("u_stat"),
+          r6(((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") / lit(2.0)
+            - col("n1").cast("double") * col("n2") / lit(2.0)) /
+            sqrt(col("n1").cast("double") * col("n2") / lit(12.0) *
+              ((col("n1") + col("n2") + lit(1)).cast("double")
+                - col("ties").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - lit(1)))))).as("z_score"))
+    },
+    Some("""WITH g AS (SELECT value, SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS na, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS nb FROM events GROUP BY value), c AS (SELECT value, na, nb, CAST(COALESCE(SUM(na + nb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb, na + nb AS t FROM g), a AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2, CAST(SUM(na * (2 * cb + na + nb + 1)) AS BIGINT) AS r1x2, CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM c) SELECT n1 AS n_a, n2 AS n_b, CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat, ROUND(1e-9 + (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z_score FROM a"""),
+  )
+
+  override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney)
 }

@@ -377,7 +377,40 @@ object Scans extends OpGroup {
     Some("""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events GROUP BY 1, 2 ORDER BY event_type, month"""),
   )
 
+  /** Raw-TEXT source path (r9) — the fifth file format next to parquet /
+    * CSV / JSON / ORC, and the one a RAW web-crawl / log corpus actually
+    * arrives in (one record per line, no schema at all): snapshot the
+    * documents' text one-per-line (fingerprint-cached like the CSV
+    * snapshot; the corpus texts are newline-free, asserted at write
+    * time), read it back through `spark.read.text`, and profile by
+    * length bucket. The oracle runs the same profile over the original
+    * parquet table — a content-neutral format round-trip, the
+    * src_csv_scan methodology. `text` reads split by line across files
+    * and within files at block boundaries, so this source parallelizes
+    * natively at 100 TB.
+    */
+  private val textLines = Op(
+    "src_text_lines",
+    (s, sf) => {
+      val dir = graft.Tables.cachedDir("/tmp/graft_text",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "documents")) + "/documents"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        val src = Tables.documents(s, sf).select(col("text"))
+        require(src.filter(col("text").contains("\n") || col("text").contains("\r"))
+          .isEmpty, "text snapshot requires newline-free documents")
+        src.coalesce(1).write.mode("overwrite").text(dir)
+      }
+      s.read.text(dir)
+        .groupBy(expr("cast(length(value) as long) div 100 * 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value")).cast("long")).as("total_chars"))
+        .orderBy("len_bucket")
+    },
+    Some("""SELECT CAST(length(text) // 100 * 100 AS BIGINT) AS len_bucket, COUNT(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY len_bucket"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
-    dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout)
+    dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout, textLines)
 }

@@ -142,6 +142,38 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice FROM orders o, LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem WHERE l_orderkey = o.o_orderkey ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l WHERE o.o_totalprice > 400000 ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber"""),
   )
 
+  /** TPC-H Q18 shape (large-volume customers, r9): the GROUP-BY-HAVING
+    * IN-subquery pattern — the qualifying-set subquery aggregates the
+    * SAME fact table the outer query joins, so Catalyst must plan the
+    * semi-join against a derived aggregate (RewritePredicateSubquery →
+    * LeftSemi), a subquery shape neither Q3 (plain join) nor the
+    * correlated-scalar op (decorrelation) witnesses. Threshold 250
+    * keeps the qualifying set selective (~1% of orders) at every tier.
+    * Quantity sums are decimal-cast pre-SUM both sides (rulebook §7.3);
+    * the final order carries o_orderkey as the unique tiebreak.
+    */
+  private val tpchQ18 = Op(
+    "sql_tpch_q18",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders", "lineitem")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+      """)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250) GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
-    lateralTopn)
+    lateralTopn, tpchQ18)
 }
