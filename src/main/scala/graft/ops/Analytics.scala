@@ -504,8 +504,11 @@ object Analytics extends OpGroup {
   /** Rolling distinct actives — DAU / WAU / MAU per calendar day (r9),
     * the product-analytics headline triple. The naive shape (per-day
     * range join against raw events, COUNT DISTINCT each) rescans the
-    * fact table once per day; here the fact table is read ONCE into the
-    * distinct (user, day) relation (linear, map-side combined), and each
+    * fact table once per day; here the fact table reduces to the
+    * distinct (user, day) relation (linear, map-side combined) — the
+    * three horizon branches share that relation's exchange subtree
+    * verbatim, so AQE's stage cache materializes the distinct once and
+    * ReusedExchange serves the other branches — and each
     * pair then VOTES for the ≤7 (WAU) / ≤30 (MAU) future days its
     * activity covers via a bounded `sequence` explode — fanout is a
     * constant 37× on the already-deduplicated pair relation, never on

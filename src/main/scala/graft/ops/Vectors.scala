@@ -717,15 +717,20 @@ object Vectors extends OpGroup {
           expr("shiftleft(1, cast(j as int))")).otherwise(0)).cast("int").as("k0"),
         sum(when(col("j") >= 8 && col("dot") >= 0,
           expr("shiftleft(1, cast(j - 8 as int))")).otherwise(0)).cast("int").as("k1"))
-      def band(c: String) = keys
-        .select(col("vec_id").as("a_vec_id"), col(c).as("bk"))
-        .join(keys.select(col("vec_id").as("b_vec_id"), col(c).as("bk")), "bk")
+      // First-collision emission (the minhashLshPairs discipline): each
+      // row carries BOTH band keys flat, the self-join runs on the
+      // exploded (band_idx, bkey), and a pair colliding in both bands is
+      // emitted only from band 0 — candidates unique BY CONSTRUCTION, no
+      // post-join distinct shuffle, and the signature subtree is
+      // referenced twice (join sides) instead of four times.
+      val bands = keys.select(col("vec_id"), col("k0"),
+        posexplode(array(col("k0"), col("k1"))).as(Seq("band_idx", "bkey")))
+      def side(p: String) = bands.select(col("vec_id").as(s"${p}_vec_id"),
+        col("k0").as(s"${p}_k0"), col("band_idx"), col("bkey"))
+      val cand = side("a").join(side("b"), Seq("band_idx", "bkey"))
         .filter(col("a_vec_id") < col("b_vec_id"))
+        .filter(col("band_idx") === 0 || col("a_k0") =!= col("b_k0"))
         .select("a_vec_id", "b_vec_id")
-      // A pair colliding in both bands would duplicate: distinct over the
-      // union (candidate volume, not corpus volume; the minhash
-      // first-collision trick applies here too if bands grow).
-      val cand = band("k0").union(band("k1")).distinct()
       val va = v.select(col("vec_id").as("a_vec_id"),
         col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
       val vb = v.select(col("vec_id").as("b_vec_id"),
