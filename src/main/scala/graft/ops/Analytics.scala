@@ -542,8 +542,49 @@ object Analytics extends OpGroup {
     Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM p), s AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b), d AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day), w AS (SELECT s.day, COUNT(DISTINCT p.user_id) AS wau FROM s JOIN p ON p.day BETWEEN s.day - 6 AND s.day GROUP BY s.day), m AS (SELECT s.day, COUNT(DISTINCT p.user_id) AS mau FROM s JOIN p ON p.day BETWEEN s.day - 29 AND s.day GROUP BY s.day) SELECT s.day AS day, COALESCE(d.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau, COALESCE(m.mau, 0) AS mau FROM s LEFT JOIN d ON d.day = s.day LEFT JOIN w ON w.day = s.day LEFT JOIN m ON m.day = s.day ORDER BY s.day"""),
   )
 
+  /** Classical seasonal decomposition of the daily series per event type
+    * (r9): additive y = trend + seasonal + residual, with trend a
+    * CENTERED 7-day moving average (null on the 3-day edges — an
+    * incomplete centered window is biased, so it is withheld rather
+    * than faked), seasonal the per-day-of-week mean of the detrended
+    * series, and the residual what neither explains — the decomposition
+    * every weekly-cycled ops metric goes through before anomaly logic
+    * (the win_anomaly_zscore / win_hampel_filter screens run better on
+    * the residual than the raw series). All window math over the
+    * aggregated daily relation; trend is an exact-decimal frame sum
+    * divided once, detrended values are rounded then decimal-summed
+    * into the seasonal means (parity rulebook).
+    */
+  private val seasonalDecompose = Op(
+    "ts_seasonal_decompose",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("y", col("ydec").cast("double"))
+        .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+          sum(col("ydec")).over(w7).cast("double") / lit(7.0)))
+        .withColumn("dow", dayofweek(col("day")))
+      val seasonal = t.filter(col("trend").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg(r6(sum(dec(r6(col("y") - col("trend")))).cast("double") /
+          count(lit(1))).as("seasonal"))
+      t.join(seasonal, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("day"), col("y").as("daily_value"),
+          r6(col("trend")).as("trend7"), col("seasonal"),
+          when(col("trend").isNotNull,
+            r6(col("y") - col("trend") - col("seasonal"))).as("residual"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), t AS (SELECT event_type, day, y, CASE WHEN COUNT(*) OVER w7 = 7 THEN CAST(SUM(ydec) OVER w7 AS DOUBLE) / 7 ELSE NULL END AS trend, dayofweek(day) + 1 AS dow FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), s AS (SELECT event_type, dow, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + y - trend, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS seasonal FROM t WHERE trend IS NOT NULL GROUP BY 1, 2) SELECT t.event_type, t.day, t.y AS daily_value, ROUND(1e-9 + t.trend, 6) AS trend7, s.seasonal, CASE WHEN t.trend IS NOT NULL THEN ROUND(1e-9 + t.y - t.trend - s.seasonal, 6) ELSE NULL END AS residual FROM t LEFT JOIN s ON s.event_type = t.event_type AND s.dow = t.dow ORDER BY t.event_type, t.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
-    attributionTouch, activeUsersRolling)
+    attributionTouch, activeUsersRolling, seasonalDecompose)
 }

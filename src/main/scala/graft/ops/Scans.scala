@@ -410,7 +410,48 @@ object Scans extends OpGroup {
     Some("""SELECT CAST(length(text) // 100 * 100 AS BIGINT) AS len_bucket, COUNT(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY len_bucket"""),
   )
 
+  /** JSONL (newline-delimited JSON) source round-trip (r9) — the sixth
+    * file format and THE interchange format LLM corpora actually ship in
+    * (one JSON object per line): snapshot documents as JSONL via
+    * to_json(struct(..)) (fingerprint-cached), read back through the
+    * native `spark.read.json` source with an EXPLICIT schema (file
+    * sources at scale never infer — inference is a full extra pass), and
+    * profile per language, summing both the carried n_chars and the
+    * re-measured length(text) so the oracle (the same profile over the
+    * source parquet) proves the string payload survived JSON escaping
+    * byte-for-byte. The line-oriented container splits across and
+    * within files, so the source parallelizes natively at 100 TB.
+    */
+  private val jsonlRoundtrip = Op(
+    "src_jsonl_roundtrip",
+    (s, sf) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.Tables.cachedDir("/tmp/graft_jsonl",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "documents")) + "/documents"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.documents(s, sf)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_n_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"),
+          countDistinct("doc_id").as("n_distinct_ids"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, COUNT(DISTINCT doc_id) AS n_distinct_ids FROM documents GROUP BY lang ORDER BY lang"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
-    dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout, textLines)
+    dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout, textLines,
+    jsonlRoundtrip)
 }

@@ -167,5 +167,46 @@ object Sketches extends OpGroup {
     None,
   )
 
-  val ops: Seq[Op] = Seq(heavyHitters, hllMergeRollup, cmsHeavy)
+  /** Approximate AUDIENCE-OVERLAP via HLL inclusion-exclusion (r9):
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), per week, A = viewers and
+    * B = purchasers. HLL sketches cannot intersect directly, but the
+    * union IS a sketch merge, so the overlap falls out of three
+    * estimates computed in ONE pass over the filtered fact table (the
+    * A/B sketches via conditional inputs, the union over all) —
+    * where the exact plan (`agg_user_overlap_weeks`' shape) carries a
+    * per-user distinct shuffle, this carries three constant-size
+    * sketches per group, the mergeable-rollup property the HLL family
+    * exists for. Exact intersection rides along as an audit column
+    * (one extra distinct agg, fixture-affordable). Estimates are
+    * engine-specific by construction → no oracle; SketchSpec bounds
+    * the inclusion-exclusion error against the exact counts.
+    */
+  private val hllIntersection = Op(
+    "agg_hll_intersection",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"), col("user_id"))
+      val isA = col("event_type") === "view"
+      val isB = col("event_type") === "purchase"
+      val sk = ev.groupBy("week").agg(
+        hll_sketch_estimate(hll_sketch_agg(when(isA, col("user_id")), lit(12))).as("est_view"),
+        hll_sketch_estimate(hll_sketch_agg(when(isB, col("user_id")), lit(12))).as("est_purchase"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_union"))
+      val exact = ev.groupBy("week", "user_id")
+        .agg(max(when(isA, 1).otherwise(0)).as("a"), max(when(isB, 1).otherwise(0)).as("b"))
+        .groupBy("week")
+        .agg(sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("exact_both"))
+      sk.join(exact, "week")
+        .select(col("week"), col("est_view"), col("est_purchase"), col("est_union"),
+          greatest(lit(0L), col("est_view") + col("est_purchase") - col("est_union"))
+            .as("est_both"),
+          col("exact_both"))
+        .orderBy("week")
+    },
+    None,
+  )
+
+  val ops: Seq[Op] = Seq(heavyHitters, hllMergeRollup, cmsHeavy, hllIntersection)
 }

@@ -743,7 +743,105 @@ object Vectors extends OpGroup {
     Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings) SELECT c.a_vec_id, c.b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id ORDER BY c.a_vec_id, c.b_vec_id"""),
   )
 
+  /** Top principal component of the embedding corpus (r9) — the
+    * whitening / dominant-direction-removal primitive (Mu & Viswanath
+    * 2018's all-but-the-top post-processing starts exactly here). The
+    * textbook two-level distributed PCA: the corpus-scale pass is ONE
+    * mapPartitions accumulating per-partition moments — count, sum
+    * vector, and the d(d+1)/2 upper-triangular Gram — so the shuffle
+    * carries P × O(d²) doubles, never the vectors; the driver combines
+    * the partials (dimension-bounded, the legitimate-collect class:
+    * O(partitions · d²) regardless of corpus size), forms the
+    * covariance C = E[xxᵀ] − μμᵀ, and runs 100 deterministic power
+    * iterations from the fixed 1/√d start. Sign is canonicalized (the
+    * largest-|loading| coordinate is made positive) so the component is
+    * unique. No oracle — an iterative eigensolver isn't one portable
+    * SQL statement; PcaSpec asserts the eigenpair residual
+    * ‖Cv − λv‖ ≤ 1e-9·λ, unit norm, the Rayleigh-dominance property
+    * against random probes, and determinism.
+    */
+  private val pcaTopComponent = Op(
+    "vec_pca_top_component",
+    (s, sf) => {
+      import s.implicits._
+      val d = 64
+      val vecs = Tables.spread(s, Tables.embeddings(s, sf))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val partials = vecs.mapPartitions { it =>
+        val sumv = new Array[Double](d)
+        val gram = new Array[Double](d * (d + 1) / 2)
+        var n = 0L
+        it.foreach { case (_, e) =>
+          n += 1
+          var i = 0
+          while (i < d) {
+            val xi = e(i).toDouble
+            sumv(i) += xi
+            val base = i * (i + 1) / 2
+            var j = 0
+            while (j <= i) { gram(base + j) += xi * e(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator((n, sumv, gram))
+      }.collect() // P rows × O(d²) — partition-count bounded, not corpus
+      val n = partials.map(_._1).sum.toDouble
+      val mu = new Array[Double](d)
+      val cov = Array.ofDim[Double](d, d)
+      partials.foreach { case (_, sv, _) => (0 until d).foreach(i => mu(i) += sv(i)) }
+      (0 until d).foreach(i => mu(i) /= n)
+      partials.foreach { case (_, _, g) =>
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j <= i) { cov(i)(j) += g(i * (i + 1) / 2 + j); j += 1 }
+          i += 1
+        }
+      }
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j <= i) {
+          val c = cov(i)(j) / n - mu(i) * mu(j)
+          cov(i)(j) = c; cov(j)(i) = c
+          j += 1
+        }
+        i += 1
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      (1 to 100).foreach { _ =>
+        val av = Array.tabulate(d)(r => (0 until d).map(c => cov(r)(c) * v(c)).sum)
+        val nrm = math.sqrt(av.map(x => x * x).sum)
+        v = av.map(_ / nrm)
+        lambda = nrm
+      }
+      val flip = if (v.maxBy(math.abs) < 0) -1.0 else 1.0
+      val trace = (0 until d).map(k => cov(k)(k)).sum
+      val rows = (0 until d).map { k =>
+        (k, math.rint((flip * v(k)) * 1e6) / 1e6,
+          math.rint(lambda * 1e6) / 1e6, math.rint(lambda / trace * 1e6) / 1e6)
+      }
+      rows.toDF("dim", "loading", "eigenvalue", "var_share").orderBy("dim")
+    },
+    None,
+  )
+
+  /** Driver-side covariance/eigenpair replica for PcaSpec (same moments,
+    * brute force over a collected corpus — spec-only scale).
+    */
+  private[graft] def covarianceOf(vectors: Seq[Array[Float]]): Array[Array[Double]] = {
+    val d = vectors.head.length
+    val n = vectors.size.toDouble
+    val mu = new Array[Double](d)
+    vectors.foreach(e => (0 until d).foreach(i => mu(i) += e(i)))
+    (0 until d).foreach(i => mu(i) /= n)
+    Array.tabulate(d, d) { (i, j) =>
+      vectors.map(e => e(i).toDouble * e(j)).sum / n - mu(i) * mu(j)
+    }
+  }
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
-    srpLshPairs)
+    srpLshPairs, pcaTopComponent)
 }

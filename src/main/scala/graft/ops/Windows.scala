@@ -349,8 +349,44 @@ object Windows extends OpGroup {
     Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS dv FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, CAST(dv AS DOUBLE) AS daily_value, list_sort(list(dv) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM d) SELECT event_type, day, daily_value, ROUND(1e-9 + (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2, 6) AS med7 FROM w ORDER BY event_type, day"""),
   )
 
+  /** Hampel filter (r9) — the ROBUST rolling outlier flag completing the
+    * trio: win_anomaly_zscore is parametric (mean/std, one outlier
+    * inflates its own threshold), stats_iqr_outliers is global; Hampel
+    * is local AND robust (median / MAD of the trailing 7-day frame, so a
+    * spike can't mask itself). Same constant-bounded frame-collect as
+    * [[rollingMedian]]: the ≤7-element sorted frame yields the median,
+    * one HOF pass yields |xᵢ−med|, a second sort yields the MAD — all
+    * O(7) per row of the AGGREGATED daily series. The flag compares raw
+    * doubles (identical expressions both engines); 1.4826 is the
+    * gaussian-consistency constant (MAD → σ̂).
+    */
+  private val hampelFilter = Op(
+    "win_hampel_filter",
+    (s, sf) => {
+      val daily = graft.Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("dv"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("dv")).over(w)))
+        .withColumn("y", col("dv").cast("double"))
+        .withColumn("med",
+          (element_at(col("arr"), expr("cast((size(arr) + 1) div 2 as int)")).cast("double") +
+            element_at(col("arr"), expr("cast((size(arr) + 2) div 2 as int)")).cast("double")) / lit(2.0))
+        .withColumn("dev", expr("array_sort(transform(arr, v -> abs(cast(v as double) - med)))"))
+        .withColumn("mad",
+          (element_at(col("dev"), expr("cast((size(dev) + 1) div 2 as int)")) +
+            element_at(col("dev"), expr("cast((size(dev) + 2) div 2 as int)"))) / lit(2.0))
+        .select(col("event_type"), col("day"), col("y").as("daily_value"),
+          r6(col("med")).as("med7"), r6(col("mad")).as("mad7"),
+          (abs(col("y") - col("med")) > lit(3.0) * lit(1.4826) * col("mad")).as("is_outlier"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS dv FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, CAST(dv AS DOUBLE) AS y, list_sort(list(dv) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM d), m AS (SELECT event_type, day, y, (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2 AS med, list_sort(list_transform(arr, v -> ABS(CAST(v AS DOUBLE) - (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2))) AS dev FROM w) SELECT event_type, day, y AS daily_value, ROUND(1e-9 + med, 6) AS med7, ROUND(1e-9 + (dev[(len(dev)+1)//2] + dev[(len(dev)+2)//2]) / 2, 6) AS mad7, ABS(y - med) > 3 * 1.4826 * ((dev[(len(dev)+1)//2] + dev[(len(dev)+2)//2]) / 2) AS is_outlier FROM m ORDER BY event_type, day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
-    rollingMedian)
+    rollingMedian, hampelFilter)
 }

@@ -82,4 +82,18 @@ class SketchSpec extends SparkSpec {
     val b = SparkEntry.queries("agg_cms_heavy")(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("agg_hll_intersection: inclusion-exclusion estimate tracks the exact overlap") {
+    val rows = SparkEntry.queries("agg_hll_intersection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eu, est, exact) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      // lgK=12 → ~1.6% rse per term; three terms compound. Bound the
+      // compounded error against the union magnitude, floored for the
+      // tiny-cardinality regime where HLL is exact anyway.
+      assert(math.abs(est - exact) <= math.max(3.0, 0.10 * eu),
+        s"week ${r.get(0)}: est $est vs exact $exact (union $eu)")
+      assert(est >= 0.0)
+    }
+  }
 }
