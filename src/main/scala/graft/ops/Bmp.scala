@@ -68,20 +68,23 @@ object Bmp {
   /** gw×gh grid of block-mean BT.601 lumas (row-major): cell (gx, gy)
     * averages the pixel block [gx·w/gw, (gx+1)·w/gw) × [gy·h/gh,
     * (gy+1)·h/gh) — the integer-bound downsample perceptual hashes are
-    * built on. Requires w ≥ gw and h ≥ gh (every cell non-empty), which
-    * [[synthesize]] guarantees (min dimension 8) and real thumbnails
-    * satisfy by construction.
+    * built on. When the image is narrower than the grid (dHash uses a
+    * 9-wide grid and [[synthesize]] only guarantees dimension ≥ 8, and
+    * real decoded thumbnails can be arbitrarily small) the integer
+    * bounds collapse to an empty block; each cell therefore clamps to
+    * at least one pixel (adjacent cells then overlap — a defined,
+    * deterministic downsample, never a 0/0 NaN hash).
     */
   private[graft] def blockLuma(img: Image, gw: Int, gh: Int): Array[Double] = {
     val out = new Array[Double](gw * gh)
     var gy = 0
     while (gy < gh) {
-      val y0 = gy * img.height / gh
-      val y1 = (gy + 1) * img.height / gh
+      val y0 = math.min(gy * img.height / gh, img.height - 1)
+      val y1 = math.max((gy + 1) * img.height / gh, y0 + 1)
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * img.width / gw
-        val x1 = (gx + 1) * img.width / gw
+        val x0 = math.min(gx * img.width / gw, img.width - 1)
+        val x1 = math.max((gx + 1) * img.width / gw, x0 + 1)
         var s = 0.0
         var y = y0
         while (y < y1) {

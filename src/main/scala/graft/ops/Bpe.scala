@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * persist/unpersist handoff, so iteration k never recomputes 1..k-1.
   *
   * Determinism: counts are exact longs and the argmax tie-break is
-  * explicit (count desc, then (left, right) lexicographic), so the merge
-  * table is a pure function of the corpus. No oracle — K chained
+  * explicit — count desc, then (left, right) in UTF-8 BYTE order
+  * (Spark's native string ordering; stated precisely because UTF-16
+  * `compareTo` disagrees for supplementary-plane symbols, and the
+  * reference trainer in BpeSpec compares the same way). No oracle — K
+  * chained
   * tokenization states are not expressible as one portable SQL
   * statement; BpeSpec re-derives the table with an independent
   * in-memory reference trainer and checks the round-trip invariant.

@@ -85,14 +85,21 @@ object Drift extends OpGroup {
         .crossJoin(tot)
         .withColumn("p", r6((col("n_ref") + lit(0.5)) / (col("tr") + lit(5.0))))
         .withColumn("q", r6((col("n_cur") + lit(0.5)) / (col("tc") + lit(5.0))))
-        .withColumn("psi_contrib", r6((col("p") - col("q")) * log(r6(col("p") / col("q")))))
+        // greatest(·, 1e-6): the ratio is rounded to 6 decimals, so its
+        // smallest positive value IS 1e-6 — a ratio that rounds to 0
+        // (possible once tr ≥ ~1e6: p ≈ 0.5/tr underflows the rounding)
+        // clamps to it instead of feeding ln(0) → NULL (Spark) /
+        // -inf (DuckDB), which would silently drop the bin from the
+        // decimal total. Bounded error on an already-saturated bin.
+        .withColumn("psi_contrib", r6((col("p") - col("q")) *
+          log(greatest(r6(col("p") / col("q")), lit(1e-6)))))
       filled
         .withColumn("psi_total",
           sum(dec(col("psi_contrib"))).over(Window.partitionBy()).cast("double"))
         .select("bin", "n_ref", "n_cur", "psi_contrib", "psi_total")
         .orderBy("bin")
     },
-    Some("""WITH e AS (SELECT value, ts < TIMESTAMP '2024-01-08' AS is_ref, ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' AS is_cur FROM events), edges AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM e WHERE is_ref), b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - mn) * 10.0 / (mx - mn)) AS INT))) AS bin, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref, SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur FROM e, edges WHERE is_ref OR is_cur GROUP BY 1), t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM b), f AS (SELECT s.bin, CAST(COALESCE(b.n_ref, 0) AS BIGINT) AS n_ref, CAST(COALESCE(b.n_cur, 0) AS BIGINT) AS n_cur FROM (SELECT unnest(generate_series(0, 9)) AS bin) s LEFT JOIN b ON b.bin = s.bin), c AS (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (p - q) * ln(ROUND(1e-9 + p / q, 6)), 6) AS psi_contrib FROM (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (n_ref + 0.5) / (tr + 5.0), 6) AS p, ROUND(1e-9 + (n_cur + 0.5) / (tc + 5.0), 6) AS q FROM f, t) z) SELECT bin, n_ref, n_cur, psi_contrib, CAST(SUM(CAST(psi_contrib AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS psi_total FROM c ORDER BY bin"""),
+    Some("""WITH e AS (SELECT value, ts < TIMESTAMP '2024-01-08' AS is_ref, ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' AS is_cur FROM events), edges AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM e WHERE is_ref), b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - mn) * 10.0 / (mx - mn)) AS INT))) AS bin, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref, SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur FROM e, edges WHERE is_ref OR is_cur GROUP BY 1), t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM b), f AS (SELECT s.bin, CAST(COALESCE(b.n_ref, 0) AS BIGINT) AS n_ref, CAST(COALESCE(b.n_cur, 0) AS BIGINT) AS n_cur FROM (SELECT unnest(generate_series(0, 9)) AS bin) s LEFT JOIN b ON b.bin = s.bin), c AS (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (p - q) * ln(GREATEST(ROUND(1e-9 + p / q, 6), 1e-6)), 6) AS psi_contrib FROM (SELECT bin, n_ref, n_cur, ROUND(1e-9 + (n_ref + 0.5) / (tr + 5.0), 6) AS p, ROUND(1e-9 + (n_cur + 0.5) / (tc + 5.0), 6) AS q FROM f, t) z) SELECT bin, n_ref, n_cur, psi_contrib, CAST(SUM(CAST(psi_contrib AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS psi_total FROM c ORDER BY bin"""),
   )
 
   /** Chi-square test of independence, event_type × day-of-week: is the

@@ -359,7 +359,7 @@ object Multimodal extends OpGroup {
     "mm_phash_hamming",
     (s, sf) => {
       import s.implicits._
-      val hashes = Tables.documents(s, sf)
+      val hashesPlan = Tables.documents(s, sf)
         .filter(col("doc_id") % 3 === 2)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
@@ -370,6 +370,12 @@ object Multimodal extends OpGroup {
             }
           }
         }.toDF("doc_id", "ahash", "dhash")
+      // The hash catalog is consumed three times (two band-join sides +
+      // the final degree join); without a pin every reference re-decodes
+      // every image. Eager RDD pin + free, clusterCc hygiene.
+      val hashesRdd = hashesPlan.rdd
+      hashesRdd.persist(); hashesRdd.count(): Unit
+      val hashes = s.createDataFrame(hashesRdd, hashesPlan.schema)
       val bands = hashes.select(col("doc_id"), col("ahash"),
         explode(array((0 until 4).map(i => struct(lit(i).as("b"),
           shiftright(col("ahash"), i * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("bd"))
@@ -383,12 +389,16 @@ object Multimodal extends OpGroup {
         .filter(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= 3)
       val deg = near.select(explode(array(col("a_doc"), col("b_doc"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-      hashes.join(deg, Seq("doc_id"), "left")
+      val out = hashes.join(deg, Seq("doc_id"), "left")
         .select(col("doc_id"),
           lpad(hex(col("ahash")), 16, "0").as("ahash_hex"),
           lpad(hex(col("dhash")), 16, "0").as("dhash_hex"),
           coalesce(col("n_near"), lit(0L)).as("n_near"))
-        .orderBy("doc_id")
+      val outRdd = out.rdd
+      outRdd.persist(); outRdd.count(): Unit
+      val pinned = s.createDataFrame(outRdd, out.schema)
+      hashesRdd.unpersist(false)
+      pinned.orderBy("doc_id")
     },
     None,
   )

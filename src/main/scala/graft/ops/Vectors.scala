@@ -703,7 +703,10 @@ object Vectors extends OpGroup {
       val v = normed(s, sf)
       val e = v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
         .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
-      val planes = v.agg(count(lit(1)).as("one"))
+      // Constant relation seeded from range(1) (the pqAdcFixed pattern)
+      // — deriving it from an aggregate of the corpus would cost a full
+      // discarded scan just to obtain one row.
+      val planes = s.range(1)
         .select(explode(sequence(lit(0), lit(15))).as("j"))
         .select(col("j"), explode(sequence(lit(0), lit(63))).as("d"))
         .withColumn("h",

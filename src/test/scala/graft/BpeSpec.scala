@@ -10,12 +10,27 @@ class BpeSpec extends SparkSpec {
 
   /** Straight-line reference trainer (Sennrich alg. 1): greedy argmax
     * over adjacent-pair counts weighted by word freq, same tie-break
-    * (count desc, pair lexicographic).
+    * (count desc, pair in UTF-8 BYTE order — the op's documented
+    * ordering; Java's UTF-16 compareTo would disagree for
+    * supplementary-plane symbols).
     */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(x, y) < 0
+  }
+
   private def referenceBpe(vocab: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
     var state: Map[String, (Long, Seq[String])] =
       vocab.map { case (w, f) => w -> (f, Bpe.initSyms(w)) }
     val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    val pairOrd: Ordering[((String, String), Long)] = (a, b) => {
+      val c = java.lang.Long.compare(b._2, a._2) // count desc
+      if (c != 0) c
+      else if (a._1._1 != b._1._1) { if (utf8Lt(a._1._1, b._1._1)) -1 else 1 }
+      else if (a._1._2 == b._1._2) 0
+      else if (utf8Lt(a._1._2, b._1._2)) -1 else 1
+    }
     var i = 0
     var done = false
     while (i < k && !done) {
@@ -27,7 +42,7 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.toSeq.min(pairOrd)
         out += ((l, r, c))
         state = state.map { case (w, (f, syms)) => w -> (f, Bpe.mergePair(syms, l, r)) }
         i += 1

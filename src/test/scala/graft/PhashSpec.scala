@@ -63,6 +63,17 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("images narrower than the 9-wide dHash grid still hash (clamped cells, no NaN)") {
+    // width 8 < gw 9: the unclamped integer bounds would make cell
+    // (0, y) empty and poison the grid with 0/0.
+    val w = 8; val h = 8
+    val px = Array.tabulate(w * h)(i => ((i * 40503) & 0xffffff).toInt)
+    val im = Bmp.Image(w, h, px)
+    val cells = Bmp.blockLuma(im, 9, 8)
+    assert(cells.forall(c => !c.isNaN && c >= 0 && c <= 255.0001))
+    assert(Bmp.dHash(im) == Bmp.dHash(im)) // defined + deterministic
+  }
+
   test("block-mean grid averages the full image (mean of cells ~ mean luma on exact grids)") {
     // On images whose dimensions divide 8 evenly every cell has equal
     // area, so the cell-mean average equals the global mean luma.
