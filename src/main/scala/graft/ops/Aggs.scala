@@ -551,9 +551,47 @@ object Aggs extends OpGroup {
     Some("""WITH rev AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY o_custkey), rk AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS rk FROM rev), a AS (SELECT COUNT(*) AS n, SUM(rev) AS srev, SUM(rk * rev) AS swrev FROM rk) SELECT n AS n_customers, ROUND(1e-9 + CAST(srev AS DOUBLE), 6) AS total_rev, ROUND(1e-9 + (2.0 * CAST(swrev AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(srev AS DOUBLE)) / NULLIF(CAST(n AS DOUBLE) * CAST(srev AS DOUBLE), 0), 6) AS gini FROM a"""),
   )
 
+  /** Exact WEIGHTED median (r9c) — the quantity-weighted price midpoint
+    * per return flag: the robust "typical traded price" where
+    * `percentile_exact` treats every row equally and a unit-weight
+    * median would let many small lots outvote one big one. Lower
+    * weighted median convention: the smallest price whose cumulative
+    * weight reaches half the total. Everything is exact arithmetic —
+    * weights are decimal-summed per distinct price (one hash agg of the
+    * fact table), the running and total sums are decimal windows over
+    * the price-NDV-bounded relation, and the 2·cum ≥ tot threshold row
+    * is picked by a rank — so no float order can move the midpoint.
+    * Scale shape: linear agg + windows over the aggregated relation
+    * (price NDV-bounded; coarsen the price grid if NDV ever rivals the
+    * fact table, as with the KS bucketing).
+    */
+  private val weightedMedian = Op(
+    "agg_weighted_median",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Tables.lineitem(s, sf)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+        .agg(sum(dec(col("l_quantity"))).as("w"))
+      val wRun = Window.partitionBy("l_returnflag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      byPrice
+        .withColumn("cum", sum(col("w")).over(wRun))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .filter(col("cum") * 2 >= col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("price")))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("price").as("weighted_median"),
+          col("tot").cast("double").as("total_weight"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH bp AS (SELECT l_returnflag, l_extendedprice AS price, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w FROM lineitem GROUP BY 1, 2), c AS (SELECT l_returnflag, price, SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM bp) SELECT l_returnflag, price AS weighted_median, CAST(tot AS DOUBLE) AS total_weight FROM c WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price) = 1 ORDER BY l_returnflag"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
-    benfordDigits, giniCoefficient)
+    benfordDigits, giniCoefficient, weightedMedian)
 }

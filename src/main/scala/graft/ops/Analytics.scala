@@ -583,8 +583,89 @@ object Analytics extends OpGroup {
     Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), t AS (SELECT event_type, day, y, CASE WHEN COUNT(*) OVER w7 = 7 THEN CAST(SUM(ydec) OVER w7 AS DOUBLE) / 7 ELSE NULL END AS trend, dayofweek(day) + 1 AS dow FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), s AS (SELECT event_type, dow, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + y - trend, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS seasonal FROM t WHERE trend IS NOT NULL GROUP BY 1, 2) SELECT t.event_type, t.day, t.y AS daily_value, ROUND(1e-9 + t.trend, 6) AS trend7, s.seasonal, CASE WHEN t.trend IS NOT NULL THEN ROUND(1e-9 + t.y - t.trend - s.seasonal, 6) ELSE NULL END AS residual FROM t LEFT JOIN s ON s.event_type = t.event_type AND s.dow = t.dow ORDER BY t.event_type, t.day"""),
   )
 
+  /** Autocorrelation function of the daily revenue series per event type
+    * (r9c), lags 1–7: the weekly-cycle detector that motivates
+    * [[seasonalDecompose]]'s period choice (a peak at lag 7 says "weekly
+    * seasonality", decay shape says how much smoothing EWMA needs).
+    * ACF(k) = Σ d_t·d_{t+k} / Σ d_t² with d the mean-centered series —
+    * the expensive pass is the one linear daily agg of events; the ACF
+    * itself is a self-join of the ~30-row-per-type aggregated series on
+    * the day INDEX (calendar datediff from the type's first day, so a
+    * missing day shifts no lag), work O(|series|·7) per type. Parity:
+    * daily values are exact decimal sums; the mean is rounded once,
+    * deviations and their products rounded then decimal-summed
+    * (rulebook §7.3); the denominator uses the full series (the
+    * standard biased-ACF normalization, so ACF(0) ≡ 1 and estimates
+    * shrink with lag rather than exploding on short series).
+    */
+  private val autocorrLags = Op(
+    "ts_autocorr_lags",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+      val idxd = daily
+        .withColumn("idx", datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("event_type"))))
+        .withColumn("y", col("ydec").cast("double"))
+      val mean = idxd.groupBy("event_type")
+        .agg(r6(sum(col("ydec")).cast("double") / count(lit(1))).as("mean"))
+      val d = idxd.join(mean, "event_type")
+        .select(col("event_type"), col("idx"), r6(col("y") - col("mean")).as("d"))
+      val den = d.groupBy("event_type")
+        .agg(sum(dec(r6(col("d") * col("d")))).as("den"))
+      d.as("a")
+        .join(d.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("b.idx") > col("a.idx") && col("b.idx") <= col("a.idx") + 7)
+        .select(col("a.event_type").as("event_type"),
+          (col("b.idx") - col("a.idx")).as("lag"),
+          r6(col("a.d") * col("b.d")).as("prod"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(dec(col("prod"))).as("num"))
+        .join(den, "event_type")
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          r6(col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS idx, CAST(ydec AS DOUBLE) AS y FROM daily), m AS (SELECT event_type, ROUND(1e-9 + CAST(SUM(ydec) AS DOUBLE) / COUNT(*), 6) AS mean FROM daily GROUP BY 1), d AS (SELECT i.event_type, idx, ROUND(1e-9 + y - mean, 6) AS d FROM i JOIN m ON m.event_type = i.event_type), den AS (SELECT event_type, SUM(CAST(ROUND(1e-9 + d * d, 6) AS DECIMAL(18,6))) AS den FROM d GROUP BY 1), num AS (SELECT a.event_type, b.idx - a.idx AS lag, COUNT(*) AS n_pairs, SUM(CAST(ROUND(1e-9 + a.d * b.d, 6) AS DECIMAL(18,6))) AS num FROM d a JOIN d b ON b.event_type = a.event_type AND b.idx > a.idx AND b.idx <= a.idx + 7 GROUP BY 1, 2) SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs, ROUND(1e-9 + CAST(n.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf FROM num n JOIN den ON den.event_type = n.event_type ORDER BY n.event_type, lag"""),
+  )
+
+  /** New-vs-returning daily actives (r9c) — the growth-accounting split
+    * every product dashboard leads with, and the acquisition-side
+    * complement of [[retentionCohort]] (which follows a cohort forward;
+    * this classifies each day's actives backward). The fact table is
+    * read ONCE into the distinct (user, day) relation; each user's
+    * first-ever day is one hash-agg of that relation, joined back so a
+    * day's actives split into first-timers and returners; the running
+    * sum of first-timers doubles as the cumulative-registered-users
+    * curve. All integer counts — parity is free. Scale shape: linear
+    * distinct + linear agg; the window runs over the ≤|days| relation.
+    */
+  private val newVsReturning = Op(
+    "analytics_new_returning",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.events(s, sf)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = pairs.groupBy("user_id").agg(min("day").as("first_day"))
+      pairs.join(first, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("first_day") === col("day"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), f AS (SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY 1), d AS (SELECT day, COUNT(*) AS n_active, SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS n_new FROM pairs JOIN f USING (user_id) GROUP BY day) SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new, CAST(n_active - n_new AS BIGINT) AS n_returning, CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM d ORDER BY day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
-    attributionTouch, activeUsersRolling, seasonalDecompose)
+    attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
+    newVsReturning)
 }

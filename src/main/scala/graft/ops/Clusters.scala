@@ -463,6 +463,102 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym), v1 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l0 l ON l.node = s.u GROUP BY 1, 2), l1 AS (SELECT node, label FROM v1 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v2 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l1 l ON l.node = s.u GROUP BY 1, 2), l2 AS (SELECT node, label FROM v2 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v3 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l2 l ON l.node = s.u GROUP BY 1, 2), l3 AS (SELECT node, label FROM v3 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), cs AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY label) SELECT l3.node AS p_partkey, l3.label AS community, cs.community_size FROM l3 JOIN cs ON cs.label = l3.label ORDER BY p_partkey"""),
   )
 
+  /** NEIGHBOR-SET JACCARD similarity (r9c) over the co-purchase graph —
+    * the structural-similarity kernel (link prediction / "parts bought
+    * in the same baskets as yours" recommendations) completing the graph
+    * family: CC = connectivity, triangles = local density, PageRank =
+    * centrality, LPA = communities, this = pairwise role similarity.
+    * J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, computed ONLY for pairs
+    * that actually share ≥ 3 neighbors: the shared count comes from the
+    * same Σ deg² wedge self-join triangles uses (each common neighbor m
+    * emits the (a,b) pair once via m's adjacency rows, a < b by
+    * construction), so no all-pairs stage exists — the blocking is the
+    * graph itself. Union size by inclusion-exclusion from the degree
+    * relation (two broadcast-sized joins). At 100 TB the wedge join is
+    * the standard skew target: a celebrity node of degree d emits d²
+    * pairs, capped in production by the same high-degree-vertex split
+    * documented for triangles (docs/scale.md); the shared ≥ 3 support
+    * floor is the output-side guard that keeps the result ~|E|-scale
+    * (measured: 19k rows at sf0.01, 11k at sf0.1 vs 1.39M unfiltered).
+    * Jaccard itself is an exact rational rounded once (rulebook §7.3).
+    */
+  private val neighborJaccard = Op(
+    "graph_neighbor_jaccard",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.r6
+      val edges = copurchaseEdges(s, sf).persist()
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val shared = sym.as("s1").join(sym.as("s2"),
+          col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
+        .groupBy(col("s1.v").as("a"), col("s2.v").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+      val out = shared
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+        .select(col("a").as("u"), col("b").as("v"), col("shared"),
+          col("deg_a"), col("deg_b"),
+          r6(col("shared").cast("double") /
+            (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
+      // Result pin off the shared edge lineage, then free (clusterCc
+      // hygiene: only the result's blocks outlive the op).
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      edges.unpersist(false)
+      pinned.orderBy("u", "v")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT w.a AS u, w.b AS v, CAST(w.shared AS BIGINT) AS shared, CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b, ROUND(1e-9 + CAST(w.shared AS DOUBLE) / (da.deg + db.deg - w.shared), 6) AS jaccard FROM w JOIN deg da ON da.node = w.a JOIN deg db ON db.node = w.b ORDER BY u, v"""),
+  )
+
+  /** k-CORE PEELING (r9c, k = 3, 3 synchronous rounds) over the
+    * co-purchase graph — the degeneracy-ordering kernel that separates a
+    * graph's cohesive core from its tree-like fringe (the standard
+    * pre-filter before community/recommender logic, and the dedup-graph
+    * cleanup that drops "attached by one accidental edge" members).
+    * Each round removes every node whose CURRENT degree is < k and
+    * restricts the edge relation to survivors — per-round one hash agg
+    * of the shrinking edge list + two semi-join-shaped equi-joins
+    * against the bounded survivor set, the same O(edges)-per-iteration
+    * dataflow as the other iterative kernels. Rounds are pinned at 3
+    * (LPA's determinism convention — a fixpoint loop at scale runs the
+    * same rounds with a convergence check; 3 rounds reach the fixpoint
+    * on this graph's fringe depth). Output: every surviving node with
+    * its original degree and its degree inside the peeled subgraph —
+    * all integer, parity free.
+    */
+  private val kcorePeel = Op(
+    "graph_kcore_peel",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      val edges = copurchaseEdges(s, sf).persist()
+      val sym0 = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg0 = sym0.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree0"))
+      var sym = sym0
+      for (_ <- 1 to 3) {
+        val keep = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select("node")
+        sym = sym
+          .join(keep.select(col("node").as("u")), "u")
+          .join(keep.select(col("node").as("v")), "v")
+          .select("u", "v")
+      }
+      val out = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
+        .join(deg0, "node")
+        .select(col("node").as("p_partkey"), col("degree0"), col("core_degree"))
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      edges.unpersist(false)
+      pinned.orderBy("p_partkey")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), d0 AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1), k1 AS (SELECT node FROM d0 WHERE d >= 3), s1 AS (SELECT s.u, s.v FROM sym s JOIN k1 a ON a.node = s.u JOIN k1 b ON b.node = s.v), d1 AS (SELECT u AS node, COUNT(*) AS d FROM s1 GROUP BY 1), k2 AS (SELECT node FROM d1 WHERE d >= 3), s2 AS (SELECT s.u, s.v FROM s1 s JOIN k2 a ON a.node = s.u JOIN k2 b ON b.node = s.v), d2 AS (SELECT u AS node, COUNT(*) AS d FROM s2 GROUP BY 1), k3 AS (SELECT node FROM d2 WHERE d >= 3), s3 AS (SELECT s.u, s.v FROM s2 s JOIN k3 a ON a.node = s.u JOIN k3 b ON b.node = s.v), cd AS (SELECT u AS node, COUNT(*) AS d FROM s3 GROUP BY 1) SELECT cd.node AS p_partkey, CAST(d0.d AS BIGINT) AS degree0, CAST(cd.d AS BIGINT) AS core_degree FROM cd JOIN d0 ON d0.node = cd.node ORDER BY p_partkey"""),
+  )
+
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
-    labelPropagation)
+    labelPropagation, neighborJaccard, kcorePeel)
 }

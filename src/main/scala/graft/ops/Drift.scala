@@ -175,5 +175,42 @@ object Drift extends OpGroup {
     Some("""WITH g AS (SELECT value, SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS na, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS nb FROM events GROUP BY value), c AS (SELECT value, na, nb, CAST(COALESCE(SUM(na + nb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb, na + nb AS t FROM g), a AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2, CAST(SUM(na * (2 * cb + na + nb + 1)) AS BIGINT) AS r1x2, CAST(SUM(t * t * t - t) AS BIGINT) AS ties FROM c) SELECT n1 AS n_a, n2 AS n_b, CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat, ROUND(1e-9 + (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z_score FROM a"""),
   )
 
-  override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney)
+  /** Shannon entropy of the daily event-type mix (r9c) — the
+    * concentration screen next to the location (Mann-Whitney), shape
+    * (KS) and binned-share (PSI) tests: a day whose traffic collapses
+    * into one event type (entropy → 0) or spreads uniformly (entropy →
+    * ln k) is flagged without naming any type — the standard mix-shift
+    * monitor for ingestion pipelines. One linear hash-agg of events to
+    * the (day, type) contingency relation; shares, their logs and the
+    * per-day sums are window math over ≤|days|·|types| rows. Parity:
+    * shares rounded BEFORE ln (the PSI/charlm discipline — both engines
+    * feed libm the same double), contributions rounded then
+    * decimal-summed; the normalized column divides by ln(k) of the
+    * day's own type count, NULL for single-type days in both engines
+    * via the guarded divide.
+    */
+  private val entropyDaily = Op(
+    "stats_entropy_daily",
+    (s, sf) => {
+      val byType = Tables.events(s, sf)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val wDay = Window.partitionBy("day")
+      byType
+        .withColumn("tot", sum("cnt").over(wDay))
+        .withColumn("k", count(lit(1)).over(wDay))
+        .withColumn("p", r6(col("cnt").cast("double") / col("tot")))
+        .withColumn("contrib", r6(-col("p") * log(col("p"))))
+        .groupBy("day")
+        .agg(max("k").cast("long").as("n_types"), max("tot").as("n_events"),
+          sum(dec(col("contrib"))).cast("double").as("entropy"))
+        .withColumn("norm_entropy",
+          r6(col("entropy") / when(col("n_types") > 1, log(col("n_types").cast("double")))))
+        .orderBy("day")
+    },
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), x AS (SELECT day, cnt, SUM(cnt) OVER (PARTITION BY day) AS tot, COUNT(*) OVER (PARTITION BY day) AS k FROM c), y AS (SELECT day, k, tot, ROUND(1e-9 + -ROUND(1e-9 + cnt / CAST(tot AS DOUBLE), 6) * ln(ROUND(1e-9 + cnt / CAST(tot AS DOUBLE), 6)), 6) AS contrib FROM x), z AS (SELECT day, CAST(MAX(k) AS BIGINT) AS n_types, CAST(MAX(tot) AS BIGINT) AS n_events, CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS entropy FROM y GROUP BY day) SELECT day, n_types, n_events, entropy, ROUND(1e-9 + entropy / CASE WHEN n_types > 1 THEN ln(CAST(n_types AS DOUBLE)) END, 6) AS norm_entropy FROM z ORDER BY day"""),
+  )
+
+  override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
+    entropyDaily)
 }

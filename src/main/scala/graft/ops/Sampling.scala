@@ -249,6 +249,35 @@ object Sampling extends OpGroup {
     Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts), w AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n_total AS orig_share, CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) / n_total) + 1e-9, 6) AS DECIMAL(18,6)) AS sp FROM counts CROSS JOIN tot), norm AS (SELECT SUM(sp) AS sp_tot FROM w), t AS (SELECT lang, n_docs, orig_share, CAST(sp AS DOUBLE) / CAST(sp_tot AS DOUBLE) AS temp_weight, CAST(ROUND(CAST(sp AS DOUBLE) / CAST(sp_tot AS DOUBLE) * 400 + 1e-9, 0) AS INT) AS target_n FROM w CROSS JOIN norm), ranked AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id) AS INT) AS rk FROM documents), sampled AS (SELECT r.lang, COUNT(*) AS n_sampled FROM ranked r JOIN t ON t.lang = r.lang WHERE r.rk <= t.target_n GROUP BY r.lang) SELECT t.lang, t.n_docs, ROUND(1e-9 + t.orig_share, 6) AS orig_share, ROUND(1e-9 + t.temp_weight, 6) AS temp_weight, t.target_n, COALESCE(s.n_sampled, 0) AS n_sampled FROM t LEFT JOIN sampled s ON s.lang = t.lang ORDER BY t.lang"""),
   )
 
+  /** Balanced-class downsampling (r9c) — cap every language class at the
+    * SMALLEST class's size, the classifier-training counterpart of
+    * [[temperatureMixture]] (which reweights; this equalizes outright —
+    * the standard prep for a language-ID or quality-classifier training
+    * set whose majority class would otherwise drown the gradient).
+    * Selection is md5-rank per class (the family's determinism rule: a
+    * split must reproduce across runs AND engines, so never rand()),
+    * doc_id the total tiebreak; the floor count is one broadcast scalar.
+    * Scale shape: linear scan + per-class window (partitioned by class,
+    * parallel across classes; a single giant class would use the
+    * two-phase bounded-heap shape, as stratified documents).
+    */
+  private val balancedClasses = Op(
+    "sample_balanced_classes",
+    (s, sf) => {
+      val docs = Tables.documents(s, sf)
+      val floor = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("floor_n"))
+      docs.select(col("doc_id"), col("lang"), hash28(col("doc_id")).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))).cast("int"))
+        .crossJoin(broadcast(floor))
+        .filter(col("rk") <= col("floor_n"))
+        .select(col("doc_id"), col("lang"), col("rk"), col("floor_n"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT CAST(MIN(n) AS BIGINT) AS floor_n FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c), ranked AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id) AS INT) AS rk FROM documents) SELECT doc_id, lang, rk, floor_n FROM ranked CROSS JOIN f WHERE rk <= floor_n ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
-    curationPipeline, weightedHash, temperatureMixture)
+    curationPipeline, weightedHash, temperatureMixture, balancedClasses)
 }

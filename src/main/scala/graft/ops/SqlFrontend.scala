@@ -174,6 +174,69 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250) GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"""),
   )
 
+  /** TPC-H Q17 shape (small-quantity-order revenue, r9c): the correlated
+    * scalar AGGREGATE subquery against the SAME fact table the outer
+    * query scans — each lineitem row compares against its own part's
+    * average quantity. Catalyst decorrelates into one per-part aggregate
+    * joined back (RewriteCorrelatedScalarSubquery), never a per-row
+    * rescan; distinct from `sql_correlated_subquery` (orders-only, no
+    * dim filter) in that the correlation key arrives through a join with
+    * a filtered dimension. Parity: l_quantity is integer-valued, so
+    * SUM/COUNT are exact in double regardless of partial-agg order and
+    * AVG is the identical IEEE division both engines; the revenue sum is
+    * decimal-cast pre-SUM (rulebook §7.3), /7.0 and the round applied to
+    * the exact total.
+    */
+  private val tpchQ17 = Op(
+    "sql_tpch_q17",
+    (s, sf) => {
+      withViews(s, sf, "lineitem", "part")
+      s.sql("""
+        SELECT ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND l_quantity < 0.2 * (
+            SELECT AVG(l_quantity) FROM lineitem i WHERE i.l_partkey = p_partkey)
+      """)
+    },
+    Some("""SELECT ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly, COUNT(*) AS n_small FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#23' AND p_size < 15 AND l_quantity < 0.2 * (SELECT AVG(l_quantity) FROM lineitem i WHERE i.l_partkey = p_partkey)"""),
+  )
+
+  /** TPC-H Q22 shape (global-sales-opportunity, r9c): NOT EXISTS
+    * anti-join against the fact table COMBINED with uncorrelated scalar
+    * subqueries — rich customers (balance above the positive-balance
+    * average) with no order since 2000, rolled up per nation. Catalyst
+    * plans the NOT EXISTS as a LeftAnti against the date-filtered orders
+    * and the scalar pair as one-row broadcast joins — three subquery
+    * rewrites in one statement, none witnessed together elsewhere. The
+    * above-average predicate is the exact-decimal cross-multiplication
+    * (bal·n > Σbal, both DECIMAL — rulebook §7.3) so no float-summation
+    * order can flip a boundary customer between engines.
+    */
+  private val tpchQ22 = Op(
+    "sql_tpch_q22",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders")
+      s.sql("""
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) *
+              (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) >
+              (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """)
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal FROM customer c WHERE CAST(c_acctbal AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer WHERE c_acctbal > 0.0) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') GROUP BY c_nationkey ORDER BY c_nationkey"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
-    lateralTopn, tpchQ18)
+    lateralTopn, tpchQ18, tpchQ17, tpchQ22)
 }

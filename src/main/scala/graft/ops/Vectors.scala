@@ -844,7 +844,46 @@ object Vectors extends OpGroup {
     }
   }
 
+  /** MUTUAL k-NN GRAPH construction (r9c) — the edge list semantic-dedup
+    * clustering and manifold methods (UMAP-style) start from: an edge
+    * (u, v) exists iff v is in u's top-5 cosine neighbors AND u is in
+    * v's. Mutuality is the standard noise filter — a hub vector appears
+    * in thousands of top-k lists, but keeps only the neighbors it
+    * reciprocates, so the graph's degree is ≤ k everywhere and CC over
+    * it ([[graft.ops.Clusters.connectedComponents]]) yields tight
+    * semantic clusters rather than hub-collapsed blobs. Built from the
+    * same broadcast + [[graft.functions.VecTopK]] bounded-heap pipeline
+    * as [[cosineTopk]] (ranks on the raw double, rounds survivors), then
+    * one self-equi-join of the O(n·k) top-k relation on the reversed
+    * pair — never a second pair pass. cos(u,v) ≡ cos(v,u) exactly (the
+    * dot fold runs the identical index order), so emitting from the
+    * u < v side loses nothing. At 100 TB the top-k feeder swaps to the
+    * IVF/LSH-bucketed path (vec_ann_ivf) with the same downstream join.
+    */
+  private val knnGraph = Op(
+    "vec_knn_graph",
+    (s, sf) => {
+      val v = normed(s, sf)
+      val a = v.select(col("vec_id").as("a_vec_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = v.select(col("vec_id").as("b_vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val pairs = a.join(broadcast(b), col("a_vec_id") =!= col("b_vec_id"))
+        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+      val top = topkSelect(pairs, 5)
+      top.as("x").join(top.as("y"),
+          col("y.a_vec_id") === col("x.b_vec_id") &&
+            col("y.b_vec_id") === col("x.a_vec_id"))
+        .filter(col("x.a_vec_id") < col("x.b_vec_id"))
+        .select(col("x.a_vec_id").as("u"), col("x.b_vec_id").as("v"),
+          col("x.cos_sim").as("cos_sim"),
+          col("x.rk").as("rk_uv"), col("y.rk").as("rk_vu"))
+        .orderBy("u", "v")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id), t AS (SELECT a_vec_id, b_vec_id, sim, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY sim DESC, b_vec_id) AS INT) AS rk FROM p QUALIFY rk <= 5) SELECT x.a_vec_id AS u, x.b_vec_id AS v, ROUND(1e-9 + x.sim, 6) AS cos_sim, x.rk AS rk_uv, y.rk AS rk_vu FROM t x JOIN t y ON y.a_vec_id = x.b_vec_id AND y.b_vec_id = x.a_vec_id WHERE x.a_vec_id < x.b_vec_id ORDER BY u, v"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
-    srpLshPairs, pcaTopComponent)
+    srpLshPairs, pcaTopComponent, knnGraph)
 }
