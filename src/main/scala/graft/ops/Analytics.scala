@@ -663,9 +663,97 @@ object Analytics extends OpGroup {
     Some("""WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), f AS (SELECT user_id, MIN(day) AS first_day FROM pairs GROUP BY 1), d AS (SELECT day, COUNT(*) AS n_active, SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS n_new FROM pairs JOIN f USING (user_id) GROUP BY day) SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new, CAST(n_active - n_new AS BIGINT) AS n_returning, CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM d ORDER BY day"""),
   )
 
+  /** Theil-Sen robust slope (r9d) of the per-type daily revenue series —
+    * the median of all pairwise slopes: the robust-regression companion
+    * to `stats_linreg_trend` (OLS), immune to the outlier days OLS
+    * chases (breakdown point 29%). The expensive pass is the one linear
+    * daily agg; the pairwise stage is a self-join of the ~30-row
+    * aggregated series on the day index (O(|series|²) per type, bounded
+    * by the aggregation — at petabyte scale the series length is the
+    * calendar, not the data). Parity: slopes are computed from exact
+    * decimal daily sums cast to double over integer day gaps, rounded
+    * once (r6), and the LOWER MEDIAN is picked by rank over the total
+    * order (slope, idx_a, idx_b) — same convention as
+    * `agg_weighted_median`, so no float tie can move the pick.
+    */
+  private val theilsenSlope = Op(
+    "stats_theilsen_slope",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+        .withColumn("idx", datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("event_type"))))
+        .select(col("event_type"), col("idx"), col("ydec").cast("double").as("y"))
+      val slopes = daily.as("a")
+        .join(daily.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("b.idx") > col("a.idx"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.idx").as("ia"), col("b.idx").as("ib"),
+          r6((col("b.y") - col("a.y")) / (col("b.idx") - col("a.idx"))).as("slope"))
+      val wType = Window.partitionBy("event_type")
+      slopes
+        .withColumn("n_pairs", count(lit(1)).over(wType))
+        .withColumn("rk", row_number().over(
+          wType.orderBy(col("slope"), col("ia"), col("ib"))))
+        .filter(col("rk") === floor((col("n_pairs") + 1) / 2))
+        .select(col("event_type"), col("n_pairs"), col("slope").as("theilsen_slope"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS idx, CAST(ydec AS DOUBLE) AS y FROM daily), sl AS (SELECT a.event_type, a.idx AS ia, b.idx AS ib, ROUND(1e-9 + (b.y - a.y) / (b.idx - a.idx), 6) AS slope FROM i a JOIN i b ON b.event_type = a.event_type AND b.idx > a.idx), r AS (SELECT event_type, slope, COUNT(*) OVER (PARTITION BY event_type) AS n_pairs, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, ia, ib) AS rk FROM sl) SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS theilsen_slope FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type"""),
+  )
+
+  /** Lead-lag cross-correlation (r9d) between the `view` and `purchase`
+    * daily revenue series, lags −7…+7 — the funnel-timing detector
+    * (positive-lag peak = views lead purchases by that many days) that
+    * generalizes [[autocorrLags]] from one series to a pair. Both
+    * series come out of the SAME single daily agg of events; deviations
+    * are mean-centered per type against each type's full-series mean;
+    * the lag join aligns on the shared calendar index (datediff from
+    * the corpus anchor day, so a missing day shifts no lag) and the
+    * normalizer is the geometric mean of the two full-series energies —
+    * the standard biased CCF, |ccf| ≤ 1 by Cauchy-Schwarz. Rounding
+    * discipline identical to the ACF (round products, decimal-sum).
+    */
+  private val crosscorrLeadlag = Op(
+    "ts_crosscorr_leadlag",
+    (s, sf) => {
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+        .withColumn("idx", datediff(col("day"), lit("2024-01-01").cast("date")))
+        .withColumn("y", col("ydec").cast("double"))
+      val mean = daily.groupBy("event_type")
+        .agg(r6(sum(col("ydec")).cast("double") / count(lit(1))).as("mean"))
+      val d = daily.join(mean, "event_type")
+        .select(col("event_type"), col("idx"), r6(col("y") - col("mean")).as("d"))
+      val den = d.groupBy("event_type")
+        .agg(sum(dec(r6(col("d") * col("d")))).as("den"))
+      val denA = den.filter(col("event_type") === "view").select(col("den").as("den_a"))
+      val denB = den.filter(col("event_type") === "purchase").select(col("den").as("den_b"))
+      d.filter(col("event_type") === "view").as("a")
+        .join(d.filter(col("event_type") === "purchase").as("b"),
+          col("b.idx") >= col("a.idx") - 7 && col("b.idx") <= col("a.idx") + 7)
+        .select((col("b.idx") - col("a.idx")).as("lag"),
+          r6(col("a.d") * col("b.d")).as("prod"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"), sum(dec(col("prod"))).as("num"))
+        .crossJoin(denA).crossJoin(denB)
+        .select(col("lag"), col("n_pairs"),
+          r6(col("num").cast("double") /
+            sqrt(col("den_a").cast("double") * col("den_b").cast("double"))).as("ccf"))
+        .orderBy("lag")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', DATE '2024-01-01', day) AS idx, CAST(ydec AS DOUBLE) AS y, ydec FROM daily), m AS (SELECT event_type, ROUND(1e-9 + CAST(SUM(ydec) AS DOUBLE) / COUNT(*), 6) AS mean FROM daily GROUP BY 1), d AS (SELECT i.event_type, idx, ROUND(1e-9 + y - mean, 6) AS d FROM i JOIN m ON m.event_type = i.event_type), den AS (SELECT event_type, SUM(CAST(ROUND(1e-9 + d * d, 6) AS DECIMAL(18,6))) AS den FROM d GROUP BY 1), num AS (SELECT b.idx - a.idx AS lag, COUNT(*) AS n_pairs, SUM(CAST(ROUND(1e-9 + a.d * b.d, 6) AS DECIMAL(18,6))) AS num FROM d a JOIN d b ON a.event_type = 'view' AND b.event_type = 'purchase' AND b.idx BETWEEN a.idx - 7 AND a.idx + 7 GROUP BY 1) SELECT CAST(lag AS INT) AS lag, n_pairs, ROUND(1e-9 + CAST(num AS DOUBLE) / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)), 6) AS ccf FROM num, (SELECT den FROM den WHERE event_type = 'view') da(den), (SELECT den FROM den WHERE event_type = 'purchase') db(den) ORDER BY lag"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
-    newVsReturning)
+    newVsReturning, theilsenSlope, crosscorrLeadlag)
 }

@@ -559,6 +559,45 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), d0 AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1), k1 AS (SELECT node FROM d0 WHERE d >= 3), s1 AS (SELECT s.u, s.v FROM sym s JOIN k1 a ON a.node = s.u JOIN k1 b ON b.node = s.v), d1 AS (SELECT u AS node, COUNT(*) AS d FROM s1 GROUP BY 1), k2 AS (SELECT node FROM d1 WHERE d >= 3), s2 AS (SELECT s.u, s.v FROM s1 s JOIN k2 a ON a.node = s.u JOIN k2 b ON b.node = s.v), d2 AS (SELECT u AS node, COUNT(*) AS d FROM s2 GROUP BY 1), k3 AS (SELECT node FROM d2 WHERE d >= 3), s3 AS (SELECT s.u, s.v FROM s2 s JOIN k3 a ON a.node = s.u JOIN k3 b ON b.node = s.v), cd AS (SELECT u AS node, COUNT(*) AS d FROM s3 GROUP BY 1) SELECT cd.node AS p_partkey, CAST(d0.d AS BIGINT) AS degree0, CAST(cd.d AS BIGINT) AS core_degree FROM cd JOIN d0 ON d0.node = cd.node ORDER BY p_partkey"""),
   )
 
+  /** DEGREE ASSORTATIVITY (r9d) of the co-purchase graph — Newman's r:
+    * the Pearson correlation of endpoint degrees over the directed edge
+    * list, the one-number summary of whether hubs attach to hubs
+    * (r > 0, social shape) or to leaves (r < 0, dependency/star shape)
+    * — the first diagnostic a graph pipeline prints before choosing
+    * between the hub-splitting and plain wedge strategies documented
+    * for triangles/jaccard. Dataflow: degree hash-agg, two broadcast-
+    * sized joins to annotate each directed edge with (deg_u, deg_v),
+    * then ONE mergeable-moment agg (n, Σx, Σxy, Σx² — degrees are
+    * integers, so every sum is EXACT in BIGINT; no decimal needed and
+    * no float order anywhere until the final one-row division). By
+    * symmetry of the directed list Σx = Σy and Σx² = Σy², so the
+    * formula collapses to (nΣxy − (Σx)²) / (nΣx² − (Σx)²) — computed
+    * as the identical IEEE chain on both engines, rounded once.
+    */
+  private val degreeAssortativity = Op(
+    "graph_degree_assortativity",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.r6
+      val edges = copurchaseEdges(s, sf)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val m = sym
+        .join(deg.select(col("node").as("u"), col("deg").as("x")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("y")), "v")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      m.select(col("n").as("n_directed_edges"),
+        r6(col("sx").cast("double") / col("n")).as("avg_degree"),
+        r6((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), m AS (SELECT COUNT(*) AS n, SUM(du.deg) AS sx, SUM(du.deg * dv.deg) AS sxy, SUM(du.deg * du.deg) AS sxx FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v) SELECT CAST(n AS BIGINT) AS n_directed_edges, ROUND(1e-9 + CAST(sx AS DOUBLE) / n, 6) AS avg_degree, ROUND(1e-9 + CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity FROM m"""),
+  )
+
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
-    labelPropagation, neighborJaccard, kcorePeel)
+    labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity)
 }

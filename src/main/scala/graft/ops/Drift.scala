@@ -211,6 +211,138 @@ object Drift extends OpGroup {
     Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), x AS (SELECT day, cnt, SUM(cnt) OVER (PARTITION BY day) AS tot, COUNT(*) OVER (PARTITION BY day) AS k FROM c), y AS (SELECT day, k, tot, ROUND(1e-9 + -ROUND(1e-9 + cnt / CAST(tot AS DOUBLE), 6) * ln(ROUND(1e-9 + cnt / CAST(tot AS DOUBLE), 6)), 6) AS contrib FROM x), z AS (SELECT day, CAST(MAX(k) AS BIGINT) AS n_types, CAST(MAX(tot) AS BIGINT) AS n_events, CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS entropy FROM y GROUP BY day) SELECT day, n_types, n_events, entropy, ROUND(1e-9 + entropy / CASE WHEN n_types > 1 THEN ln(CAST(n_types AS DOUBLE)) END, 6) AS norm_entropy FROM z ORDER BY day"""),
   )
 
+  /** Welch's two-sample t-test (r9d) — the unequal-variance mean-shift
+    * test completing the drift battery: KS (shape), PSI (binned shares),
+    * chi-squared (categorical mix), Mann-Whitney (rank location),
+    * entropy (concentration), and now the parametric mean test with the
+    * Welch-Satterthwaite degrees of freedom. Same first/second-half
+    * split as KS. ONE linear pass: conditional count / Σx / Σx² per
+    * side in a single hash-agg (mergeable moments — the 1000-executor
+    * formulation, no second scan for the variance); x² is rounded then
+    * decimal-summed (rulebook §7.3: value has 2 decimals, so x² has 4 —
+    * r6 loses nothing and pins both engines to the same summand).
+    * Means, variances, t and df are then one scalar expression over the
+    * exact decimal moments — both engines evaluate the identical IEEE
+    * chain, rounded once at the end.
+    */
+  private val welchTtest = Op(
+    "stats_welch_ttest",
+    (s, sf) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val m = Tables.events(s, sf).agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") < cut, dec(col("value")))).as("sx1"),
+        sum(when(col("ts") < cut, dec(r6(col("value") * col("value"))))).as("sxx1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("ts") >= cut, dec(col("value")))).as("sx2"),
+        sum(when(col("ts") >= cut, dec(r6(col("value") * col("value"))))).as("sxx2"))
+      val m1 = col("sx1").cast("double") / col("n1")
+      val m2 = col("sx2").cast("double") / col("n2")
+      val v1 = (col("sxx1").cast("double") - col("n1") * m1 * m1) / (col("n1") - 1)
+      val v2 = (col("sxx2").cast("double") - col("n2") * m2 * m2) / (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      m.select(
+        col("n1").as("n_a"), col("n2").as("n_b"),
+        r6(m1).as("mean_a"), r6(m2).as("mean_b"),
+        r6(sqrt(v1)).as("sd_a"), r6(sqrt(v2)).as("sd_b"),
+        r6((m1 - m2) / sqrt(se2)).as("t_stat"),
+        r6(se2 * se2 / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1)
+          + (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))).as("df"))
+    },
+    Some("""WITH m AS (SELECT SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(18,6)) END) AS sx1, SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx1, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(value AS DECIMAL(18,6)) END) AS sx2, SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx2 FROM events), x AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(sx1 AS DOUBLE) / n1 AS m1, CAST(sx2 AS DOUBLE) / n2 AS m2, (CAST(sxx1 AS DOUBLE) - n1 * (CAST(sx1 AS DOUBLE) / n1) * (CAST(sx1 AS DOUBLE) / n1)) / (n1 - 1) AS v1, (CAST(sxx2 AS DOUBLE) - n2 * (CAST(sx2 AS DOUBLE) / n2) * (CAST(sx2 AS DOUBLE) / n2)) / (n2 - 1) AS v2 FROM m) SELECT n1 AS n_a, n2 AS n_b, ROUND(1e-9 + m1, 6) AS mean_a, ROUND(1e-9 + m2, 6) AS mean_b, ROUND(1e-9 + sqrt(v1), 6) AS sd_a, ROUND(1e-9 + sqrt(v2), 6) AS sd_b, ROUND(1e-9 + (m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat, ROUND(1e-9 + (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df FROM x"""),
+  )
+
+  /** Poissonized hash bootstrap (r9e) — a 95% CI for each event type's
+    * mean value from B = 100 resamples, fully DETERMINISTIC and
+    * engine-portable: replica b gives row i the weight
+    * Poisson⁻¹(md5(event_id, b) / 2²⁸) via the stepped CDF (the
+    * standard online-bootstrap approximation of multinomial resampling
+    * — Oza & Russell 2001), so there is no rand() and no collect; the
+    * same pipeline at 1000 executors is ONE explode (×B) + ONE
+    * map-side-combinable hash-agg whose shuffle carries types·B cells,
+    * not rows. Replica means divide exact decimal Σw·x by integer Σw;
+    * the CI picks ranks 3 and 98 of the 100 replica means over the
+    * (mean, b) total order — the 95% percentile-bootstrap interval
+    * with no float tie exposure.
+    */
+  private val bootstrapCi = Op(
+    "stats_bootstrap_ci",
+    (s, sf) => {
+      val B = 100
+      val ev = Tables.events(s, sf).select(col("event_id"), col("event_type"), col("value"))
+      val rep = ev
+        .select(col("event_type"), col("value"),
+          concat(col("event_id").cast("string"), lit("_")).as("idp"),
+          explode(expr(s"sequence(1, $B)")).as("b"))
+        .withColumn("u", conv(substring(md5(concat(col("idp"), col("b").cast("string"))), 1, 7), 16, 10)
+          .cast("bigint").cast("double") / lit(268435456.0))
+        .withColumn("w",
+          when(col("u") < 0.367879, 0L).when(col("u") < 0.735759, 1L)
+            .when(col("u") < 0.919699, 2L).when(col("u") < 0.981012, 3L)
+            .when(col("u") < 0.99634, 4L).otherwise(5L))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(dec(col("value")) * col("w")).as("swx"), sum(col("w")).as("sw"))
+        .select(col("event_type"), col("b"),
+          r6(col("swx").cast("double") / col("sw")).as("bmean"))
+      val ranked = rep.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("bmean"), col("b"))))
+      val point = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          r6(sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean"))
+      point
+        .join(ranked.filter(col("rk") === 3)
+          .select(col("event_type"), col("bmean").as("ci_lo")), "event_type")
+        .join(ranked.filter(col("rk") === 98)
+          .select(col("event_type"), col("bmean").as("ci_hi")), "event_type")
+        .orderBy("event_type")
+    },
+    Some("""WITH rep AS (SELECT event_type, b, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6)) * w) AS DOUBLE) / SUM(w), 6) AS bmean FROM (SELECT event_type, value, b, CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1 WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3 WHEN u < 0.99634 THEN 4 ELSE 5 END AS w FROM (SELECT event_type, value, b, CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 7)) AS BIGINT) / 268435456.0 AS u FROM events, (SELECT unnest(generate_series(1, 100)) AS b) g) t) t2 GROUP BY 1, 2), r AS (SELECT event_type, bmean, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bmean, b) AS rk FROM rep), p AS (SELECT event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean FROM events GROUP BY 1) SELECT p.event_type, CAST(p.n AS BIGINT) AS n, p.mean, lo.bmean AS ci_lo, hi.bmean AS ci_hi FROM p JOIN r lo ON lo.event_type = p.event_type AND lo.rk = 3 JOIN r hi ON hi.event_type = p.event_type AND hi.rk = 98 ORDER BY p.event_type"""),
+  )
+
+  /** Median absolute deviation outlier screen (r9e) — the robust-scale
+    * sibling of `stats_iqr_outliers`: median and MAD per event type,
+    * outliers flagged beyond 3 robust sigmas (3·1.4826·MAD). Both
+    * medians ride the value-NDV-bounded relation: one hash-agg of
+    * events to (type, value, cnt), then the lower-median rank pick
+    * (the `agg_weighted_median` convention) — applied twice, the
+    * second time over the derived |value − median| relation, which is
+    * exact 2-decimal arithmetic. The threshold is rounded once; the
+    * count compares the identical doubles on both engines.
+    */
+  private val madOutliers = Op(
+    "stats_mad_outliers",
+    (s, sf) => {
+      val g = Tables.events(s, sf)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame, valCol: String) = {
+        val wRun = Window.partitionBy("event_type").orderBy(valCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("cum", sum(col("cnt")).over(wRun))
+          .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("event_type")))
+          .filter(col("cum") * 2 >= col("tot"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type").orderBy(valCol)))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col(valCol).as("m"))
+      }
+      val med = lowerMedian(g, "value").withColumnRenamed("m", "med")
+      val devs = g.join(med, "event_type")
+        .groupBy(col("event_type"), abs(col("value") - col("med")).as("dev"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val mad = lowerMedian(devs, "dev").withColumnRenamed("m", "mad")
+      g.join(med, "event_type").join(mad, "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(abs(col("value") - col("med")) > r6(col("mad") * 4.4478),
+            col("cnt")).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med").as("median"),
+          col("mad"), r6(col("mad") * 4.4478).as("threshold"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2), med AS (SELECT event_type, value AS med FROM (SELECT event_type, value, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM g) t WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) = 1), d AS (SELECT g.event_type, ABS(value - med) AS dev, SUM(cnt) AS cnt FROM g JOIN med ON med.event_type = g.event_type GROUP BY 1, 2), mad AS (SELECT event_type, dev AS mad FROM (SELECT event_type, dev, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM d) t WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) = 1) SELECT g.event_type, CAST(SUM(cnt) AS BIGINT) AS n, med.med AS median, mad.mad AS mad, ROUND(1e-9 + mad.mad * 4.4478, 6) AS threshold, CAST(SUM(CASE WHEN ABS(g.value - med.med) > ROUND(1e-9 + mad.mad * 4.4478, 6) THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers FROM g JOIN med ON med.event_type = g.event_type JOIN mad ON mad.event_type = g.event_type GROUP BY g.event_type, med.med, mad.mad ORDER BY g.event_type"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
-    entropyDaily)
+    entropyDaily, welchTtest, bootstrapCi, madOutliers)
 }

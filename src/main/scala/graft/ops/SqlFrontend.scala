@@ -237,6 +237,109 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT c_nationkey, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal FROM customer c WHERE CAST(c_acctbal AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0) > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer WHERE c_acctbal > 0.0) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') GROUP BY c_nationkey ORDER BY c_nationkey"""),
   )
 
+  /** TPC-H Q4 shape (order-priority checking, r9d): EXISTS semi-join
+    * from the order header into the fact table — "orders in the window
+    * with at least one line shipped more than 90 days after order date,
+    * counted per priority". Catalyst rewrites the EXISTS to a LeftSemi
+    * against the correlated predicate (no per-row rescan), then one
+    * hash-agg over the bounded priority domain — the canonical
+    * existential-quantifier report. Fixture adaptation: the synthetic
+    * lineitem has no commit/receipt dates, so lateness is
+    * `l_shipdate > o_orderdate + 90 days` (the correlated comparison
+    * crosses tables, the part Q4 actually exercises). Integer counts —
+    * parity free.
+    */
+  private val tpchQ4 = Op(
+    "sql_tpch_q4",
+    (s, sf) => {
+      withViews(s, sf, "orders", "lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting, r9d): the
+    * hardest subquery composition in the TPC-H deck — EXISTS and NOT
+    * EXISTS, BOTH correlated into the same fact table the outer query
+    * scans, plus a header join whose o_orderdate flows into the inner
+    * NOT EXISTS predicate. Semantics: a finished order's line is "late"
+    * if shipped > 90 days after order date; count, per supplier, the
+    * late lines where ANOTHER supplier contributed to the order (EXISTS)
+    * but NO other supplier was also late (NOT EXISTS) — i.e. the
+    * sole-blame supplier. Catalyst plans LeftSemi + LeftAnti against the
+    * same scan; DuckDB plans its own mark-joins — cross-engine agreement
+    * here certifies three-level correlation handling. Integer counts;
+    * top-100 by (numwait DESC, s_name) is a total order.
+    */
+  private val tpchQ21 = Op(
+    "sql_tpch_q21",
+    (s, sf) => {
+      withViews(s, sf, "supplier", "lineitem", "orders")
+      s.sql("""
+        SELECT s_name, s_nationkey, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name, s_nationkey
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+      """)
+    },
+    Some("""SELECT s_name, s_nationkey, COUNT(*) AS numwait FROM supplier, lineitem l1, orders WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY) GROUP BY s_name, s_nationkey ORDER BY numwait DESC, s_name LIMIT 100"""),
+  )
+
+  /** TPC-H Q16 shape (parts/supplier relationship, r9e): the NOT IN
+    * (subquery) predicate — the one subquery form the deck's other
+    * members don't exercise, because it is NOT the same rewrite as NOT
+    * EXISTS: NOT IN is three-valued under NULLs, so Catalyst plans a
+    * null-aware anti join (BroadcastHashJoin LeftAnti with
+    * isNullAwareAntiJoin semantics) rather than a plain anti. Counting
+    * DISTINCT suppliers per (brand, size) over the distinct
+    * (part, supplier) pairs mined from lineitem (the fixture's
+    * partsupp surrogate). Integer counts; top-50 by
+    * (supplier_cnt DESC, p_brand, p_size) is a total order.
+    */
+  private val tpchQ16 = Op(
+    "sql_tpch_q16",
+    (s, sf) => {
+      withViews(s, sf, "lineitem", "part", "supplier")
+      s.sql("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size IN (10, 20, 30, 40, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 50
+      """)
+    },
+    Some("""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size IN (10, 20, 30, 40, 49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
-    lateralTopn, tpchQ18, tpchQ17, tpchQ22)
+    lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16)
 }

@@ -458,7 +458,37 @@ object TextOps extends OpGroup {
     Some("""WITH tri AS (SELECT doc_id, substr(lower(text), p, 3) AS t3, substr(lower(text), p, 2) AS t2 FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS p) g WHERE length(text) >= 3), m3 AS (SELECT t3, COUNT(*) AS c3 FROM tri GROUP BY t3), m2 AS (SELECT t2, COUNT(*) AS c2 FROM tri GROUP BY t2), v AS (SELECT COUNT(DISTINCT substr(lower(text), p, 1)) AS vs FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS p) g WHERE length(text) >= 1), scored AS (SELECT tri.doc_id, CAST(ROUND(CAST(m3.c3 + 1 AS DOUBLE) / (m2.c2 + v.vs), 12) AS DECIMAL(18,12)) AS prob FROM tri JOIN m3 USING (t3) JOIN m2 USING (t2) CROSS JOIN v), perdoc AS (SELECT doc_id, COUNT(*) AS n_tri, SUM(prob) AS sp FROM scored GROUP BY doc_id) SELECT d.doc_id AS doc_id, COALESCE(p.n_tri, 0) AS n_tri, ROUND(1e-9 + CAST(p.sp AS DOUBLE) / p.n_tri, 6) AS avg_prob, ROUND(1e-9 + -LN(ROUND(1e-9 + CAST(p.sp AS DOUBLE) / p.n_tri, 6)), 6) AS nll FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""),
   )
 
+  /** Lexical diversity per document (r9d) — type-token ratio and hapax
+    * share: the vocabulary-richness screens that catch two failure modes
+    * the length/punct quality score misses — template/boilerplate text
+    * (TTR → 0: many tokens, few types) and gibberish/ID dumps (hapax
+    * share → 1: every token unique). Standard Gopher-adjacent corpus
+    * filters. Dataflow: one explode to (doc, word), one (doc, word)
+    * hash-agg, one doc rollup — linear, map-side combinable, shuffle
+    * keyed by doc (never corpus-wide vocabulary). Counts are integers;
+    * the two ratios are single divisions rounded once.
+    */
+  private val lexicalDiversity = Op(
+    "text_lexical_diversity",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      Tables.documents(s, sf)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          r6(col("n_hapax").cast("double") / col("n_types")).as("hapax_share"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2), d AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_types, SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax FROM c GROUP BY 1) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types, CAST(n_hapax AS BIGINT) AS n_hapax, ROUND(1e-9 + CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr, ROUND(1e-9 + CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share FROM d ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
     piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
-    contaminationCheck, repetitionGopher, charlmScore)
+    contaminationCheck, repetitionGopher, charlmScore, lexicalDiversity)
 }

@@ -883,7 +883,51 @@ object Vectors extends OpGroup {
     Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id), t AS (SELECT a_vec_id, b_vec_id, sim, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY sim DESC, b_vec_id) AS INT) AS rk FROM p QUALIFY rk <= 5) SELECT x.a_vec_id AS u, x.b_vec_id AS v, ROUND(1e-9 + x.sim, 6) AS cos_sim, x.rk AS rk_uv, y.rk AS rk_vu FROM t x JOIN t y ON y.a_vec_id = x.b_vec_id AND y.b_vec_id = x.a_vec_id WHERE x.a_vec_id < x.b_vec_id ORDER BY u, v"""),
   )
 
+  /** Inter-label centroid distance matrix (r9d) — pairwise cosine and
+    * Euclidean distance between the per-label mean vectors: the
+    * class-separability report read before trusting labels for
+    * stratification or a centroid-seeded quantizer (two labels at
+    * cosine ≈ 1 should merge; a label far from all others is a
+    * candidate outlier class). Everything runs in the EXPLODED
+    * (label, pos, value) domain — the same shape
+    * [[centroidPerLabel]] emits — so the shuffle carries labels·d
+    * rows, never vectors, and the pairwise stage is an equi-join on
+    * pos over the labels·d relation (output labels²/2 — dimension-
+    * bounded at any corpus scale; the corpus-sized pass is the one
+    * centroid agg). Parity: pairwise math consumes the ROUNDED
+    * centroid values (both engines see identical doubles), products
+    * and squares rounded then decimal-summed (rulebook §7.3).
+    */
+  private val centroidDistances = Op(
+    "vec_centroid_distances",
+    (s, sf) => {
+      val cent = Tables.embeddings(s, sf)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(r6(sum(dec(col("v").cast("double"))).cast("double") / count(lit(1))).as("c"))
+      val nrm2 = cent.groupBy("label")
+        .agg(sum(dec(r6(col("c") * col("c")))).as("n2"))
+      val dot = cent.as("a")
+        .join(cent.as("b"), col("a.pos") === col("b.pos") &&
+          col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          r6(col("a.c") * col("b.c")).as("p"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(dec(col("p"))).as("dot"))
+      dot
+        .join(nrm2.select(col("label").as("label_a"), col("n2").as("na")), "label_a")
+        .join(nrm2.select(col("label").as("label_b"), col("n2").as("nb")), "label_b")
+        .select(col("label_a"), col("label_b"),
+          r6(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos_sim"),
+          r6(sqrt(greatest(lit(0.0), col("na").cast("double") + col("nb").cast("double")
+            - lit(2.0) * col("dot").cast("double")))).as("euclid_dist"))
+        .orderBy("label_a", "label_b")
+    },
+    Some("""WITH cent AS (SELECT label, pos, ROUND(1e-9 + CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos), n2 AS (SELECT label, SUM(CAST(ROUND(1e-9 + c * c, 6) AS DECIMAL(18,6))) AS n2 FROM cent GROUP BY label), d AS (SELECT a.label AS label_a, b.label AS label_b, SUM(CAST(ROUND(1e-9 + a.c * b.c, 6) AS DECIMAL(18,6))) AS dot FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label GROUP BY 1, 2) SELECT d.label_a, d.label_b, ROUND(1e-9 + CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim, ROUND(1e-9 + sqrt(GREATEST(0.0, CAST(na.n2 AS DOUBLE) + CAST(nb.n2 AS DOUBLE) - 2.0 * CAST(dot AS DOUBLE))), 6) AS euclid_dist FROM d JOIN n2 na ON na.label = d.label_a JOIN n2 nb ON nb.label = d.label_b ORDER BY label_a, label_b"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
-    srpLshPairs, pcaTopComponent, knnGraph)
+    srpLshPairs, pcaTopComponent, knnGraph, centroidDistances)
 }
