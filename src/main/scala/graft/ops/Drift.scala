@@ -270,7 +270,12 @@ object Drift extends OpGroup {
     (s, sf) => {
       val B = 100
       val ev = Tables.events(s, sf).select(col("event_id"), col("event_type"), col("value"))
-      val rep = ev
+      // The ×B explode multiplies whatever parallelism the scan had — a
+      // single-file fixture would put all n·B md5 rows on one thread, so
+      // spread BEFORE exploding (measured: 15.6 s → per-core time at
+      // sf0.1). At cluster scale the scan is already multi-split and
+      // this repartition is a cheap row-count-preserving round-robin.
+      val rep = Tables.spread(s, ev)
         .select(col("event_type"), col("value"),
           concat(col("event_id").cast("string"), lit("_")).as("idp"),
           explode(expr(s"sequence(1, $B)")).as("b"))
