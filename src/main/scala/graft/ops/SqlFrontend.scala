@@ -340,6 +340,71 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size IN (10, 20, 30, 40, 49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50"""),
   )
 
+  /** TPC-H Q13 shape (customer order-count distribution, r9f): the
+    * deck's only LEFT OUTER join with an EXTRA predicate in the ON
+    * clause (filtering the right side without dropping unmatched
+    * customers — move it to WHERE and the zero bucket vanishes, the
+    * classic outer-join bug this op pins), followed by the
+    * count-of-counts double aggregation: COUNT(o_orderkey) counts
+    * nulls as zero per customer, then the histogram groups customers
+    * by that count. Integer-only; (custdist DESC, c_count DESC) is a
+    * total order over the bounded histogram domain.
+    */
+  private val tpchQ13 = Op(
+    "sql_tpch_q13",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders")
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+  )
+
+  /** TPC-H Q11 shape (important stock identification, r9f): the HAVING
+    * clause compared against an UNCORRELATED scalar subquery that
+    * re-aggregates the same joined relation — kept parts are those
+    * whose supplier-value share exceeds one ten-thousandth of the
+    * total. Catalyst evaluates the scalar once (one-row broadcast into
+    * the post-agg filter), not per group. Both sides of the share
+    * threshold are DOUBLE casts of EXACT decimal sums — narrow casts
+    * (price 14,6 × integral quantity 8,0) keep the product at scale 6
+    * inside DuckDB's int64 decimal lane, and the double comparison
+    * avoids its 38-digit multiply ceiling — so the
+    * two engines compare identical IEEE values and no boundary part
+    * can flip; lineitem value = quantity-weighted price mined as the
+    * partsupp surrogate, supplier filter keeps the join three-way.
+    */
+  private val tpchQ11 = Op(
+    "sql_tpch_q11",
+    (s, sf) => {
+      withViews(s, sf, "lineitem", "supplier")
+      s.sql("""
+        SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_acctbal > 0
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) * 10000 > (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE)
+          FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+          WHERE s_acctbal > 0)
+        ORDER BY part_value DESC, l_partkey
+        LIMIT 100
+      """)
+    },
+    Some("""SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) AS part_value FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_acctbal > 0 GROUP BY l_partkey HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) * 10000 > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_acctbal > 0) ORDER BY part_value DESC, l_partkey LIMIT 100"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
-    lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16)
+    lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
+    tpchQ13, tpchQ11)
 }

@@ -385,8 +385,39 @@ object Windows extends OpGroup {
     Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS dv FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, CAST(dv AS DOUBLE) AS y, list_sort(list(dv) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM d), m AS (SELECT event_type, day, y, (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2 AS med, list_sort(list_transform(arr, v -> ABS(CAST(v AS DOUBLE) - (CAST(arr[(len(arr)+1)//2] AS DOUBLE) + CAST(arr[(len(arr)+2)//2] AS DOUBLE)) / 2))) AS dev FROM w) SELECT event_type, day, y AS daily_value, ROUND(1e-9 + med, 6) AS med7, ROUND(1e-9 + (dev[(len(dev)+1)//2] + dev[(len(dev)+2)//2]) / 2, 6) AS mad7, ABS(y - med) > 3 * 1.4826 * ((dev[(len(dev)+1)//2] + dev[(len(dev)+2)//2]) / 2) AS is_outlier FROM m ORDER BY event_type, day"""),
   )
 
+  /** GAPS-AND-ISLANDS (r9f): every maximal run of consecutive active
+    * days per user, enumerated with start/end/length — the canonical
+    * `date − dense-rank` grouping kernel. [[longestStreak]] reports only
+    * each user's max; this materializes ALL islands ≥ 3 days (the
+    * engagement-period relation downstream retention/LTV models join
+    * against). The island key `day − row_number() · 1 day` is constant
+    * exactly within a consecutive run — integer date arithmetic, no
+    * float anywhere. One distinct + two windows, both partitioned by
+    * user_id (high-cardinality — parallel at any scale); the support
+    * floor keeps output at engagement-period scale.
+    */
+  private val gapsIslands = Op(
+    "win_gaps_islands",
+    (s, sf) => {
+      val days = Tables.events(s, sf)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val grp = days.withColumn("grp",
+        date_sub(col("day"), row_number().over(
+          Window.partitionBy("user_id").orderBy("day"))))
+      grp.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("island_start"),
+          max(col("day")).as("island_end"),
+          count(lit(1)).as("island_days"))
+        .filter(col("island_days") >= 3)
+        .select(col("user_id"), col("island_start"), col("island_end"),
+          col("island_days"))
+        .orderBy("user_id", "island_start")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), g AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM days) SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end, COUNT(*) AS island_days FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 3 ORDER BY user_id, island_start"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
-    rollingMedian, hampelFilter)
+    rollingMedian, hampelFilter, gapsIslands)
 }
