@@ -440,7 +440,7 @@ object Vectors extends OpGroup {
     * walk the plan for the checkpoint's LogicalRDD and unpersist it.
     * No-op on plans that were never checkpointed.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

@@ -33,4 +33,25 @@ class ModelStorageReleaseSpec extends SparkSpec {
         s"pqModelReset left ${leaked.size} persisted RDD(s) in the block manager: $leaked")
     }
   }
+
+  test("graphEdgesReset frees exactly the one memoized edge checkpoint per sfDir") {
+    ops.Clusters.graphEdgesReset()
+    val dirs = Seq(sf, "/root/testdata/sf0.01", sf)
+    assume(dirs.forall(d => new java.io.File(d).isDirectory),
+      "scale-tier fixtures not present on this host")
+    for (dir <- dirs) {
+      SparkEntry.queries("graph_copurchase_triangles")(spark, dir).count() // builds + memoizes edges
+      SparkEntry.queries("graph_kcore_peel")(spark, dir).count()           // must REUSE, not rebuild
+      val built = spark.sparkContext.getPersistentRDDs.keySet
+      ops.Clusters.graphEdgesReset()
+      val freed = built.diff(spark.sparkContext.getPersistentRDDs.keySet)
+      // exactly ONE block freed = one shared checkpoint for both kernels:
+      // 0 would mean the reset leaks, 2+ that the second kernel rebuilt
+      // its own edge list instead of hitting the memo. (The kernels'
+      // pinned RESULT rdds intentionally survive — they back the
+      // returned DataFrames — so no assertion on the remainder.)
+      assert(freed.size == 1,
+        s"expected exactly the memoized edge checkpoint freed at $dir, got ${freed.size}: $freed")
+    }
+  }
 }
