@@ -589,9 +589,39 @@ object Aggs extends OpGroup {
     Some("""WITH bp AS (SELECT l_returnflag, l_extendedprice AS price, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w FROM lineitem GROUP BY 1, 2), c AS (SELECT l_returnflag, price, SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM bp) SELECT l_returnflag, price AS weighted_median, CAST(tot AS DOUBLE) AS total_weight FROM c WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price) = 1 ORDER BY l_returnflag"""),
   )
 
+  /** Geometric and harmonic means of price per return flag (r9g) — the
+    * two Pythagorean means the arithmetic-mean ops miss: the geometric
+    * mean is the correct average for ratio/multiplicative quantities
+    * (growth factors, price relatives) and the harmonic mean for rates.
+    * Both are ONE mergeable hash-agg of transformed summands (the
+    * moment-family shape): ln(price) and a scaled reciprocal
+    * (10⁴/price — scaling before r6 keeps the summand's RELATIVE
+    * rounding error ~5e-6 where rounding 1/price directly would cost
+    * percents), each rounded then decimal-summed (the entropy/charlm
+    * ln-of-identical-doubles discipline), with exp/divide applied once
+    * to the exact totals. AM ≥ GM ≥ HM by construction — pinned in
+    * StatsDepthSpec.
+    */
+  private val pythagoreanMeans = Op(
+    "agg_geo_harmonic_means",
+    (s, sf) => {
+      val m = Tables.lineitem(s, sf).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).as("s"),
+        sum(dec(r6(log(col("l_extendedprice"))))).as("sln"),
+        sum(dec(r6(lit(10000.0) / col("l_extendedprice")))).as("srec"))
+      m.select(col("l_returnflag"), col("n"),
+          r6(col("s").cast("double") / col("n")).as("arith_mean"),
+          r6(exp(col("sln").cast("double") / col("n"))).as("geo_mean"),
+          r6(col("n") * lit(10000.0) / col("srec").cast("double")).as("harm_mean"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s, SUM(CAST(ROUND(1e-9 + ln(l_extendedprice), 6) AS DECIMAL(18,6))) AS sln, SUM(CAST(ROUND(1e-9 + 10000.0 / l_extendedprice, 6) AS DECIMAL(18,6))) AS srec FROM lineitem GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, ROUND(1e-9 + CAST(s AS DOUBLE) / n, 6) AS arith_mean, ROUND(1e-9 + exp(CAST(sln AS DOUBLE) / n), 6) AS geo_mean, ROUND(1e-9 + n * 10000.0 / CAST(srec AS DOUBLE), 6) AS harm_mean FROM m ORDER BY l_returnflag"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
-    benfordDigits, giniCoefficient, weightedMedian)
+    benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans)
 }

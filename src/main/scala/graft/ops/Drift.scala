@@ -348,6 +348,45 @@ object Drift extends OpGroup {
     Some("""WITH g AS (SELECT event_type, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2), med AS (SELECT event_type, value AS med FROM (SELECT event_type, value, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM g) t WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) = 1), d AS (SELECT g.event_type, ABS(value - med) AS dev, SUM(cnt) AS cnt FROM g JOIN med ON med.event_type = g.event_type GROUP BY 1, 2), mad AS (SELECT event_type, dev AS mad FROM (SELECT event_type, dev, cnt, SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM d) t WHERE cum * 2 >= tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) = 1) SELECT g.event_type, CAST(SUM(cnt) AS BIGINT) AS n, med.med AS median, mad.mad AS mad, ROUND(1e-9 + mad.mad * 4.4478, 6) AS threshold, CAST(SUM(CASE WHEN ABS(g.value - med.med) > ROUND(1e-9 + mad.mad * 4.4478, 6) THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers FROM g JOIN med ON med.event_type = g.event_type JOIN mad ON mad.event_type = g.event_type GROUP BY g.event_type, med.med, mad.mad ORDER BY g.event_type"""),
   )
 
+  /** Population skewness and excess kurtosis per event type (r9g) —
+    * the shape moments that complete the one-pass moment family (Welch
+    * holds moments 1–2; these need 3–4): the distribution-shape drift
+    * screen (a sign flip in skewness or a kurtosis jump flags a regime
+    * change even when mean and variance hold). ONE linear hash-agg
+    * accumulates count and Σx…Σx⁴ — mergeable raw moments, the
+    * 1000-executor formulation — with each power rounded then
+    * decimal-summed (x has 2 decimals, so x² is exact at 4 and x³/x⁴
+    * are pinned by r6 to identical summands on both engines; magnitudes
+    * ≤ 500⁴ ≈ 6.3e10 per row stay inside the widened decimal sum).
+    * Central moments, g1 = m3/m2^1.5 and excess g2 = m4/m2² − 3 are one
+    * IEEE chain over the exact moments, rounded once. Population (not
+    * sample-corrected) convention so the formulas are identical algebra
+    * on both engines.
+    */
+  private val skewKurtosis = Op(
+    "stats_skew_kurtosis",
+    (s, sf) => {
+      val m = Tables.events(s, sf).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(r6(col("value") * col("value")))).as("s2"),
+        sum(dec(r6(col("value") * col("value") * col("value")))).as("s3"),
+        sum(dec(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - mu * mu
+      val m3 = col("s3").cast("double") / n - lit(3) * mu * (col("s2").cast("double") / n) + lit(2) * mu * mu * mu
+      val m4 = col("s4").cast("double") / n - lit(4) * mu * (col("s3").cast("double") / n) +
+        lit(6) * mu * mu * (col("s2").cast("double") / n) - lit(3) * mu * mu * mu * mu
+      m.select(col("event_type"), col("n"),
+          r6(mu).as("mean"), r6(sqrt(m2)).as("sd_pop"),
+          r6(m3 / pow(m2, 1.5)).as("skewness"),
+          r6(m4 / (m2 * m2) - lit(3)).as("kurtosis_excess"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(18,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(18,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, mu, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + mu, 6) AS mean, ROUND(1e-9 + sqrt(m2), 6) AS sd_pop, ROUND(1e-9 + m3 / pow(m2, 1.5), 6) AS skewness, ROUND(1e-9 + m4 / (m2 * m2) - 3, 6) AS kurtosis_excess FROM c ORDER BY event_type"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
-    entropyDaily, welchTtest, bootstrapCi, madOutliers)
+    entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis)
 }

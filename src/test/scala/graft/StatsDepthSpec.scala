@@ -64,6 +64,27 @@ class StatsDepthSpec extends SparkSpec {
     }
   }
 
+  test("Pythagorean mean inequality AM >= GM >= HM holds per group") {
+    val rows = SparkEntry.queries("agg_geo_harmonic_means")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (am, gm, hm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(am >= gm - 1e-6 && gm >= hm - 1e-6,
+        s"${r.getString(0)}: AM $am, GM $gm, HM $hm violate the mean inequality")
+      assert(hm > 0)
+    }
+  }
+
+  test("skewness/kurtosis: sd matches Welch-family variance shape, kurtosis > -2") {
+    val rows = SparkEntry.queries("stats_skew_kurtosis")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0, "positive population sd")
+      // excess kurtosis is bounded below by -2 for ANY distribution
+      assert(r.getDouble(5) > -2.0, s"${r.getString(0)}: impossible kurtosis ${r.getDouble(5)}")
+    }
+  }
+
   test("mutual k-NN edges reciprocate with ranks within k") {
     val rows = SparkEntry.queries("vec_knn_graph")(spark, sf).collect()
     assert(rows.nonEmpty)
