@@ -387,6 +387,45 @@ object Drift extends OpGroup {
     Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(18,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(18,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, mu, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + mu, 6) AS mean, ROUND(1e-9 + sqrt(m2), 6) AS sd_pop, ROUND(1e-9 + m3 / pow(m2, 1.5), 6) AS skewness, ROUND(1e-9 + m4 / (m2 * m2) - 3, 6) AS kurtosis_excess FROM c ORDER BY event_type"""),
   )
 
+  /** Daily latency-style percentile bands (r9g) — exact p50/p90/p99 of
+    * value per (event_type, day): the SLO dashboard relation, and the
+    * generalization of the lower-median rank pick to arbitrary
+    * quantiles — one explode over the α set turns the same
+    * cum·1/α ≥ tot threshold into all three bands in one window pass.
+    * The fact scan reduces to the (type, day, value, cnt) relation
+    * (value-NDV-bounded per cell); the window runs per (type, day, α)
+    * — thousands of small partitions, parallel anywhere. Lower-value
+    * convention (smallest value whose cumulative count reaches α·n,
+    * integer cross-multiplication cum·100 ≥ α%·tot — no float
+    * anywhere until output), matching the weighted-median discipline.
+    */
+  private val dailyPercentiles = Op(
+    "stats_daily_percentile_bands",
+    (s, sf) => {
+      val g = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val wRun = Window.partitionBy("event_type", "day").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g
+        .withColumn("cum", sum(col("cnt")).over(wRun))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("event_type", "day")))
+        .select(col("event_type"), col("day"), col("value"), col("cum"), col("tot"),
+          explode(expr("array(50, 90, 99)")).as("pct"))
+        .filter(col("cum") * 100 >= col("pct") * col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type", "day", "pct").orderBy("value")))
+        .filter(col("rk") === 1)
+      cum.groupBy(col("event_type"), col("day"), col("tot").as("n"))
+        .pivot("pct", Seq(50, 90, 99)).agg(first(col("value")))
+        .select(col("event_type"), col("day"), col("n"),
+          col("50").as("p50"), col("90").as("p90"), col("99").as("p99"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2, 3), c AS (SELECT event_type, day, value, SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type, day) AS tot FROM g), x AS (SELECT event_type, day, value, cum, tot, pct FROM c, (SELECT unnest([50, 90, 99]) AS pct) p WHERE cum * 100 >= pct * tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, day, pct ORDER BY value) = 1) SELECT event_type, day, CAST(MAX(tot) AS BIGINT) AS n, MAX(CASE WHEN pct = 50 THEN value END) AS p50, MAX(CASE WHEN pct = 90 THEN value END) AS p90, MAX(CASE WHEN pct = 99 THEN value END) AS p99 FROM x GROUP BY event_type, day ORDER BY event_type, day"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
-    entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis)
+    entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
+    dailyPercentiles)
 }

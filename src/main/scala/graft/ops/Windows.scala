@@ -416,8 +416,48 @@ object Windows extends OpGroup {
     Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), g AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM days) SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end, COUNT(*) AS island_days FROM g GROUP BY user_id, grp HAVING COUNT(*) >= 3 ORDER BY user_id, island_start"""),
   )
 
+  /** SWEEP-LINE PEAK CONCURRENCY (r9g): each event opens a 5-minute
+    * activity interval; the op reports, per day, the maximum number of
+    * simultaneously-open intervals and the earliest instant it is
+    * reached — the capacity-planning question (peak concurrent
+    * sessions) answered with the classic ±1 boundary-point sweep,
+    * a dataflow shape (interval → endpoint explosion → running sum)
+    * none of the other windows exercise. Determinism: the sweep orders
+    * by (t, delta) with closers first at ties (half-open intervals),
+    * and permuting IDENTICAL (t, delta) rows cannot change the multiset
+    * of running-sum outcomes, so peak and earliest-peak-instant are
+    * total-order stable on both engines. Intervals clamp to their
+    * opening day (deterministic day-local semantics; the midnight
+    * boundary loses at most one 5-minute tail). Scale: the window
+    * partitions by day — at 100 TB the partition key widens to
+    * (day, shard) with a per-shard merge, the standard sweep sharding.
+    */
+  private val concurrencySweep = Op(
+    "win_concurrency_sweep",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+        .select(to_date(col("ts")).as("day"), col("ts"))
+      val dayEnd = to_timestamp(date_add(col("day"), 1)) - expr("INTERVAL 1 MICROSECOND")
+      val pts = ev.select(col("day"), col("ts").as("t"), lit(1).as("delta"))
+        .union(ev.select(col("day"),
+          least(col("ts") + expr("INTERVAL 5 MINUTES"), dayEnd).as("t"),
+          lit(-1).as("delta")))
+      val swept = pts.withColumn("conc", sum(col("delta")).over(
+        Window.partitionBy("day").orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peaks = swept.groupBy("day").agg(max(col("conc")).as("peak_concurrency"))
+      swept.join(peaks, Seq("day"))
+        .filter(col("conc") === col("peak_concurrency"))
+        .groupBy(col("day"), col("peak_concurrency"))
+        .agg(min(col("t")).as("peak_at"))
+        .select(col("day"), col("peak_concurrency"), col("peak_at"))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, ts FROM events), pts AS (SELECT day, ts AS t, 1 AS delta FROM ev UNION ALL SELECT day, LEAST(ts + INTERVAL 5 MINUTE, CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND) AS t, -1 AS delta FROM ev), sw AS (SELECT day, t, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts), pk AS (SELECT day, MAX(conc) AS peak_concurrency FROM sw GROUP BY day) SELECT sw.day, CAST(pk.peak_concurrency AS BIGINT) AS peak_concurrency, MIN(sw.t) AS peak_at FROM sw JOIN pk ON pk.day = sw.day AND sw.conc = pk.peak_concurrency GROUP BY sw.day, pk.peak_concurrency ORDER BY sw.day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
-    rollingMedian, hampelFilter, gapsIslands)
+    rollingMedian, hampelFilter, gapsIslands, concurrencySweep)
 }
