@@ -488,7 +488,51 @@ object TextOps extends OpGroup {
     Some("""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2), d AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_types, SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax FROM c GROUP BY 1) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types, CAST(n_hapax AS BIGINT) AS n_hapax, ROUND(1e-9 + CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr, ROUND(1e-9 + CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share FROM d ORDER BY doc_id"""),
   )
 
+  /** Compression-ratio quality signal (r9h) — deflated bytes / raw
+    * bytes per document: the classic corpus filter (Gopher §A.1.2 and
+    * every CommonCrawl pipeline): machine-generated/repetitive text
+    * compresses far below human prose, random IDs barely compress at
+    * all, so both tails are screened with ONE number and no language
+    * model. zlib at fixed level 6 with the JDK's bundled zlib is
+    * deterministic for a given input, but no SQL engine exposes
+    * deflate, so this is a NO-ORACLE key gated by TextDepthSpec
+    * invariants (repetitive ≪ prose < random, determinism). A Scala
+    * UDF is the right tier here — there is no builtin, and a custom
+    * codegen Expression would still black-box the zlib call; the UDF
+    * is a pure per-row projection, embarrassingly parallel, no shuffle
+    * before the output sort at any scale.
+    */
+  private val compressionRatio = Op(
+    "text_compression_ratio",
+    (s, sf) => {
+      val deflateLen = udf { t: String =>
+        if (t == null || t.isEmpty) 0L
+        else {
+          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val d = new java.util.zip.Deflater(6, false)
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          d.end()
+          total
+        }
+      }
+      Tables.documents(s, sf)
+        .withColumn("raw_bytes", octet_length(col("text")).cast("long"))
+        .withColumn("deflate_bytes", deflateLen(col("text")))
+        .withColumn("compression_ratio",
+          r6(col("deflate_bytes").cast("double") /
+            when(col("raw_bytes") > 0, col("raw_bytes"))))
+        .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+          col("compression_ratio"))
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
     piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
-    contaminationCheck, repetitionGopher, charlmScore, lexicalDiversity)
+    contaminationCheck, repetitionGopher, charlmScore, lexicalDiversity,
+    compressionRatio)
 }

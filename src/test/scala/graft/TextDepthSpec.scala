@@ -99,4 +99,38 @@ class TextDepthSpec extends SparkSpec {
     }
     info(s"charlm over ${docs.size} docs, |V|=$v, |m3|=${c3.size}, |m2|=${c2.size}")
   }
+
+  test("text_compression_ratio separates repetitive / prose / random and is deterministic") {
+    import spark.implicits._
+    // Crafted fixture: the discriminative power IS the op's contract.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    val prose = "the quick brown fox jumps over the lazy dog and then walks home " * 8
+    val repetitive = "spam " * 104
+    val random = {
+      val rnd = new scala.util.Random(42)
+      Seq.fill(520)((rnd.nextInt(36) match {
+        case i if i < 10 => ('0' + i).toChar
+        case i => ('a' + i - 10).toChar
+      })).mkString
+    }
+    Seq((1L, repetitive, "en", "synth", repetitive.length.toLong),
+        (2L, prose, "en", "synth", prose.length.toLong),
+        (3L, random, "en", "synth", random.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("text_compression_ratio")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(3L),
+      s"expected repetitive ${rows(1L)} < prose ${rows(2L)} < random ${rows(3L)}")
+    assert(rows(1L) < 0.10, s"repetitive text should crush: ${rows(1L)}")
+    assert(rows(3L) > 0.5, s"random text should resist: ${rows(3L)}")
+    val again = SparkEntry.queries("text_compression_ratio")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == rows, "deflate at a fixed level must be deterministic")
+    // and over the real corpus: every ratio is positive and bounded
+    SparkEntry.queries("text_compression_ratio")(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.2,
+        s"doc ${r.getLong(0)} ratio ${r.getDouble(3)} out of band")
+    }
+  }
 }
