@@ -751,9 +751,48 @@ object Analytics extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', DATE '2024-01-01', day) AS idx, CAST(ydec AS DOUBLE) AS y, ydec FROM daily), m AS (SELECT event_type, ROUND(1e-9 + CAST(SUM(ydec) AS DOUBLE) / COUNT(*), 6) AS mean FROM daily GROUP BY 1), d AS (SELECT i.event_type, idx, ROUND(1e-9 + y - mean, 6) AS d FROM i JOIN m ON m.event_type = i.event_type), den AS (SELECT event_type, SUM(CAST(ROUND(1e-9 + d * d, 6) AS DECIMAL(18,6))) AS den FROM d GROUP BY 1), num AS (SELECT b.idx - a.idx AS lag, COUNT(*) AS n_pairs, SUM(CAST(ROUND(1e-9 + a.d * b.d, 6) AS DECIMAL(18,6))) AS num FROM d a JOIN d b ON a.event_type = 'view' AND b.event_type = 'purchase' AND b.idx BETWEEN a.idx - 7 AND a.idx + 7 GROUP BY 1) SELECT CAST(lag AS INT) AS lag, n_pairs, ROUND(1e-9 + CAST(num AS DOUBLE) / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)), 6) AS ccf FROM num, (SELECT den FROM den WHERE event_type = 'view') da(den), (SELECT den FROM den WHERE event_type = 'purchase') db(den) ORDER BY lag"""),
   )
 
+  /** Cohort LTV curve (r9h) — cumulative revenue per signup-week cohort
+    * by week age, per capita: the monetization companion of
+    * [[retentionCohort]] (which counts who comes back; this sums what
+    * they spend) and the curve margins/payback decisions read. Same
+    * cohort spine (first active week via date_trunc, the retention
+    * convention); revenue decimal-summed per (cohort, age) cell, the
+    * cumulative an exact decimal window over the ≤ weeks² triangular
+    * relation, and the per-capita division a double over exact inputs.
+    * Scale: one linear pass to the (user, week) revenue relation, one
+    * cohort hash-agg joined back, windows over calendar-bounded rows.
+    */
+  private val cohortLtv = Op(
+    "analytics_cohort_ltv",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val ev = Tables.events(s, sf)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("value"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+      val cells = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("age_weeks"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      cells
+        .withColumn("cum_rev", sum(col("rev")).over(
+          Window.partitionBy("cohort_week").orderBy("age_weeks")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("age_weeks"), col("n_users"),
+          r6(col("rev").cast("double")).as("rev"),
+          r6(col("cum_rev").cast("double")).as("cum_rev"),
+          r6(col("cum_rev").cast("double") / col("n_users")).as("cum_rev_per_user"))
+        .orderBy("cohort_week", "age_weeks")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value FROM events), cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id), sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM cohort GROUP BY 1), cells AS (SELECT c.cohort_week, CAST((e.wk - c.cohort_week) // 7 AS INT) AS age_weeks, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM ev e JOIN cohort c ON e.user_id = c.user_id GROUP BY 1, 2), cum AS (SELECT cohort_week, age_weeks, rev, SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM cells) SELECT m.cohort_week, m.age_weeks, CAST(s.n_users AS BIGINT) AS n_users, ROUND(1e-9 + CAST(m.rev AS DOUBLE), 6) AS rev, ROUND(1e-9 + CAST(m.cum_rev AS DOUBLE), 6) AS cum_rev, ROUND(1e-9 + CAST(m.cum_rev AS DOUBLE) / s.n_users, 6) AS cum_rev_per_user FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week ORDER BY m.cohort_week, m.age_weeks"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
-    newVsReturning, theilsenSlope, crosscorrLeadlag)
+    newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv)
 }
