@@ -21,6 +21,10 @@ class ScalingSpec extends SparkSpec {
     "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
+    // r9h: the wedge self-join is the graph family's documented skew
+    // risk (a degree-d node emits d² pairs) — witness that the
+    // co-purchase graph's degree distribution keeps it sub-quadratic.
+    "graph_neighbor_jaccard",
   )
 
   private def time(key: String, dir: String): Double = {
