@@ -56,17 +56,40 @@ object Bench {
     // analysis-crashing queries at fail-fast cost and nothing in the
     // artifact said so). `err` per query, failure count in every summary
     // line, non-zero exit if any timed query failed.
+    // MIN-OF-2 per key (r9 verdict #1): the r9 driver artifact recorded
+    // stats_bootstrap_ci at 44.8 s where 3-rep isolation measures
+    // 2.05-2.86 s — a single-rep artifact cannot distinguish a plan
+    // regression from a one-off host/GC/contention spike, and ~50 s of
+    // the r9 headline pairing was exactly that class. The minimum of two
+    // back-to-back reps bounds any one-off spike: for one artifact
+    // number to be N× off the isolated truth, the SAME key must now
+    // spike twice in a row. (A between-keys getPersistentRDDs assert is
+    // NOT the fix here: the PQ/IVF model and graph-edge caches persist
+    // across keys BY DESIGN — one index build serving every probe of
+    // the session is the production shape, not residue.)
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         // Collect garbage OUTSIDE the timed region: with a 48g heap the
         // warm passes leave enough floating garbage that a collection
         // otherwise lands inside a random timed query (observed as 5x
         // one-off spikes on otherwise-steady queries).
-        System.gc()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-                  catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        def rep(): (Double, Option[String]) = {
+          System.gc()
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+                    catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        val (t1, e1) = rep()
+        if (e1.isDefined) (name, t1, e1) // crashed: no second rep, loud-fail as before
+        else {
+          val (t2, e2) = rep()
+          // A second-rep crash after a clean first rep is flakiness, not
+          // throughput — surface it as a failure (the loud-fail rule),
+          // never average it away.
+          if (e2.isDefined) (name, t1, e2)
+          else (name, math.min(t1, t2), None)
+        }
       }
     val failed = results.collect { case (name, _, Some(e)) => name -> e }
     // Driver capture is a bounded TAIL of stdout: one giant line loses its

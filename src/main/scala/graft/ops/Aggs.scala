@@ -558,12 +558,25 @@ object Aggs extends OpGroup {
     * weighted median convention: the smallest price whose cumulative
     * weight reaches half the total. Everything is exact arithmetic —
     * weights are decimal-summed per distinct price (one hash agg of the
-    * fact table), the running and total sums are decimal windows over
-    * the price-NDV-bounded relation, and the 2·cum ≥ tot threshold row
-    * is picked by a rank — so no float order can move the midpoint.
-    * Scale shape: linear agg + windows over the aggregated relation
-    * (price NDV-bounded; coarsen the price grid if NDV ever rivals the
-    * fact table, as with the KS bucketing).
+    * fact table), and the threshold row falls out of a BUCKETED TWO-PASS
+    * (r9 verdict #4): the r9c single-window formulation sorted the
+    * "price-NDV-bounded" relation in |returnflag| = 3 window partitions,
+    * but l_extendedprice is ~unique per row (583k distinct / 600k rows
+    * at sf0.1), so those were 3 single-task sorts of n/3 rows each at
+    * ANY scale. Now prices coarsen to range buckets (floor(price/100) —
+    * domain-bounded: ~1k buckets over TPC-H's price range regardless of
+    * row count), one decimal window over the per-flag BUCKET sums
+    * locates the single bucket containing the weighted midpoint plus
+    * the exact cumulative weight entering it, and only THAT bucket's
+    * distinct prices (bucket-width-bounded: ≤ 100·cents granularity
+    * rows per flag) are sorted to pick the first price whose offset+run
+    * crosses half the total. Every sum is an exact decimal, so the
+    * picked price is identical to the single-window formulation row for
+    * row — the oracle keeps the direct formulation and the hash gate
+    * proves the equivalence. Both passes consume the SAME per-price
+    * aggregate (one fact-table hash agg; the second consumer rides
+    * ReuseExchange), and every window input is bounded by the bucket
+    * grid, not the price NDV.
     */
   private val weightedMedian = Op(
     "agg_weighted_median",
@@ -572,12 +585,33 @@ object Aggs extends OpGroup {
       val byPrice = Tables.lineitem(s, sf)
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
         .agg(sum(dec(col("l_quantity"))).as("w"))
-      val wRun = Window.partitionBy("l_returnflag").orderBy("price")
+        .withColumn("bkt", floor(col("price") / 100).cast("long"))
+      // Pass 1: per-flag bucket sums (≤ ~1k rows/flag), running + total
+      // decimal windows over the bucket grid, first bucket whose
+      // cumulative weight reaches half the total. `off` = exact weight
+      // strictly before the median bucket.
+      val bRun = Window.partitionBy("l_returnflag").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("l_returnflag")
-      byPrice
-        .withColumn("cum", sum(col("w")).over(wRun))
-        .withColumn("tot", sum(col("w")).over(wAll))
+      val medBucket = byPrice
+        .groupBy(col("l_returnflag"), col("bkt")).agg(sum(col("w")).as("bw"))
+        .withColumn("cumb", sum(col("bw")).over(bRun))
+        .withColumn("tot", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
+        .filter(col("cumb") * 2 >= col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("bkt")))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("bkt"),
+          (col("cumb") - col("bw")).as("off"), col("tot"))
+      // Pass 2: sort ONLY the median bucket's distinct prices; the
+      // first price whose offset-adjusted running weight crosses half
+      // the total is the weighted median. Prices in earlier buckets
+      // have cum ≤ cumb(bucket) < tot/2 so none can qualify; the median
+      // bucket's last price reaches cumb ≥ tot/2 so one always does —
+      // exact equivalence to the unbucketed scan by construction.
+      val pRun = Window.partitionBy("l_returnflag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byPrice.join(broadcast(medBucket), Seq("l_returnflag", "bkt"))
+        .withColumn("cum", col("off") + sum(col("w")).over(pRun))
         .filter(col("cum") * 2 >= col("tot"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("l_returnflag").orderBy("price")))

@@ -205,8 +205,15 @@ object TextOps extends OpGroup {
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // The df (vocabulary) side joins as a PLAIN shuffle equi-join on
+      // word — never a broadcast hint (r9 verdict #3): a web corpus's
+      // vocabulary is unbounded, so a forced vocab broadcast is a
+      // driver OOM at scale, while the shuffle join costs one exchange
+      // of the already-shuffled-by-word tf relation's keys. (AQE may
+      // still ELECT to broadcast when the measured vocab is small —
+      // that runtime decision is exactly the right altitude for it.)
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "word")
+      tf.join(df, "word")
         .crossJoin(broadcast(nDf))
         .withColumn("bucket",
           expr("cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint) % 64"))
@@ -243,7 +250,10 @@ object TextOps extends OpGroup {
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("weight").desc, col("word").asc)
-      tf.join(broadcast(df), "word")
+      // Plain shuffle join on word, same rationale as text_hashed_tfidf:
+      // the vocabulary is unbounded at corpus scale, so no broadcast
+      // hint on the df side (r9 verdict #3).
+      tf.join(df, "word")
         .crossJoin(broadcast(nDf))
         .withColumn("weight", r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
         .withColumn("rk", row_number().over(w))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions for the r9-verdict weak-plan fixes: each of
+  * these operators was CORRECT but carried a plan that would not survive
+  * a 100× scale-up (double fact scan, unbounded broadcast, fact-sized
+  * window sort). The oracle gate proves the values; these tests pin the
+  * SHAPE so a refactor can't silently regress the scale property.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    executed.toString
+  }
+
+  test("sql_tpch_q11 executes a single lineitem scan (total derived from the per-partkey agg)") {
+    val df = SparkEntry.queries("sql_tpch_q11")(spark, sf)
+    val plan = finalPlan(df)
+    // The grand-total branch re-references the per-partkey aggregate's
+    // subtree; both sides hash-partition on l_partkey over an identical
+    // child, so exchange/stage reuse must serve the second consumer from
+    // the first shuffle's output — never a second fact scan.
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected exactly 1 lineitem scan (got $lineitemScans):\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+      s"expected the total branch to reuse the per-partkey exchange:\n$plan")
+  }
+
+  test("text_keywords_tfidf plans no static broadcast of the vocabulary relation") {
+    // The df (per-word document frequency) side is unbounded at corpus
+    // scale: it must never carry a FORCED broadcast hint — the hint
+    // overrides the size statistics that would (correctly) pick a
+    // shuffle join once the vocabulary outgrows the threshold. The cost
+    // model choosing broadcast at spec scale from measured statistics
+    // is fine — that decision flips on its own at scale. So the
+    // assertion is on the analyzed LOGICAL plan: the only ResolvedHint
+    // allowed is the 1-row corpus-N relation (output n_docs), never the
+    // vocabulary relation (output df).
+    for (key <- Seq("text_keywords_tfidf", "text_hashed_tfidf")) {
+      val analyzed = SparkEntry.queries(key)(spark, sf).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.forall(h => !h.child.output.exists(_.name == "df")),
+        s"$key carries a broadcast hint on the vocabulary relation:\n$analyzed")
+    }
+  }
+
+  test("agg_weighted_median sorts only the median bucket, not the price-NDV relation") {
+    val df = SparkEntry.queries("agg_weighted_median")(spark, sf)
+    val plan = finalPlan(df)
+    // Every Window node's input must be either the bucket-grid relation
+    // (grouped by bkt — domain-bounded) or the single-bucket join output
+    // — never the raw per-price aggregate. Structural witness: the plan
+    // joins on bkt before the per-price running window, i.e. a join node
+    // references the bkt key.
+    assert(plan.contains("bkt"),
+      s"expected the bucket key in the executed plan:\n$plan")
+    val joinsOnBkt = plan.linesIterator.exists(l =>
+      (l.contains("Join") || l.contains("join")) && l.contains("bkt"))
+    assert(joinsOnBkt,
+      s"expected the price window input to be pruned by a bucket join:\n$plan")
+  }
+}
