@@ -72,8 +72,15 @@ object Vectors extends OpGroup {
     * the shuffle carries ≤k entries per (query × partition) — never the
     * O(n²) pair rows. No driver collect, no mapPartitions: the executors
     * stream queries against the broadcast side inside WholeStageCodegen.
-    * At 100 TB the broadcast side is an IVF/LSH bucket, not the corpus
-    * (vec_ann_ivf is that shape); the plan is unchanged either way.
+    *
+    * TIER NOTE (r10): this key is the engine's deliberate EXACT tier —
+    * the ground-truth generator the approximate family is measured
+    * against (VectorSpec recall bounds all reference it). It is
+    * all-pairs BY CONTRACT and priced accordingly: run it on a query
+    * set × an IVF/LSH bucket, never corpus × corpus. The corpus-scale
+    * members of the family are `vec_ann_ivf` / `vec_pq_adc_probe`
+    * (index + probe) and the SRP-blocked `vec_knn_graph` (which r10
+    * moved off this all-pairs shape onto the candidate graph).
     */
   private val cosineTopk = Op(
     "vec_cosine_topk",
@@ -697,52 +704,80 @@ object Vectors extends OpGroup {
     * codegen'd vec_dot on candidates only (~2% of the pair space at
     * sf0.1) — the same plan per bucket at any scale, never all-pairs.
     */
+  /** The SRP-LSH candidate pair set (a_vec_id < b_vec_id): vectors
+    * colliding on at least one of the two 8-bit hyperplane-sign band
+    * keys. Deterministic and engine-portable end to end (LCG-rational
+    * planes, decimal-summed projections, integer bit-packs), so the set
+    * is ORACLE-EXACT — which is what lets every consumer (the pair op,
+    * the blocked mutual-kNN graph, the semantic-dedup decision table)
+    * stay under the DuckDB hash gate. First-collision emission (the
+    * minhashLshPairs discipline): each row carries BOTH band keys flat,
+    * the self-join runs on the exploded (band_idx, bkey), and a pair
+    * colliding in both bands is emitted only from band 0 — candidates
+    * unique BY CONSTRUCTION, no post-join distinct shuffle, and the
+    * signature subtree is referenced twice (join sides) instead of four
+    * times.
+    */
+  private[graft] def srpCandidates(s: SparkSession, sf: String): DataFrame =
+    srpCandidatesOf(s, normed(s, sf))
+
+  /** [[srpCandidates]] over any (vec_id, embedding, nrm) relation —
+    * the corpus-agnostic seam VectorSpec drives with planted near-dup
+    * clusters to witness the recall side of the blocking trade.
+    */
+  private[graft] def srpCandidatesOf(s: SparkSession, v: DataFrame): DataFrame = {
+    val e = v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
+    // Constant relation seeded from range(1) (the pqAdcFixed pattern)
+    // — deriving it from an aggregate of the corpus would cost a full
+    // discarded scan just to obtain one row.
+    val planes = s.range(1)
+      .select(explode(sequence(lit(0), lit(15))).as("j"))
+      .select(col("j"), explode(sequence(lit(0), lit(63))).as("d"))
+      .withColumn("h",
+        ((lit(1103515245L) * (col("j") * 64 + col("d")) + lit(12345L)) % lit(2147483648L))
+          .cast("double") / lit(1073741824.0) - lit(1.0))
+    val dots = e.join(broadcast(planes), "d")
+      .groupBy("vec_id", "j")
+      .agg(sum(dec(r6(col("h") * col("x")))).as("dot"))
+    val keys = dots.groupBy("vec_id").agg(
+      sum(when(col("j") < 8 && col("dot") >= 0,
+        expr("shiftleft(1, cast(j as int))")).otherwise(0)).cast("int").as("k0"),
+      sum(when(col("j") >= 8 && col("dot") >= 0,
+        expr("shiftleft(1, cast(j - 8 as int))")).otherwise(0)).cast("int").as("k1"))
+    val bands = keys.select(col("vec_id"), col("k0"),
+      posexplode(array(col("k0"), col("k1"))).as(Seq("band_idx", "bkey")))
+    def side(p: String) = bands.select(col("vec_id").as(s"${p}_vec_id"),
+      col("k0").as(s"${p}_k0"), col("band_idx"), col("bkey"))
+    side("a").join(side("b"), Seq("band_idx", "bkey"))
+      .filter(col("a_vec_id") < col("b_vec_id"))
+      .filter(col("band_idx") === 0 || col("a_k0") =!= col("b_k0"))
+      .select("a_vec_id", "b_vec_id")
+  }
+
+  /** Exact-cosine verification of a (a_vec_id, b_vec_id) candidate
+    * relation: join both embedding sides, evaluate the codegen'd dot.
+    * Emits the RAW sim (callers round survivors — the r2 lesson).
+    */
+  private[graft] def cosineOfPairs(s: SparkSession, sf: String, cand: DataFrame): DataFrame =
+    cosineOfPairsOf(normed(s, sf), cand)
+
+  private[graft] def cosineOfPairsOf(v: DataFrame, cand: DataFrame): DataFrame = {
+    val va = v.select(col("vec_id").as("a_vec_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val vb = v.select(col("vec_id").as("b_vec_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    cand.join(va, "a_vec_id").join(vb, "b_vec_id")
+      .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
+      .drop("a_emb", "a_nrm", "b_emb", "b_nrm")
+  }
+
   private val srpLshPairs = Op(
     "vec_srp_lsh_pairs",
-    (s, sf) => {
-      val v = normed(s, sf)
-      val e = v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
-        .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
-      // Constant relation seeded from range(1) (the pqAdcFixed pattern)
-      // — deriving it from an aggregate of the corpus would cost a full
-      // discarded scan just to obtain one row.
-      val planes = s.range(1)
-        .select(explode(sequence(lit(0), lit(15))).as("j"))
-        .select(col("j"), explode(sequence(lit(0), lit(63))).as("d"))
-        .withColumn("h",
-          ((lit(1103515245L) * (col("j") * 64 + col("d")) + lit(12345L)) % lit(2147483648L))
-            .cast("double") / lit(1073741824.0) - lit(1.0))
-      val dots = e.join(broadcast(planes), "d")
-        .groupBy("vec_id", "j")
-        .agg(sum(dec(r6(col("h") * col("x")))).as("dot"))
-      val keys = dots.groupBy("vec_id").agg(
-        sum(when(col("j") < 8 && col("dot") >= 0,
-          expr("shiftleft(1, cast(j as int))")).otherwise(0)).cast("int").as("k0"),
-        sum(when(col("j") >= 8 && col("dot") >= 0,
-          expr("shiftleft(1, cast(j - 8 as int))")).otherwise(0)).cast("int").as("k1"))
-      // First-collision emission (the minhashLshPairs discipline): each
-      // row carries BOTH band keys flat, the self-join runs on the
-      // exploded (band_idx, bkey), and a pair colliding in both bands is
-      // emitted only from band 0 — candidates unique BY CONSTRUCTION, no
-      // post-join distinct shuffle, and the signature subtree is
-      // referenced twice (join sides) instead of four times.
-      val bands = keys.select(col("vec_id"), col("k0"),
-        posexplode(array(col("k0"), col("k1"))).as(Seq("band_idx", "bkey")))
-      def side(p: String) = bands.select(col("vec_id").as(s"${p}_vec_id"),
-        col("k0").as(s"${p}_k0"), col("band_idx"), col("bkey"))
-      val cand = side("a").join(side("b"), Seq("band_idx", "bkey"))
-        .filter(col("a_vec_id") < col("b_vec_id"))
-        .filter(col("band_idx") === 0 || col("a_k0") =!= col("b_k0"))
-        .select("a_vec_id", "b_vec_id")
-      val va = v.select(col("vec_id").as("a_vec_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-      val vb = v.select(col("vec_id").as("b_vec_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-      cand.join(va, "a_vec_id").join(vb, "b_vec_id")
-        .select(col("a_vec_id"), col("b_vec_id"),
-          r6(expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
-        .orderBy("a_vec_id", "b_vec_id")
-    },
+    (s, sf) =>
+      cosineOfPairs(s, sf, srpCandidates(s, sf))
+        .select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("cos_sim"))
+        .orderBy("a_vec_id", "b_vec_id"),
     Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings) SELECT c.a_vec_id, c.b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id ORDER BY c.a_vec_id, c.b_vec_id"""),
   )
 
@@ -844,43 +879,60 @@ object Vectors extends OpGroup {
     }
   }
 
-  /** MUTUAL k-NN GRAPH construction (r9c) — the edge list semantic-dedup
-    * clustering and manifold methods (UMAP-style) start from: an edge
-    * (u, v) exists iff v is in u's top-5 cosine neighbors AND u is in
-    * v's. Mutuality is the standard noise filter — a hub vector appears
-    * in thousands of top-k lists, but keeps only the neighbors it
-    * reciprocates, so the graph's degree is ≤ k everywhere and CC over
-    * it ([[graft.ops.Clusters.connectedComponents]]) yields tight
-    * semantic clusters rather than hub-collapsed blobs. Built from the
-    * same broadcast + [[graft.functions.VecTopK]] bounded-heap pipeline
-    * as [[cosineTopk]] (ranks on the raw double, rounds survivors), then
-    * one self-equi-join of the O(n·k) top-k relation on the reversed
-    * pair — never a second pair pass. cos(u,v) ≡ cos(v,u) exactly (the
-    * dot fold runs the identical index order), so emitting from the
-    * u < v side loses nothing. At 100 TB the top-k feeder swaps to the
-    * IVF/LSH-bucketed path (vec_ann_ivf) with the same downstream join.
+  /** MUTUAL k-NN GRAPH construction (r9c; LSH-BLOCKED r10 — the r9
+    * verdict #5 scale fix) — the edge list semantic-dedup clustering and
+    * manifold methods (UMAP-style) start from: an edge (u, v) exists iff
+    * v is in u's top-5 cosine neighbors AND u is in v's. Mutuality is
+    * the standard noise filter — a hub vector appears in thousands of
+    * top-k lists, but keeps only the neighbors it reciprocates, so the
+    * graph's degree is ≤ k everywhere and CC over it yields tight
+    * semantic clusters rather than hub-collapsed blobs.
+    *
+    * r9 ranked every vector against a broadcast of the ENTIRE corpus —
+    * the canonical all-pairs scale-killer. Now the neighbor pool per
+    * vector is its [[srpCandidates]] SRP-LSH collision set (~2% of the
+    * pair space at sf0.1): candidates symmetrize (u's pool must see v
+    * whenever v's sees u), the codegen'd dot evaluates on candidates
+    * only, the bounded-heap [[graft.functions.VecTopK]] partial-
+    * aggregates top-5 per vector, and one self-equi-join on the
+    * reversed pair applies mutuality — work is Σ bucket², never n².
+    * The candidate set is oracle-exact (deterministic LCG hyperplanes +
+    * decimal sign arithmetic), so the WHOLE blocked graph stays under
+    * the DuckDB hash gate — the approximation vs the exact graph is
+    * therefore engine-identical and measured, not vibes: VectorSpec
+    * pins recall of the blocked edges against the brute-force mutual
+    * graph. [[cosineTopk]] remains the deliberate exact-tier dual
+    * (query-set-sized, never corpus×corpus at scale).
     */
+  /** The blocked mutual-kNN pipeline over any (vec_id, embedding, nrm)
+    * relation: SRP candidates → symmetrize → exact cosine on candidates
+    * only → bounded-heap top-k per vector → mutuality self-join.
+    */
+  private[graft] def blockedMutualKnn(s: SparkSession, v: DataFrame, k: Int = 5): DataFrame = {
+    FloatVecDot.register(s)
+    graft.functions.VecTopK.register(s)
+    val cand = srpCandidatesOf(s, v)
+    // Symmetrize: each undirected candidate pair feeds BOTH endpoint
+    // pools. cos(u,v) ≡ cos(v,u) exactly (identical fold order), so
+    // computing the dot once per direction costs one extra codegen
+    // pass but no parity risk; the relation stays O(candidates).
+    val directed = cand.union(cand.select(
+      col("b_vec_id").as("a_vec_id"), col("a_vec_id").as("b_vec_id")))
+    val top = topkSelect(cosineOfPairsOf(v, directed), k)
+    top.as("x").join(top.as("y"),
+        col("y.a_vec_id") === col("x.b_vec_id") &&
+          col("y.b_vec_id") === col("x.a_vec_id"))
+      .filter(col("x.a_vec_id") < col("x.b_vec_id"))
+      .select(col("x.a_vec_id").as("u"), col("x.b_vec_id").as("v"),
+        col("x.cos_sim").as("cos_sim"),
+        col("x.rk").as("rk_uv"), col("y.rk").as("rk_vu"))
+      .orderBy("u", "v")
+  }
+
   private val knnGraph = Op(
     "vec_knn_graph",
-    (s, sf) => {
-      val v = normed(s, sf)
-      val a = v.select(col("vec_id").as("a_vec_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-      val b = v.select(col("vec_id").as("b_vec_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-      val pairs = a.join(broadcast(b), col("a_vec_id") =!= col("b_vec_id"))
-        .withColumn("sim", expr("vec_dot(a_emb, b_emb)") / (col("a_nrm") * col("b_nrm")))
-      val top = topkSelect(pairs, 5)
-      top.as("x").join(top.as("y"),
-          col("y.a_vec_id") === col("x.b_vec_id") &&
-            col("y.b_vec_id") === col("x.a_vec_id"))
-        .filter(col("x.a_vec_id") < col("x.b_vec_id"))
-        .select(col("x.a_vec_id").as("u"), col("x.b_vec_id").as("v"),
-          col("x.cos_sim").as("cos_sim"),
-          col("x.rk").as("rk_uv"), col("y.rk").as("rk_vu"))
-        .orderBy("u", "v")
-    },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM v a JOIN v b ON a.vec_id <> b.vec_id), t AS (SELECT a_vec_id, b_vec_id, sim, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY sim DESC, b_vec_id) AS INT) AS rk FROM p QUALIFY rk <= 5) SELECT x.a_vec_id AS u, x.b_vec_id AS v, ROUND(1e-9 + x.sim, 6) AS cos_sim, x.rk AS rk_uv, y.rk AS rk_vu FROM t x JOIN t y ON y.a_vec_id = x.b_vec_id AND y.b_vec_id = x.a_vec_id WHERE x.a_vec_id < x.b_vec_id ORDER BY u, v"""),
+    (s, sf) => blockedMutualKnn(s, normed(s, sf)),
+    Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id <> b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), p AS (SELECT c.a_vec_id, c.b_vec_id, list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) AS sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id), t AS (SELECT a_vec_id, b_vec_id, sim, CAST(ROW_NUMBER() OVER (PARTITION BY a_vec_id ORDER BY sim DESC, b_vec_id) AS INT) AS rk FROM p QUALIFY rk <= 5) SELECT x.a_vec_id AS u, x.b_vec_id AS v, ROUND(1e-9 + x.sim, 6) AS cos_sim, x.rk AS rk_uv, y.rk AS rk_vu FROM t x JOIN t y ON y.a_vec_id = x.b_vec_id AND y.b_vec_id = x.a_vec_id WHERE x.a_vec_id < x.b_vec_id ORDER BY u, v"""),
   )
 
   /** Inter-label centroid distance matrix (r9d) — pairwise cosine and

@@ -283,4 +283,73 @@ class VectorSpec extends SparkSpec {
       s"nprobe=4 recall $rProbe collapsed vs full ADC $rFull")
     exact.unpersist()
   }
+
+  test("vec_knn_graph blocking: candidate recall of brute edges matches the Charikar prediction") {
+    // r10: vec_knn_graph ranks each vector only within its SRP-LSH
+    // candidate pool (never corpus×corpus). On THIS corpus — isotropic
+    // 64-d gaussians, where even true top-5 neighbors sit at cos ≈ 0.33
+    // — hyperplane LSH recall is LOW by mathematics, not by bug:
+    // P[8-bit band collision] = (1 − θ/π)^8 ≈ 2-4% per band at those
+    // angles (Charikar 2002), so end-to-end graph recall vs brute force
+    // measures ≈ 0.07 at both spec tiers. The honest assertion is not a
+    // recall floor pulled from air but CONSISTENCY WITH THE PREDICTION:
+    // sum the per-edge collision probability 1 − (1 − p^8)^2 over the
+    // brute mutual edges' true sims and require the measured candidate
+    // hits to land near that expectation. The planted-cluster test
+    // below witnesses the other side: at genuine near-dup angles the
+    // same pipeline recovers nearly everything.
+    val top = SparkEntry.queries("vec_cosine_topk")(spark, sf)
+    val brute = top.as("x").join(top.as("y"),
+        col("y.a_vec_id") === col("x.b_vec_id") &&
+          col("y.b_vec_id") === col("x.a_vec_id"))
+      .filter(col("x.a_vec_id") < col("x.b_vec_id"))
+      .select(col("x.a_vec_id").as("u"), col("x.b_vec_id").as("v"),
+        col("x.cos_sim").as("sim")).cache()
+    val cand = ops.Vectors.srpCandidates(spark, sf)
+      .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+    val hits = brute.join(cand, Seq("u", "v"), "left_semi").count().toDouble
+    val predicted = brute.select(col("sim")).collect().map { r =>
+      val p = 1.0 - math.acos(math.min(1.0, r.getDouble(0))) / math.Pi
+      val band = math.pow(p, 8)
+      1.0 - math.pow(1.0 - band, 2)
+    }.sum
+    info(s"brute edges ${brute.count()}, candidate hits $hits, Charikar-predicted $predicted")
+    assert(hits > 0, "SRP candidates recovered no brute edge at all")
+    assert(hits >= predicted * 0.4 && hits <= predicted * 3.0,
+      s"candidate hits $hits far from the Charikar prediction $predicted — blocking arithmetic broke")
+    brute.unpersist()
+  }
+
+  test("vec_knn_graph blocking recovers planted near-dup clusters (the angles the dial is tuned for)") {
+    // 40 clusters × 4 members at cos ≥ 0.999 (ε = 0.02 gaussian jitter
+    // on a shared base): at those angles the per-pair band-collision
+    // probability is ≈ 0.99, so the SRP-blocked mutual-kNN pipeline
+    // must recover nearly every intra-cluster edge — this is the
+    // production claim (near-dups collide; isotropic noise does not,
+    // which is what KEEPS the candidate set at ~2% of the pair space).
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def gauss64(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    def renorm(a: Array[Double]): Array[Float] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 40).flatMap { c =>
+      val base = gauss64()
+      (0 until 4).map { m =>
+        val e = renorm(base.zip(gauss64()).map { case (b, g) => b + 0.02 * g })
+        (c.toLong * 4 + m, e)
+      }
+    }
+    val v = rows.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val blocked = ops.Vectors.blockedMutualKnn(spark, v)
+      .select(col("u"), col("v")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val intra = (for { c <- 0 until 40; i <- 0 until 4; j <- i + 1 until 4 }
+      yield (c.toLong * 4 + i, c.toLong * 4 + j)).toSet
+    val recovered = intra.count(blocked.contains).toDouble / intra.size
+    info(s"planted intra-cluster edges ${intra.size}, recovered fraction $recovered")
+    assert(recovered >= 0.8,
+      s"blocked mutual-kNN recovered only $recovered of planted near-dup edges")
+  }
 }
