@@ -494,8 +494,20 @@ object Vectors extends OpGroup {
     vs.foreach(releaseModel)
   }
 
+  /** Training-pass counter — spec instrumentation for the persistence
+    * contract: serving a probe from a parquet-reloaded index must not
+    * re-enter the Lloyd loops (PqIndexSpec asserts the count is flat
+    * across a cold reload).
+    */
+  private[graft] val pqTrainCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def pqModel(s: SparkSession, sf: String): (DataFrame, DataFrame, DataFrame) =
     memoized(s, sf, "pq") {
+      // Self-contained registration: in a fresh session whose FIRST op
+      // is a PQ one, nothing else has registered the codegen kernel yet
+      // (surfaced by PqIndexSpec's cold-session path).
+      FloatVecDot.register(s)
+      pqTrainCounter.incrementAndGet()
       val coarse = pqCoarse(s, sf)
       val sub = pqSubvectors(s, sf, coarse).repartition(32).localCheckpoint()
       (coarse, sub, pqTrain(s, sub))
@@ -544,6 +556,20 @@ object Vectors extends OpGroup {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (coarse, sub, cb) = pqModel(s, sf)
     val codes = pqNearest(sub, cb).select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+    adcTablesFrom(s, sf, coarse, cb, codes)
+  }
+
+  /** The three ADC lookup tables for a GIVEN model (coarse quantizer,
+    * residual codebook, codes relation) — the seam that lets the same
+    * query path serve the in-session trained model ([[adcTables]]) or a
+    * parquet-RELOADED index ([[pqPersistedModel]]): a production vector
+    * index is built once and served many times, so the search arithmetic
+    * must not care where the model came from.
+    */
+  private def adcTablesFrom(s: SparkSession, sf: String, coarse: DataFrame,
+      cb: DataFrame, codes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    FloatVecDot.register(s)
     val sd = 64 / PqM
     val qsub = Tables.embeddings(s, sf).filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_vec_id"), explode(expr(
@@ -605,8 +631,12 @@ object Vectors extends OpGroup {
     * work at ≈0.7× the full-ADC recall on the spec fixture — the
     * recall/cost dial every IVF deployment tunes).
     */
-  private[graft] def pqAdcProbe(s: SparkSession, sf: String, nprobe: Int): DataFrame = {
-    val (codes, tabA, tabB, tabC) = adcTables(s, sf)
+  private[graft] def pqAdcProbe(s: SparkSession, sf: String, nprobe: Int): DataFrame =
+    pqAdcProbeFrom(adcTables(s, sf), nprobe)
+
+  private def pqAdcProbeFrom(t: (DataFrame, DataFrame, DataFrame, DataFrame),
+      nprobe: Int): DataFrame = {
+    val (codes, tabA, tabB, tabC) = t
     val probes = tabA.groupBy(col("q_vec_id"), col("ccid"))
       .agg(sum(col("a")).as("cd2"))
       .withColumn("prk", row_number().over(
@@ -625,6 +655,68 @@ object Vectors extends OpGroup {
   private val pqAdcProbeOp = Op(
     "vec_pq_adc_probe",
     (s, sf) => pqAdcProbe(s, sf, 4),
+    None,
+  )
+
+  /** Fingerprint-keyed on-disk home of the trained IVFADC index: a
+    * regenerated embeddings table invalidates the artifacts (the
+    * [[Tables.cachedDir]] contract — superseded generations vacuumed),
+    * so a stale index can never serve a new corpus.
+    */
+  private[graft] def pqIndexDir(s: SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "embeddings"))
+
+  /** PERSIST-or-RELOAD the trained IVFADC index (r10, the r9 verdict's
+    * missing lifecycle half): a real 100 TB vector index is built ONCE
+    * and SERVED — the in-session model memo dies with the session, so
+    * the trained coarse quantizer (Kc rows), residual codebook (M·K
+    * rows) and the codes relation (n×M — the only corpus-scale
+    * artifact, the thing a cluster would write cell-partitioned) are
+    * written as parquet under the fingerprint-keyed dir on first
+    * demand, and every subsequent call — including a COLD session that
+    * never trained — answers from the files alone. Floats and doubles
+    * round-trip parquet bit-exactly and training is order-free
+    * deterministic (decimal means), so reload ≡ retrain to the last
+    * bit; PqIndexSpec asserts probe-result equality against the
+    * in-memory model AND that a cold reload performs zero training
+    * passes ([[pqTrainCounter]]).
+    */
+  private[graft] def pqPersistedModel(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = pqIndexDir(s, sf)
+    val parts = Seq("coarse", "codebook", "codes")
+    if (!parts.forall(p => new java.io.File(s"$dir/$p", "_SUCCESS").exists())) {
+      val (coarse, sub, cb) = pqModel(s, sf)
+      val codes = pqNearest(sub, cb)
+        .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      cb.write.mode("overwrite").parquet(s"$dir/codebook")
+      // The 100 TB layout note: at scale this write partitions by ccid
+      // (partitionBy("ccid")) so the probe's cell pruning becomes
+      // directory pruning; the fixture index is small enough that the
+      // flat file keeps the spec read path simple.
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    (s.read.parquet(s"$dir/coarse"),
+      s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/codes"))
+  }
+
+  /** Reload-and-search: serve `vec_pq_adc_probe`'s exact query path
+    * (nprobe = 4) from the PERSISTED index — the op a fresh session
+    * runs against an index built by an earlier one. No oracle (trained
+    * quantizer), spec-gated: PqIndexSpec pins reload ≡ in-memory
+    * retrain row-for-row plus the zero-training cold path.
+    */
+  private val pqIndexReload = Op(
+    "vec_pq_index_reload",
+    (s, sf) => {
+      val (coarse, cb, codes) = pqPersistedModel(s, sf)
+      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+    },
     None,
   )
 
@@ -779,6 +871,45 @@ object Vectors extends OpGroup {
         .select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("cos_sim"))
         .orderBy("a_vec_id", "b_vec_id"),
     Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings) SELECT c.a_vec_id, c.b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id ORDER BY c.a_vec_id, c.b_vec_id"""),
+  )
+
+  /** COMPOSED SEMANTIC-DEDUP DECISION TABLE (r10, SemDeDup-shaped —
+    * Abbas et al. 2023's pipeline skeleton) — the one keyed op that runs
+    * embedding-space near-dup end to end the way `etl_curation_pipeline`
+    * composes the text-side gates: SRP-LSH candidates
+    * ([[srpCandidates]], ~2% of the pair space) → exact-cosine verify at
+    * the calibrated 0.4 threshold (the `dedup_embedding_cosine`
+    * threshold, RAW-sim compare) → connected components over the
+    * verified pair graph ([[Clusters.connectedComponents]] — the same
+    * min-contraction engine the text-side keep-one table uses) → a
+    * keep/drop row per VECTOR with the canonical representative
+    * (component min id), cluster size, and the drop reason. At 100 TB
+    * every stage is already blocked: candidates are Σ bucket², the
+    * verify touches candidates only, CC is the geometric-contraction
+    * loop. The candidate set and sims are deterministic
+    * integer/decimal arithmetic, so the WHOLE composition — including
+    * the cluster assignment — is oracled (recursive-CTE closure over
+    * the identically-derived pair graph in DuckDB).
+    */
+  private val semanticClusters = Op(
+    "dedup_semantic_clusters",
+    (s, sf) => {
+      val verified = cosineOfPairs(s, sf, srpCandidates(s, sf))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+      val nodes = Tables.embeddings(s, sf).select(col("vec_id").as("node"))
+      val cc = Clusters.connectedComponents(nodes, verified)
+      cc.select(col("node").as("vec_id"), col("label").as("canonical_vec_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("canonical_vec_id"))))
+        .withColumn("keep", col("vec_id") === col("canonical_vec_id"))
+        .withColumn("reason",
+          when(col("vec_id") =!= col("canonical_vec_id"), "semantic_near_dup")
+            .when(col("cluster_size") === 1, "unique")
+            .otherwise("cluster_canonical"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""),
   )
 
   /** Top principal component of the embedding corpus (r9) — the
@@ -981,5 +1112,6 @@ object Vectors extends OpGroup {
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
-    srpLshPairs, pcaTopComponent, knnGraph, centroidDistances)
+    srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
+    pqIndexReload)
 }

@@ -352,4 +352,29 @@ class VectorSpec extends SparkSpec {
     assert(recovered >= 0.8,
       s"blocked mutual-kNN recovered only $recovered of planted near-dup edges")
   }
+
+  test("dedup_semantic_clusters: total decision table, canonical = component min, verified pairs co-cluster") {
+    val t = SparkEntry.queries("dedup_semantic_clusters")(spark, sf).cache()
+    // One decision row per corpus vector (keepers AND droppers — the
+    // table a pipeline joins against, so it must be total).
+    assert(t.count() == Tables.embeddings(spark, sf).count())
+    assert(t.filter(col("canonical_vec_id") > col("vec_id")).count() == 0,
+      "canonical must be its component's minimum id")
+    assert(t.filter(col("keep") =!= (col("vec_id") === col("canonical_vec_id"))).count() == 0,
+      "keep must mark exactly the canonical row")
+    assert(t.filter(col("cluster_size") === 1 && col("reason") =!= "unique").count() == 0)
+    // Every verified near-dup pair (SRP candidate at cos >= 0.4) must
+    // land in the same cluster — the CC stage may only MERGE, never
+    // split, the verified graph.
+    val verified = ops.Vectors.cosineOfPairs(spark, sf,
+        ops.Vectors.srpCandidates(spark, sf))
+      .filter(col("sim") >= 0.4).select(col("a_vec_id"), col("b_vec_id"))
+    val lbl = t.select(col("vec_id"), col("canonical_vec_id"))
+    val broken = verified
+      .join(lbl.toDF("a_vec_id", "ca"), "a_vec_id")
+      .join(lbl.toDF("b_vec_id", "cb"), "b_vec_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(broken == 0, s"$broken verified near-dup pairs split across clusters")
+    t.unpersist()
+  }
 }
