@@ -411,7 +411,342 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) AS part_value FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_acctbal > 0 GROUP BY l_partkey HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) * 10000 > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_quantity AS DECIMAL(8,0))) AS DOUBLE) FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_acctbal > 0) ORDER BY part_value DESC, l_partkey LIMIT 100"""),
   )
 
+  /** TPC-H Q1 shape (pricing summary report, r10) — the deck's flagship
+    * wide-aggregate scan: one pass over the fact table, eight aggregates
+    * over a 6-group domain. Every sum is decimal-cast pre-SUM (rulebook
+    * §7.3) and every average is the exact decimal total divided once and
+    * r6-rounded — no raw double sums anywhere. Mid-range cutoff
+    * 1998-09-02 (FIXTURES.md: a late cutoff selects everything and the
+    * filter stops testing pushdown).
+    */
+  private val tpchQ1 = Op(
+    "sql_tpch_q1",
+    (s, sf) => {
+      withViews(s, sf, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+               ROUND(1e-9 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price, ROUND(1e-9 + CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  /** TPC-H Q2 shape (minimum-cost supplier, r10): the correlated-MIN
+    * subquery over a derived supply relation. Fixture adaptation: no
+    * partsupp table ships, so the (part, supplier) supply relation is
+    * mined from lineitem with unit cost = min observed
+    * extendedprice/quantity (r6-rounded then decimal — exact MIN/
+    * equality both engines). The ORACLE keeps the literal Q2 correlated
+    * form; the Spark plan builds the region-filtered supply relation
+    * ONCE and takes per-part RANK()=1 (ties = all min-cost suppliers,
+    * exactly the correlated-equality semantics) — the q11 single-scan
+    * discipline: a correlated-subquery formulation would re-aggregate
+    * the fact table twice.
+    */
+  private val tpchQ2 = Op(
+    "sql_tpch_q2",
+    (s, sf) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val ps = Tables.lineitem(s, sf)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(expr("cast(round(1e-9 + l_extendedprice / l_quantity, 6) as decimal(18,6))"))
+          .as("ps_supplycost"))
+      val eu = ps
+        .join(Tables.supplier(s, sf), col("s_suppkey") === col("ps_suppkey"))
+        .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, sf).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+      val best = eu.withColumn("rk", rank().over(
+          Window.partitionBy(col("ps_partkey")).orderBy(col("ps_supplycost"))))
+        .filter(col("rk") === 1)
+      best.join(Tables.part(s, sf).filter(col("p_size") === 15),
+          col("p_partkey") === col("ps_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("ps_supplycost").cast("double").as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, MIN(CAST(ROUND(1e-9 + l_extendedprice / l_quantity, 6) AS DECIMAL(18,6))) AS ps_supplycost FROM lineitem GROUP BY 1, 2) SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(ps_supplycost AS DOUBLE) AS supplycost FROM part, ps, supplier, nation, region WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey AND p_size = 15 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE' AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost) FROM ps ps2, supplier s2, nation n2, region r2 WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE') ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""),
+  )
+
+  /** TPC-H Q6 shape (forecasting revenue change, r10): the pure
+    * scan-filter-aggregate — no join at all, which makes it THE
+    * predicate-pushdown probe of the deck (shipdate + discount +
+    * quantity conjunctions all reach the parquet scan). One decimal
+    * revenue sum; comparisons against double literals are the identical
+    * stored-double vs parsed-literal comparison in both engines.
+    */
+  private val tpchQ6 = Op(
+    "sql_tpch_q6",
+    (s, sf) => {
+      withViews(s, sf, "lineitem")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+      """)
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
+  )
+
+  /** TPC-H Q7 shape (volume shipping, r10): the bidirectional
+    * nation-pair filter — the SAME dimension joined twice (supplier's
+    * nation, customer's nation) with a symmetric OR predicate across the
+    * two copies, plus a year extraction in the group key. Self-joined
+    * dimensions under a cross-copy disjunction is a join shape nothing
+    * else in the deck subset exercises.
+    */
+  private val tpchQ7 = Op(
+    "sql_tpch_q7",
+    (s, sf) => {
+      withViews(s, sf, "supplier", "lineitem", "orders", "customer", "nation")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                 l_extendedprice, l_discount
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+      """)
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year"""),
+  )
+
+  /** TPC-H Q8 shape (national market share, r10): the deck's widest join
+    * tree — 8 relations, nation joined twice on DIFFERENT sides of the
+    * fact (customer's region gates the market, supplier's nation is the
+    * share numerator) — finished by a conditional-share division. The
+    * CASE keeps both branches decimal so the share is a quotient of two
+    * exact totals, r6-rounded once.
+    */
+  private val tpchQ8 = Op(
+    "sql_tpch_q8",
+    (s, sf) => {
+      withViews(s, sf, "part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      s.sql("""
+        SELECT o_year,
+               ROUND(1e-9 + CAST(SUM(CASE WHEN nation = 'NATION_6' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                          / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+                 n2.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+      """)
+    },
+    Some("""SELECT o_year, ROUND(1e-9 + CAST(SUM(CASE WHEN nation = 'NATION_6' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume, n2.n_name AS nation FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'AMERICA' AND p_type = 'STANDARD' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations GROUP BY o_year ORDER BY o_year"""),
+  )
+
+  /** TPC-H Q9 shape (product-type profit, r10): profit = revenue minus
+    * cost over a LIKE-filtered part family, rolled up per supplier
+    * nation and order year. Fixture adaptation: no partsupp, so unit
+    * supply cost is the 10%-of-retail surrogate (0.1 · p_retailprice) —
+    * the amount expression stays a single double product chain, decimal-
+    * cast once pre-SUM, identical IEEE arithmetic both engines.
+    */
+  private val tpchQ9 = Op(
+    "sql_tpch_q9",
+    (s, sf) => {
+      withViews(s, sf, "part", "supplier", "lineitem", "orders", "nation")
+      s.sql("""
+        SELECT n_name, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%'
+        ) profit
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year DESC
+      """)
+    },
+    Some("""SELECT n_name, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM (SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount FROM part JOIN lineitem ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%red%') profit GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"""),
+  )
+
+  /** TPC-H Q10 shape (returned-item reporting, r10): the quarter-window
+    * returned-revenue ranking — fact filter on the RETURN flag, customer
+    * rollup, top-20 by revenue. The classic "who cost us money this
+    * quarter" report; c_custkey tiebreak makes the LIMIT total-ordered.
+    */
+  private val tpchQ10 = Op(
+    "sql_tpch_q10",
+    (s, sf) => {
+      withViews(s, sf, "customer", "orders", "lineitem", "nation")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """)
+    },
+    Some("""SELECT c_custkey, c_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, c_acctbal, n_name FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+  )
+
+  /** TPC-H Q14 shape (promotion effect, r10): conditional-share over one
+    * month of shipments — CASE-gated numerator over the PROMO part type
+    * (the fixture's literal p_type value) divided by the total, both
+    * exact decimals, one r6 round. The single-month filter makes this
+    * the narrowest-window member of the deck subset.
+    */
+  private val tpchQ14 = Op(
+    "sql_tpch_q14",
+    (s, sf) => {
+      withViews(s, sf, "lineitem", "part")
+      s.sql("""
+        SELECT ROUND(1e-9 + 100.0 *
+                 CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+      """)
+    },
+    Some("""SELECT ROUND(1e-9 + 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""),
+  )
+
+  /** TPC-H Q15 shape (top supplier, r10): the revenue-view-plus-MAX
+    * pattern. The ORACLE keeps the literal view-referenced-twice MAX
+    * subquery; the Spark plan aggregates the quarter's revenue ONCE and
+    * takes RANK()=1 over the ~|supplier|-row aggregate (a one-partition
+    * window over a bounded relation — ties = all max-revenue suppliers,
+    * the literal equality semantics on exact decimals). Spark inlines
+    * CTEs, so the literal form would scan the fact twice — the q11
+    * lesson applied at authoring time.
+    */
+  private val tpchQ15 = Op(
+    "sql_tpch_q15",
+    (s, sf) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, sf)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(18,6))"))
+          .as("total_revenue"))
+      val top = rev.withColumn("rk",
+          rank().over(Window.orderBy(col("total_revenue").desc)))
+        .filter(col("rk") === 1)
+      Tables.supplier(s, sf)
+        .join(top, col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH revenue AS (SELECT l_suppkey AS supplier_no, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue FROM supplier JOIN revenue ON s_suppkey = supplier_no WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY s_suppkey"""),
+  )
+
+  /** TPC-H Q19 shape (discounted revenue, r10): the three-branch
+    * DISJUNCTIVE join predicate — brand/size/quantity conjunctions
+    * OR-ed across branches. The optimizer must still extract the common
+    * p_partkey = l_partkey equi-join under the OR (Catalyst and DuckDB
+    * both do) instead of planning a cartesian filter — exactly what this
+    * op pins cross-engine. Fixture adaptation: no p_container /
+    * l_shipmode columns, so the branches are brand × size-range ×
+    * quantity-range only (the join-under-disjunction shape is intact).
+    */
+  private val tpchQ19 = Op(
+    "sql_tpch_q19",
+    (s, sf) => {
+      withViews(s, sf, "lineitem", "part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity >= 1  AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)
+      """)
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)"""),
+  )
+
+  /** TPC-H Q20 shape (potential part promotion, r10): NESTED IN
+    * subqueries — suppliers IN (fact aggregate HAVING …) whose inner
+    * scan is itself gated by parts IN (LIKE-filtered dimension). Two
+    * levels of semi-join rewrite in one predicate tree. Fixture
+    * adaptation: no partsupp/availqty, so the volume gate is the
+    * supplier's own shipped-quantity total (> 300 — per-supplier annual
+    * quantity is ~scale-invariant in this corpus, so the gate selects a
+    * stable fraction at every tier).
+    */
+  private val tpchQ20 = Op(
+    "sql_tpch_q20",
+    (s, sf) => {
+      withViews(s, sf, "supplier", "lineitem", "part")
+      s.sql("""
+        SELECT s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        ORDER BY s_name
+      """)
+    },
+    Some("""SELECT s_name, s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300) ORDER BY s_name"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
-    tpchQ13, tpchQ11)
+    tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
+    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20)
 }
