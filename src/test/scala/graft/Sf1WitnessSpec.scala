@@ -1,0 +1,96 @@
+package graft
+
+/** sf1 empirical scale witness (r10, the r9 verdict's item 8) — the
+  * blocked families' ScalingSpec exponents re-measured one decade up, on
+  * the deterministic [[GenSf1]] tier (documents/lineitem ×10,
+  * embeddings ×4 over sf0.1). OPT-IN: generation is minutes of I/O and
+  * the runs are tens of seconds each, so the suite only engages when
+  * `GRAFT_SF1_DIR` names a generated fixture dir:
+  *
+  * {{{
+  *   sbt "runMain graft.GenSf1"        # once; writes artifacts/sf1
+  *   GRAFT_SF1_DIR=/root/repo/artifacts/sf1 sbt "testOnly graft.Sf1WitnessSpec"
+  * }}}
+  *
+  * Assertions mirror ScalingSpec's envelope: wall-clock across the 10×
+  * step must stay below 30× (exponent ≈ 1.5 with host noise; a
+  * quadratic plan shows ~100× and cannot pass). `vec_srp_lsh_pairs` is
+  * the documented exception: its band keys are pinned at 2 × 8 bits for
+  * oracle parity, so with buckets FIXED the candidate set grows ~p·n²
+  * (production scales bits with log n to hold Σ bucket² linear —
+  * docs/scale.md). Its witness is therefore the blocking CLAIM itself:
+  * the candidate fraction of the pair space stays at the Charikar
+  * constant (≲ 1.5× the sf0.1 fraction) rather than drifting toward
+  * all-pairs, and wall-clock stays under the 4×-data quadratic envelope.
+  */
+class Sf1WitnessSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private def sf1Dir = sys.env.get("GRAFT_SF1_DIR")
+
+  private def ready: Option[String] = sf1Dir.filter { d =>
+    Seq("documents", "embeddings", "lineitem", "part")
+      .forall(t => new java.io.File(s"$d/$t.parquet").exists())
+  }
+
+  private def time(key: String, dir: String): Double = {
+    val fn = SparkEntry.queries(key)
+    fn(spark, dir).count() // warm codegen + OS file cache for this tier
+    val reps = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    reps.min
+  }
+
+  private val tenXKeys = Seq(
+    "dedup_minhash_lsh",    // Σ bucket² band join, disjoint shard vocabularies
+    "dedup_substring_exact", // inverted window index, linear + Σ df
+    "graph_neighbor_jaccard", // wedge join, constant per-part degree
+  )
+
+  for (key <- tenXKeys) test(s"$key stays sub-quadratic across the 10x sf0.1 -> sf1 step") {
+    assume(ready.isDefined, "GRAFT_SF1_DIR not set or fixture incomplete — run graft.GenSf1 first")
+    val d1 = ready.get
+    val t01 = time(key, sf01)
+    val t1 = time(key, d1)
+    info(f"$key: sf0.1 $t01%.2f s, sf1 $t1%.2f s (10x-step growth ${t1 / math.max(t01, 0.2)}%.1fx)")
+    assert(t1 < 30 * math.max(t01, 0.2),
+      f"$key grew ${t1 / math.max(t01, 0.2)}%.1fx over the 10x sf0.1 -> sf1 step " +
+        "— quadratic-class growth, the blocked plan is not holding at the sf1 tier")
+  }
+
+  test("vec_srp_lsh_pairs candidate fraction holds at the Charikar constant on 4x data") {
+    assume(ready.isDefined, "GRAFT_SF1_DIR not set or fixture incomplete — run graft.GenSf1 first")
+    val d1 = ready.get
+    def stats(dir: String): (Long, Long, Double) = {
+      val n = Tables.embeddings(spark, dir).count()
+      val t0 = System.nanoTime()
+      val cand = graft.ops.Vectors.srpCandidates(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (n, cand, secs)
+    }
+    val (n01, c01, _) = stats(sf01)
+    val (n1, c1, _) = stats(d1)
+    def frac(n: Long, c: Long): Double = c.toDouble / (n.toDouble * (n - 1) / 2)
+    info(f"sf0.1: n=$n01%d cand=$c01%d frac=${frac(n01, c01)}%.4f; " +
+      f"sf1: n=$n1%d cand=$c1%d frac=${frac(n1, c1)}%.4f")
+    // Blocking claim: the candidate set is a CONSTANT (small) fraction of
+    // the pair space set by the hyperplane geometry, not a drift toward 1.
+    assert(frac(n1, c1) < 1.5 * frac(n01, c01) + 1e-9,
+      f"candidate fraction grew ${frac(n1, c1) / frac(n01, c01)}%.2fx across shards " +
+        "— shard decorrelation or the band keys are broken")
+    assert(frac(n1, c1) < 0.10,
+      f"candidate fraction ${frac(n1, c1)}%.4f exceeds 10%% of the pair space — blocking is not pruning")
+    // Wall-clock: fixed 256-bucket bands make candidates ~p·n² here, so
+    // the envelope on a 4x step is the quadratic 16x with headroom only
+    // for the job floor — an all-pairs regression (p -> 1, 50x the work)
+    // still cannot pass.
+    val t01 = time("vec_srp_lsh_pairs", sf01)
+    val t1 = time("vec_srp_lsh_pairs", d1)
+    info(f"vec_srp_lsh_pairs: sf0.1 $t01%.2f s, sf1 $t1%.2f s (4x-step growth ${t1 / math.max(t01, 0.2)}%.1fx)")
+    assert(t1 < 16 * math.max(t01, 0.2),
+      f"vec_srp_lsh_pairs grew ${t1 / math.max(t01, 0.2)}%.1fx on a 4x step — worse than the fixed-band quadratic envelope")
+  }
+}
