@@ -425,7 +425,209 @@ object Drift extends OpGroup {
     Some("""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, value, COUNT(*) AS cnt FROM events GROUP BY 1, 2, 3), c AS (SELECT event_type, day, value, SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY event_type, day) AS tot FROM g), x AS (SELECT event_type, day, value, cum, tot, pct FROM c, (SELECT unnest([50, 90, 99]) AS pct) p WHERE cum * 100 >= pct * tot QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, day, pct ORDER BY value) = 1) SELECT event_type, day, CAST(MAX(tot) AS BIGINT) AS n, MAX(CASE WHEN pct = 50 THEN value END) AS p50, MAX(CASE WHEN pct = 90 THEN value END) AS p90, MAX(CASE WHEN pct = 99 THEN value END) AS p99 FROM x GROUP BY event_type, day ORDER BY event_type, day"""),
   )
 
+  /** One-way ANOVA F-test (r10): does mean event value differ across the
+    * five event types? Completes the battery's parametric side next to
+    * Welch's two-sample t (this is its k-group generalization). ONE
+    * linear mergeable-moments pass (n, Σx, Σx² per type — the
+    * 1000-executor shape), then SSB/SSW assembled over the 5-row group
+    * relation with r6-rounded per-group contributions decimal-summed
+    * (the entropy-op pattern: bounded-cardinality double sums must
+    * still be order-free cross-engine). Output: F, both df, and η²
+    * (effect size) in one row.
+    */
+  private val anovaOneway = Op(
+    "stats_anova_oneway",
+    (s, sf) => {
+      val g = Tables.events(s, sf).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("sx"),
+        sum(dec(r6(col("value") * col("value")))).as("sxx"))
+      val wAll = Window.partitionBy()
+      val x = g
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("sxa", sum("sx").over(wAll))
+        .withColumn("gm", col("sxa").cast("double") / col("nn"))
+        .withColumn("m", col("sx").cast("double") / col("n"))
+        .withColumn("ssb_c", r6(col("n") * (col("m") - col("gm")) * (col("m") - col("gm"))))
+        .withColumn("ssw_c", r6(col("sxx").cast("double") - col("n") * col("m") * col("m")))
+      val a = x.agg(
+        countDistinct(col("event_type")).as("k"),
+        max(col("nn")).cast("long").as("n"),
+        sum(dec(col("ssb_c"))).cast("double").as("ssb"),
+        sum(dec(col("ssw_c"))).cast("double").as("ssw"))
+      a.select(col("k"), col("n"),
+          r6(col("ssb")).as("ss_between"), r6(col("ssw")).as("ss_within"),
+          (col("k") - 1).cast("long").as("df1"),
+          (col("n") - col("k")).cast("long").as("df2"),
+          r6((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k")))).as("f_stat"),
+          r6(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+    },
+    Some("""WITH g AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sx, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS sxx FROM events GROUP BY 1), x AS (SELECT event_type, n, sx, sxx, CAST(SUM(n) OVER () AS BIGINT) AS nn, CAST(SUM(sx) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS gm, CAST(sx AS DOUBLE) / n AS m FROM g), y AS (SELECT event_type, nn, ROUND(1e-9 + n * (m - gm) * (m - gm), 6) AS ssb_c, ROUND(1e-9 + CAST(sxx AS DOUBLE) - n * m * m, 6) AS ssw_c FROM x), a AS (SELECT COUNT(DISTINCT event_type) AS k, CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(CAST(ssb_c AS DECIMAL(18,6))) AS DOUBLE) AS ssb, CAST(SUM(CAST(ssw_c AS DECIMAL(18,6))) AS DOUBLE) AS ssw FROM y) SELECT k, n, ROUND(1e-9 + ssb, 6) AS ss_between, ROUND(1e-9 + ssw, 6) AS ss_within, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2, ROUND(1e-9 + (ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat, ROUND(1e-9 + ssb / (ssb + ssw), 6) AS eta_sq FROM a"""),
+  )
+
+  /** Cohen's d / Hedges' g effect size (r10): HOW BIG is the
+    * purchase-vs-click mean-value gap, in pooled-SD units — the
+    * companion number to every significance test in the battery (a
+    * 100 TB corpus makes everything "significant"; effect size is what
+    * decides if anyone should care). One conditional-moments pass
+    * (the Welch discipline), pooled variance from the exact decimal
+    * moments, small-sample Hedges correction as one identical double
+    * chain.
+    */
+  private val cohensD = Op(
+    "stats_cohens_d",
+    (s, sf) => {
+      val isA = col("event_type") === "purchase"
+      val isB = col("event_type") === "click"
+      val m = Tables.events(s, sf).filter(isA || isB).agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, dec(col("value")))).as("sx1"),
+        sum(when(isA, dec(r6(col("value") * col("value"))))).as("sxx1"),
+        sum(when(isB, 1L).otherwise(0L)).as("n2"),
+        sum(when(isB, dec(col("value")))).as("sx2"),
+        sum(when(isB, dec(r6(col("value") * col("value"))))).as("sxx2"))
+      val m1 = col("sx1").cast("double") / col("n1")
+      val m2 = col("sx2").cast("double") / col("n2")
+      val v1 = (col("sxx1").cast("double") - col("n1") * m1 * m1) / (col("n1") - 1)
+      val v2 = (col("sxx2").cast("double") - col("n2") * m2 * m2) / (col("n2") - 1)
+      val sp = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2) / (col("n1") + col("n2") - 2))
+      val d = (m1 - m2) / sp
+      m.select(col("n1").as("n_a"), col("n2").as("n_b"),
+        r6(m1).as("mean_a"), r6(m2).as("mean_b"),
+        r6(sp).as("pooled_sd"),
+        r6(d).as("cohens_d"),
+        r6(d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9))).as("hedges_g"))
+    },
+    Some("""WITH m AS (SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS sx1, SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx1, SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS sx2, SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx2 FROM events WHERE event_type IN ('purchase', 'click')), x AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, CAST(sx1 AS DOUBLE) / n1 AS m1, CAST(sx2 AS DOUBLE) / n2 AS m2, (CAST(sxx1 AS DOUBLE) - n1 * (CAST(sx1 AS DOUBLE) / n1) * (CAST(sx1 AS DOUBLE) / n1)) / (n1 - 1) AS v1, (CAST(sxx2 AS DOUBLE) - n2 * (CAST(sx2 AS DOUBLE) / n2) * (CAST(sx2 AS DOUBLE) / n2)) / (n2 - 1) AS v2 FROM m), y AS (SELECT n1, n2, m1, m2, sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sp FROM x) SELECT n1 AS n_a, n2 AS n_b, ROUND(1e-9 + m1, 6) AS mean_a, ROUND(1e-9 + m2, 6) AS mean_b, ROUND(1e-9 + sp, 6) AS pooled_sd, ROUND(1e-9 + (m1 - m2) / sp, 6) AS cohens_d, ROUND(1e-9 + ((m1 - m2) / sp) * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)), 6) AS hedges_g FROM y"""),
+  )
+
+  /** Cramér's V (r10): the normalized effect size of the
+    * [[chisq]] contingency (event type × day-of-week) — χ² scaled onto
+    * [0, 1] by n·(min(r,c)−1), the categorical-association companion
+    * to [[cohensD]]'s numeric one. Same aggregated-contingency
+    * dataflow (35 cells, window marginals, r6 contributions decimal-
+    * summed), collapsed to a 1-row summary.
+    */
+  private val cramersV = Op(
+    "stats_cramers_v",
+    (s, sf) => {
+      val o = Tables.events(s, sf)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("observed"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dow")
+      val wAll = Window.partitionBy()
+      val x = o.withColumn("rt", sum("observed").over(wr))
+        .withColumn("ct", sum("observed").over(wc))
+        .withColumn("n", sum("observed").over(wAll))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("contrib",
+          r6((col("observed") - col("e")) * (col("observed") - col("e")) / col("e")))
+      val a = x.agg(
+        max(col("n")).cast("long").as("n"),
+        countDistinct(col("event_type")).as("r_levels"),
+        countDistinct(col("dow")).as("c_levels"),
+        sum(dec(col("contrib"))).cast("double").as("chi2"))
+      a.select(col("n"), col("r_levels"), col("c_levels"),
+          r6(col("chi2")).as("chi2"),
+          ((col("r_levels") - 1) * (col("c_levels") - 1)).cast("long").as("df"),
+          r6(sqrt(col("chi2") / (col("n") *
+            least(col("r_levels") - 1, col("c_levels") - 1)))).as("cramers_v"))
+    },
+    Some("""WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed FROM events GROUP BY 1, 2), x AS (SELECT event_type, dow, CAST(observed AS BIGINT) AS observed, CAST(SUM(observed) OVER () AS BIGINT) AS n, CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) / CAST(SUM(observed) OVER () AS BIGINT) AS e FROM o), y AS (SELECT event_type, dow, n, ROUND(1e-9 + (observed - e) * (observed - e) / e, 6) AS contrib FROM x), a AS (SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(DISTINCT event_type) AS r_levels, COUNT(DISTINCT dow) AS c_levels, CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM y) SELECT n, r_levels, c_levels, ROUND(1e-9 + chi2, 6) AS chi2, CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS df, ROUND(1e-9 + sqrt(chi2 / (n * LEAST(r_levels - 1, c_levels - 1))), 6) AS cramers_v FROM a"""),
+  )
+
+  /** Jensen-Shannon divergence per day (r10): each day's event-type mix
+    * vs the corpus-global mix — the SYMMETRIC, bounded ([0, ln 2])
+    * drift number dashboards want where KL blows up on a zero cell.
+    * The (day × type) grid is built explicitly (cross join of the two
+    * distinct sets, zero-filled) because an absent type still
+    * contributes its ½·q·ln(q/m) term — dropping missing cells
+    * understates the divergence. Probabilities are r6-rounded BEFORE
+    * the logs (both engines take ln of identical doubles — the entropy
+    * op's discipline), contributions r6 + decimal-summed per day.
+    */
+  private val jsDivergence = Op(
+    "stats_js_divergence",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+      val c = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val days = c.select("day").distinct()
+      val glob = ev.groupBy(col("event_type")).agg(count(lit(1)).as("gcnt"))
+        .withColumn("gtot", sum("gcnt").over(Window.partitionBy()))
+      val grid = days.crossJoin(glob)
+        .join(c, Seq("day", "event_type"), "left_outer")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("day")))
+      val x = grid
+        .withColumn("p", r6(col("cnt").cast("double") / col("tot")))
+        .withColumn("q", r6(col("gcnt").cast("double") / col("gtot")))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("contrib", r6(
+          when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m"))).otherwise(0.0) +
+          when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / col("m"))).otherwise(0.0)))
+      x.groupBy("day")
+        .agg(max("tot").cast("long").as("n_events"),
+          sum(dec(col("contrib"))).cast("double").as("jsd"))
+        .withColumn("jsd", r6(col("jsd")))
+        .withColumn("jsd_norm", r6(col("jsd") / log(lit(2.0))))
+        .orderBy("day")
+    },
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), days AS (SELECT DISTINCT day FROM c), gl AS (SELECT event_type, COUNT(*) AS gcnt, CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS gtot FROM events GROUP BY 1), grid AS (SELECT d.day, g.event_type, g.gcnt, g.gtot, COALESCE(c.cnt, 0) AS cnt FROM days d CROSS JOIN gl g LEFT JOIN c ON c.day = d.day AND c.event_type = g.event_type), t AS (SELECT day, event_type, gcnt, gtot, cnt, CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS tot FROM grid), x AS (SELECT day, tot, ROUND(1e-9 + CAST(cnt AS DOUBLE) / tot, 6) AS p, ROUND(1e-9 + CAST(gcnt AS DOUBLE) / gtot, 6) AS q FROM t), y AS (SELECT day, tot, ROUND(1e-9 + (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END) + (CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0.0 END), 6) AS contrib FROM x) SELECT day, CAST(MAX(tot) AS BIGINT) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS jsd, ROUND(1e-9 + CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) / ln(2.0), 6) AS jsd_norm FROM y GROUP BY day ORDER BY day"""),
+  )
+
+  /** Spearman rank correlation (r10): the monotonic-association member
+    * of the battery (Pearson on FRACTIONAL RANKS — robust to the
+    * price-scale outliers that bend [[Aggs]]' stats_corr_pairs).
+    * Formulated entirely over BOUNDED-domain marginals: l_quantity (50
+    * values) vs l_discount (11 values) per returnflag, so ranks come
+    * from running sums over the ≤61-row marginal relations — never a
+    * fact-size sort (the agg_weighted_median lesson: a window whose
+    * partition count is the group count but whose rows are the fact
+    * table is a 100 TB scale-killer; here window rows are the NDV).
+    * Doubled average ranks (2·cum_before + cnt + 1) keep everything
+    * INTEGER — the joint-cell moment sums are exact longs both engines
+    * (≤ 8·10¹⁵, inside int64 and double's 2⁵³) — and the Pearson
+    * closed form over them is one identical IEEE chain, r6 once.
+    */
+  private val spearmanRank = Op(
+    "stats_spearman_rank",
+    (s, sf) => {
+      val cells = Tables.lineitem(s, sf)
+        .groupBy(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+        .agg(count(lit(1)).as("cnt"))
+      def marg(valueCol: String, rankCol: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("l_returnflag").orderBy(valueCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        cells.groupBy(col("l_returnflag"), col(valueCol))
+          .agg(sum("cnt").as("c"))
+          .withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+          .select(col("l_returnflag"), col(valueCol),
+            (lit(2) * col("cum") + col("c") + 1).cast("long").as(rankCol))
+      }
+      val joined = cells
+        .join(marg("l_quantity", "rx2"), Seq("l_returnflag", "l_quantity"))
+        .join(marg("l_discount", "ry2"), Seq("l_returnflag", "l_discount"))
+      val a = joined.groupBy(col("l_returnflag")).agg(
+        sum(col("cnt")).cast("long").as("n"),
+        sum(col("cnt") * col("rx2")).cast("double").as("sa"),
+        sum(col("cnt") * col("ry2")).cast("double").as("sb"),
+        sum(col("cnt") * col("rx2") * col("rx2")).cast("double").as("saa"),
+        sum(col("cnt") * col("ry2") * col("ry2")).cast("double").as("sbb"),
+        sum(col("cnt") * col("rx2") * col("ry2")).cast("double").as("sab"))
+      val den = sqrt(col("n") * col("saa") - col("sa") * col("sa")) *
+        sqrt(col("n") * col("sbb") - col("sb") * col("sb"))
+      a.select(col("l_returnflag"), col("n"),
+          r6((col("n") * col("sab") - col("sa") * col("sb")) / when(den =!= 0, den))
+            .as("spearman_rho"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH cells AS (SELECT l_returnflag, l_quantity, l_discount, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2, 3), mq AS (SELECT l_returnflag, l_quantity, CAST(2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + c + 1 AS BIGINT) AS rx2 FROM (SELECT l_returnflag, l_quantity, SUM(cnt) AS c FROM cells GROUP BY 1, 2) t), md AS (SELECT l_returnflag, l_discount, CAST(2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_discount ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + c + 1 AS BIGINT) AS ry2 FROM (SELECT l_returnflag, l_discount, SUM(cnt) AS c FROM cells GROUP BY 1, 2) t), j AS (SELECT cells.l_returnflag, cnt, rx2, ry2 FROM cells JOIN mq ON mq.l_returnflag = cells.l_returnflag AND mq.l_quantity = cells.l_quantity JOIN md ON md.l_returnflag = cells.l_returnflag AND md.l_discount = cells.l_discount), a AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(cnt * rx2) AS DOUBLE) AS sa, CAST(SUM(cnt * ry2) AS DOUBLE) AS sb, CAST(SUM(cnt * rx2 * rx2) AS DOUBLE) AS saa, CAST(SUM(cnt * ry2 * ry2) AS DOUBLE) AS sbb, CAST(SUM(cnt * rx2 * ry2) AS DOUBLE) AS sab FROM j GROUP BY 1) SELECT l_returnflag, n, ROUND(1e-9 + (n * sab - sa * sb) / NULLIF(sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb), 0), 6) AS spearman_rho FROM a ORDER BY l_returnflag"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
-    dailyPercentiles)
+    dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
+    spearmanRank)
 }
