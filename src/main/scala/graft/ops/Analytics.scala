@@ -790,9 +790,34 @@ object Analytics extends OpGroup {
     Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value FROM events), cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id), sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM cohort GROUP BY 1), cells AS (SELECT c.cohort_week, CAST((e.wk - c.cohort_week) // 7 AS INT) AS age_weeks, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM ev e JOIN cohort c ON e.user_id = c.user_id GROUP BY 1, 2), cum AS (SELECT cohort_week, age_weeks, rev, SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM cells) SELECT m.cohort_week, m.age_weeks, CAST(s.n_users AS BIGINT) AS n_users, ROUND(1e-9 + CAST(m.rev AS DOUBLE), 6) AS rev, ROUND(1e-9 + CAST(m.cum_rev AS DOUBLE), 6) AS cum_rev, ROUND(1e-9 + CAST(m.cum_rev AS DOUBLE) / s.n_users, 6) AS cum_rev_per_user FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week ORDER BY m.cohort_week, m.age_weeks"""),
   )
 
+  /** DAU/MAU stickiness (r10): per event type and day, the share of the
+    * type's monthly active users seen that day — the canonical
+    * engagement ratio next to [[activeUsersRolling]]'s trailing-window
+    * counts. Two distinct-aggregations (daily, monthly) and a
+    * dimension-sized join: the daily side shuffles (type, day, user)
+    * once, the monthly side (type, user) once, both map-side
+    * combinable; no window over fact rows anywhere.
+    */
+  private val stickiness = Op(
+    "analytics_stickiness",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val ev = Tables.events(s, sf)
+      val d = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val m = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      d.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("dau"), col("mau"),
+          r6(col("dau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau FROM events GROUP BY 1, 2), m AS (SELECT event_type, COUNT(DISTINCT user_id) AS mau FROM events GROUP BY 1) SELECT d.event_type, d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau, ROUND(1e-9 + CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness FROM d JOIN m ON m.event_type = d.event_type ORDER BY d.event_type, d.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
-    newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv)
+    newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness)
 }

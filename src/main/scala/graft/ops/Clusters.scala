@@ -626,6 +626,47 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), m AS (SELECT COUNT(*) AS n, SUM(du.deg) AS sx, SUM(du.deg * dv.deg) AS sxy, SUM(du.deg * du.deg) AS sxx FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v) SELECT CAST(n AS BIGINT) AS n_directed_edges, ROUND(1e-9 + CAST(sx AS DOUBLE) / n, 6) AS avg_degree, ROUND(1e-9 + CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity FROM m"""),
   )
 
+  /** BFS hop levels (r10): shortest-path distance (≤ 4 hops) from the
+    * smallest node of the co-purchase graph — the frontier-expansion
+    * kernel (the "how far is everything from X" question under
+    * recommendation / blast-radius analysis) completing the iterative
+    * family next to PageRank (matvec), LPA (argmax propagation), k-core
+    * (peeling) and CC (contraction). Proper frontier expansion: each
+    * level joins ONLY the new frontier against the edge list, distincts
+    * it, and anti-joins the visited set - O(frontier-adjacent edges)
+    * per hop, the textbook Pregel round. (A recursive-CTE formulation
+    * needs UNION-distinct to dedup multi-path visits, which Spark 4's
+    * UnionLoop does not yet support - UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE
+    * - and UNION ALL would enumerate PATHS, not nodes; the DataFrame
+    * loop is the Spark-idiomatic BFS. The ORACLE uses exactly that
+    * recursive UNION-distinct form, which DuckDB supports, with
+    * MIN(depth) collapsing multi-path visits.) The 4-hop cap is the
+    * fixed-rounds determinism convention of the other iterative
+    * kernels.
+    */
+  private val bfsHops = Op(
+    "graph_bfs_hops",
+    (s, sf) => Tables.withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8")) {
+      val edges = copurchaseEdges(s, sf)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val src = sym.agg(min(col("u")).as("node"))
+      var visited = src.withColumn("hops", lit(0))
+      var frontier = src
+      for (d <- 1 to 4) {
+        val next = sym.join(frontier.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+        visited = visited.union(next.withColumn("hops", lit(d)))
+        frontier = next
+      }
+      visited.select(col("node"), col("hops").cast("int").as("hops"))
+        .orderBy("node")
+    },
+    Some("""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), bfs(node, depth) AS (SELECT MIN(u), 0 FROM sym UNION SELECT c.v, bfs.depth + 1 FROM bfs JOIN sym c ON c.u = bfs.node WHERE bfs.depth < 4) SELECT node, CAST(MIN(depth) AS INT) AS hops FROM bfs GROUP BY node ORDER BY node"""),
+  )
+
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
-    labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity)
+    labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
+    bfsHops)
 }

@@ -257,6 +257,42 @@ object EtlLoad extends OpGroup {
     Some("""WITH a AS (SELECT o_orderkey, md5(o_orderstatus || '|' || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' || o_orderpriority) AS hash_a FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'), b AS (SELECT o_orderkey, md5(o_orderstatus || '|' || CAST(CAST(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 00:00:00' THEN FLOOR(o_totalprice * 110) ELSE FLOOR(o_totalprice * 100) END AS BIGINT) AS VARCHAR) || '|' || o_orderpriority) AS hash_b FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, CASE WHEN a.o_orderkey IS NULL THEN 'added' WHEN b.o_orderkey IS NULL THEN 'removed' WHEN hash_a <> hash_b THEN 'changed' END AS change_type FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey WHERE (a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR hash_a <> hash_b) ORDER BY o_orderkey"""),
   )
 
+  /** Referential-integrity audit (r10): every FK edge of the star schema
+    * checked in one report — child rows, orphan rows (no parent), and
+    * distinct missing keys per edge. The load-time gate the reference
+    * runs implicitly through ORM FK constraints, re-expressed as the
+    * lake-world audit query (a 100 TB lake has no enforced constraints;
+    * this op IS the constraint). Each edge is one scan + left join
+    * against the DISTINCT parent-key relation (dimension-sized, so the
+    * join broadcasts where it should) collapsed to a 1-row aggregate —
+    * no fact-size shuffle survives the agg. The clean fixture reports
+    * zeros; the op's value is the shape (and it would light up red on
+    * a real lake).
+    */
+  private val fkIntegrity = Op(
+    "etl_fk_integrity",
+    (s, sf) => {
+      def audit(fk: String, child: org.apache.spark.sql.DataFrame, key: String,
+          parent: org.apache.spark.sql.DataFrame, pkey: String): org.apache.spark.sql.DataFrame =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("pk")).distinct(),
+            col("k") === col("pk"), "left_outer")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("orphan_rows"),
+            countDistinct(when(col("pk").isNull, col("k"))).as("orphan_keys"))
+          .select(lit(fk).as("fk"), col("child_rows"),
+            col("orphan_rows").cast("long").as("orphan_rows"), col("orphan_keys"))
+      val li = Tables.lineitem(s, sf)
+      audit("customer->nation", Tables.customer(s, sf), "c_nationkey", Tables.nation(s, sf), "n_nationkey")
+        .union(audit("lineitem->orders", li, "l_orderkey", Tables.orders(s, sf), "o_orderkey"))
+        .union(audit("lineitem->part", li, "l_partkey", Tables.part(s, sf), "p_partkey"))
+        .union(audit("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, sf), "s_suppkey"))
+        .union(audit("orders->customer", Tables.orders(s, sf), "o_custkey", Tables.customer(s, sf), "c_custkey"))
+        .orderBy("fk")
+    },
+    Some("""SELECT * FROM (SELECT 'customer->nation' AS fk, COUNT(*) AS child_rows, CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows, COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN c.c_nationkey END) AS orphan_keys FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON p.pk = c.c_nationkey UNION ALL SELECT 'lineitem->orders', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_orderkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON p.pk = l.l_orderkey UNION ALL SELECT 'lineitem->part', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_partkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p ON p.pk = l.l_partkey UNION ALL SELECT 'lineitem->supplier', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_suppkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON p.pk = l.l_suppkey UNION ALL SELECT 'orders->customer', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN o.o_custkey END) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON p.pk = o.o_custkey) t ORDER BY fk"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
-    snapshotDiff, scd2PointInTime)
+    snapshotDiff, scd2PointInTime, fkIntegrity)
 }

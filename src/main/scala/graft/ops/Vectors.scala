@@ -1110,8 +1110,37 @@ object Vectors extends OpGroup {
     Some("""WITH cent AS (SELECT label, pos, ROUND(1e-9 + CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM (SELECT label, unnest(generate_series(1, len(embedding))) - 1 AS pos, unnest(embedding) AS v FROM embeddings) t GROUP BY label, pos), n2 AS (SELECT label, SUM(CAST(ROUND(1e-9 + c * c, 6) AS DECIMAL(18,6))) AS n2 FROM cent GROUP BY label), d AS (SELECT a.label AS label_a, b.label AS label_b, SUM(CAST(ROUND(1e-9 + a.c * b.c, 6) AS DECIMAL(18,6))) AS dot FROM cent a JOIN cent b ON b.pos = a.pos AND a.label < b.label GROUP BY 1, 2) SELECT d.label_a, d.label_b, ROUND(1e-9 + CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim, ROUND(1e-9 + sqrt(GREATEST(0.0, CAST(na.n2 AS DOUBLE) + CAST(nb.n2 AS DOUBLE) - 2.0 * CAST(dot AS DOUBLE))), 6) AS euclid_dist FROM d JOIN n2 na ON na.label = d.label_a JOIN n2 nb ON nb.label = d.label_b ORDER BY label_a, label_b"""),
   )
 
+  /** Maximum-inner-product top-k (r10): the retrieval primitive for
+    * UN-normalized scores (recommendation / reward-model logits —
+    * cosine's norm division deliberately absent), 20 query vectors
+    * against the corpus. THE linear 100 TB retrieval shape — the
+    * transpose of vec_cosine_topk's all-pairs contract: the SMALL side
+    * (queries) broadcasts, the corpus streams once through codegen'd
+    * [[FloatVecDot]], and the bounded-heap vec_topk partial-aggregate
+    * means the shuffle carries ≤ k entries per (query × partition),
+    * never the q·n score rows. Ties break id-ascending (the heap's
+    * discipline), matching the oracle's ROW_NUMBER order.
+    */
+  private val mipsTopk = Op(
+    "vec_mips_topk",
+    (s, sf) => {
+      val v = normed(s, sf)
+      val q = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"))
+      v.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+        .withColumn("ip", expr("vec_dot(q_emb, embedding)"))
+        .groupBy(col("q_vec_id"))
+        .agg(expr("vec_topk(vec_id, ip, 5)").as("top"))
+        .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("entry.id").as("vec_id"), r6(col("entry.sim")).as("ip"))
+        .orderBy("q_vec_id", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20), p AS (SELECT q.q_vec_id, v.vec_id, list_reduce(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS ip FROM q JOIN embeddings v ON v.vec_id <> q.q_vec_id) SELECT q_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY ip DESC, vec_id) AS INT) AS rk, vec_id, ROUND(1e-9 + ip, 6) AS ip FROM p QUALIFY rk <= 5 ORDER BY q_vec_id, rk"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload)
+    pqIndexReload, mipsTopk)
 }

@@ -456,8 +456,77 @@ object Windows extends OpGroup {
     Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, ts FROM events), pts AS (SELECT day, ts AS t, 1 AS delta FROM ev UNION ALL SELECT day, LEAST(ts + INTERVAL 5 MINUTE, CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND) AS t, -1 AS delta FROM ev), sw AS (SELECT day, t, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts), pk AS (SELECT day, MAX(conc) AS peak_concurrency FROM sw GROUP BY day) SELECT sw.day, CAST(pk.peak_concurrency AS BIGINT) AS peak_concurrency, MIN(sw.t) AS peak_at FROM sw JOIN pk ON pk.day = sw.day AND sw.conc = pk.peak_concurrency GROUP BY sw.day, pk.peak_concurrency ORDER BY sw.day"""),
   )
 
+  /** Bollinger bands (r10): 7-day rolling mean ± 2σ envelope over each
+    * event type's daily revenue — the windowed mean-variance band every
+    * monitoring dashboard draws (anomaly = value escaping its own
+    * recent envelope; the z-score op's windowed sibling with an
+    * explicit band output). The fact pass is ONE daily hash-agg; the
+    * rolling moments are windowed DECIMAL sums over the 150-row daily
+    * relation (rev² r6-rounded pre-cast — exact, order-free), so mean
+    * and sample-σ are identical doubles both engines. Partitions are
+    * (type) over DAYS, bounded at any corpus scale.
+    */
+  private val bollingerBands = Op(
+    "win_bollinger_bands",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+        .withColumn("revd", col("rev").cast("double"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      val x = daily
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("sx", sum(col("rev")).over(w7).cast("double"))
+        .withColumn("sxx", sum(dec(r6(col("revd") * col("revd")))).over(w7).cast("double"))
+        .withColumn("ma7", col("sx") / col("n7"))
+        .withColumn("sd7", sqrt((col("sxx") - col("n7") * col("ma7") * col("ma7")) /
+          when(col("n7") > 1, col("n7") - 1)))
+      x.select(col("event_type"), col("day"), r6(col("revd")).as("revenue"),
+          col("n7").cast("long").as("n7"),
+          r6(col("ma7")).as("ma7"), r6(col("sd7")).as("sd7"),
+          r6(col("ma7") + lit(2) * col("sd7")).as("upper_band"),
+          r6(col("ma7") - lit(2) * col("sd7")).as("lower_band"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), x AS (SELECT event_type, day, CAST(rev AS DOUBLE) AS revd, COUNT(*) OVER w AS n7, CAST(SUM(rev) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(ROUND(1e-9 + CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE), 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), y AS (SELECT event_type, day, revd, n7, sx / n7 AS ma7, sqrt((sxx - n7 * (sx / n7) * (sx / n7)) / NULLIF(n7 - 1, 0)) AS sd7 FROM x) SELECT event_type, day, ROUND(1e-9 + revd, 6) AS revenue, CAST(n7 AS BIGINT) AS n7, ROUND(1e-9 + ma7, 6) AS ma7, ROUND(1e-9 + sd7, 6) AS sd7, ROUND(1e-9 + ma7 + 2 * sd7, 6) AS upper_band, ROUND(1e-9 + ma7 - 2 * sd7, 6) AS lower_band FROM y ORDER BY event_type, day"""),
+  )
+
+  /** Maximum drawdown (r10): per event type, the deepest
+    * peak-to-trough drop of the cumulative daily revenue curve —
+    * running-max minus running-sum machinery (the ops-dashboard
+    * "worst slump" number; same kernel as inventory/quota burn-down
+    * monitoring). Cumulative sum and running max stay EXACT DECIMALS
+    * end to end, so the drawdown ratio divides two identical doubles
+    * and the argmin row (earliest trough day on ties) is a
+    * deterministic row_number over the 30-row daily relation.
+    */
+  private val maxDrawdown = Op(
+    "win_max_drawdown",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val x = daily
+        .withColumn("cum", sum(col("rev")).over(wc))
+        .withColumn("runmax", max(col("cum")).over(wc))
+        .withColumn("dd", r6(col("cum").cast("double") / col("runmax").cast("double") - 1))
+      val rk = Window.partitionBy("event_type").orderBy(col("dd").asc, col("day").asc)
+      x.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("trough_day"),
+          r6(col("cum").cast("double")).as("cum_at_trough"),
+          r6(col("runmax").cast("double")).as("peak_cum"),
+          col("dd").as("max_drawdown"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), x0 AS (SELECT event_type, day, SUM(rev) OVER w AS cum FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), x AS (SELECT event_type, day, cum, MAX(cum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax FROM x0), y AS (SELECT event_type, day, cum, runmax, ROUND(1e-9 + CAST(cum AS DOUBLE) / CAST(runmax AS DOUBLE) - 1, 6) AS dd FROM x), z AS (SELECT event_type, day, cum, runmax, dd, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd ASC, day ASC) AS rk FROM y) SELECT event_type, day AS trough_day, ROUND(1e-9 + CAST(cum AS DOUBLE), 6) AS cum_at_trough, ROUND(1e-9 + CAST(runmax AS DOUBLE), 6) AS peak_cum, dd AS max_drawdown FROM z WHERE rk = 1 ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
-    rollingMedian, hampelFilter, gapsIslands, concurrencySweep)
+    rollingMedian, hampelFilter, gapsIslands, concurrencySweep,
+    bollingerBands, maxDrawdown)
 }
