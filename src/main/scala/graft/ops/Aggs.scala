@@ -653,9 +653,34 @@ object Aggs extends OpGroup {
     Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s, SUM(CAST(ROUND(1e-9 + ln(l_extendedprice), 6) AS DECIMAL(18,6))) AS sln, SUM(CAST(ROUND(1e-9 + 10000.0 / l_extendedprice, 6) AS DECIMAL(18,6))) AS srec FROM lineitem GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, ROUND(1e-9 + CAST(s AS DOUBLE) / n, 6) AS arith_mean, ROUND(1e-9 + exp(CAST(sln AS DOUBLE) / n), 6) AS geo_mean, ROUND(1e-9 + n * 10000.0 / CAST(srec AS DOUBLE), 6) AS harm_mean FROM m ORDER BY l_returnflag"""),
   )
 
+  /** ARG-MAX/ARG-MIN aggregate (r10): per nation, WHICH customer holds
+    * the extreme balance — the max_by/min_by surface expressed as the
+    * struct-ordered MAX/MIN (lexicographic (balance, custkey) makes the
+    * tie-break explicit — builtin max_by picks an arbitrary winner on
+    * ties, the agg_mode_per_group lesson — and custkey uniqueness makes
+    * the comparator total). One hash-agg, map-side combinable: the
+    * mergeable-aggregate argmax every 1000-executor rollup wants,
+    * where a window-rank formulation would sort fact rows.
+    */
+  private val minmaxBy = Op(
+    "agg_minmax_by",
+    (s, sf) =>
+      Tables.customer(s, sf)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          max(struct(col("c_acctbal"), col("c_custkey"))).as("mx"),
+          min(struct(col("c_acctbal"), col("c_custkey"))).as("mn"))
+        .select(col("c_nationkey"), col("n_customers"),
+          col("mx.c_acctbal").as("top_bal"), col("mx.c_custkey").as("top_custkey"),
+          col("mn.c_acctbal").as("low_bal"), col("mn.c_custkey").as("low_custkey"))
+        .orderBy("c_nationkey"),
+    Some("""SELECT c_nationkey, COUNT(*) AS n_customers, (MAX(struct_pack(b := c_acctbal, k := c_custkey))).b AS top_bal, (MAX(struct_pack(b := c_acctbal, k := c_custkey))).k AS top_custkey, (MIN(struct_pack(b := c_acctbal, k := c_custkey))).b AS low_bal, (MIN(struct_pack(b := c_acctbal, k := c_custkey))).k AS low_custkey FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
-    benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans)
+    benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans,
+    minmaxBy)
 }

@@ -626,8 +626,47 @@ object Drift extends OpGroup {
     Some("""WITH cells AS (SELECT l_returnflag, l_quantity, l_discount, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2, 3), mq AS (SELECT l_returnflag, l_quantity, CAST(2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + c + 1 AS BIGINT) AS rx2 FROM (SELECT l_returnflag, l_quantity, SUM(cnt) AS c FROM cells GROUP BY 1, 2) t), md AS (SELECT l_returnflag, l_discount, CAST(2 * COALESCE(CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_discount ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + c + 1 AS BIGINT) AS ry2 FROM (SELECT l_returnflag, l_discount, SUM(cnt) AS c FROM cells GROUP BY 1, 2) t), j AS (SELECT cells.l_returnflag, cnt, rx2, ry2 FROM cells JOIN mq ON mq.l_returnflag = cells.l_returnflag AND mq.l_quantity = cells.l_quantity JOIN md ON md.l_returnflag = cells.l_returnflag AND md.l_discount = cells.l_discount), a AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(cnt * rx2) AS DOUBLE) AS sa, CAST(SUM(cnt * ry2) AS DOUBLE) AS sb, CAST(SUM(cnt * rx2 * rx2) AS DOUBLE) AS saa, CAST(SUM(cnt * ry2 * ry2) AS DOUBLE) AS sbb, CAST(SUM(cnt * rx2 * ry2) AS DOUBLE) AS sab FROM j GROUP BY 1) SELECT l_returnflag, n, ROUND(1e-9 + (n * sab - sa * sb) / NULLIF(sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb), 0), 6) AS spearman_rho FROM a ORDER BY l_returnflag"""),
   )
 
+  /** Wald-Wolfowitz runs test (r10): is the daily-revenue series'
+    * up/down pattern RANDOM, or does it trend/oscillate? The
+    * battery's serial-dependence screen (KS/PSI/JS see marginal
+    * distributions; this sees ORDER). Daily totals are exact decimal
+    * sums, so the up/down signs and the run count are integer-exact;
+    * the normal approximation (E[R], Var[R] from n_up/n_down) is one
+    * identical double chain, r6 once. The lag windows run over the
+    * DAYS-bounded daily relation — 30 rows here, still tiny at any
+    * corpus scale.
+    */
+  private val runsTest = Op(
+    "stats_runs_test",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val w = Window.orderBy("day")
+      val d = daily.withColumn("prev", lag(col("rev"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("up", when(col("rev") > col("prev"), 1L).otherwise(0L))
+        .withColumn("chg", when(lag(col("up"), 1).over(w).isNull, 1L)
+          .when(col("up") =!= lag(col("up"), 1).over(w), 1L).otherwise(0L))
+      val a = d.agg(
+        sum(col("up")).as("n_up"),
+        (count(lit(1)) - sum(col("up"))).as("n_down"),
+        sum(col("chg")).as("runs"))
+      val n1 = col("n_up").cast("double"); val n2 = col("n_down").cast("double")
+      val er = lit(1.0) + lit(2) * n1 * n2 / (n1 + n2)
+      val vr = lit(2) * n1 * n2 * (lit(2) * n1 * n2 - n1 - n2) /
+        ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+      a.select(col("n_up").cast("long").as("n_up"),
+        col("n_down").cast("long").as("n_down"),
+        col("runs").cast("long").as("runs"),
+        r6(er).as("expected_runs"),
+        r6((col("runs") - er) / sqrt(vr)).as("z_stat"))
+    },
+    Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1), d0 AS (SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev FROM daily), d1 AS (SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up FROM d0 WHERE prev IS NOT NULL), d2 AS (SELECT up, CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL THEN 1 WHEN up <> LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg FROM d1), a AS (SELECT CAST(SUM(up) AS BIGINT) AS n_up, CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down, CAST(SUM(chg) AS BIGINT) AS runs FROM d2), x AS (SELECT n_up, n_down, runs, CAST(n_up AS DOUBLE) AS n1, CAST(n_down AS DOUBLE) AS n2 FROM a) SELECT n_up, n_down, runs, ROUND(1e-9 + 1.0 + 2 * n1 * n2 / (n1 + n2), 6) AS expected_runs, ROUND(1e-9 + (runs - (1.0 + 2 * n1 * n2 / (n1 + n2))) / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_stat FROM x"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
-    spearmanRank)
+    spearmanRank, runsTest)
 }

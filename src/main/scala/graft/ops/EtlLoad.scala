@@ -293,6 +293,37 @@ object EtlLoad extends OpGroup {
     Some("""SELECT * FROM (SELECT 'customer->nation' AS fk, COUNT(*) AS child_rows, CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows, COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN c.c_nationkey END) AS orphan_keys FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS pk FROM nation) p ON p.pk = c.c_nationkey UNION ALL SELECT 'lineitem->orders', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_orderkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON p.pk = l.l_orderkey UNION ALL SELECT 'lineitem->part', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_partkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p ON p.pk = l.l_partkey UNION ALL SELECT 'lineitem->supplier', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN l.l_suppkey END) FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON p.pk = l.l_suppkey UNION ALL SELECT 'orders->customer', COUNT(*), CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT CASE WHEN p.pk IS NULL THEN o.o_custkey END) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON p.pk = o.o_custkey) t ORDER BY fk"""),
   )
 
+  /** Calendar dimension build (r10): the date spine every warehouse
+    * derives once and joins everywhere — generated from the fact's own
+    * date range (one 2-row aggregate → explode(sequence(d0, d1))), with
+    * the standard attributes (year/quarter/month/day, ISO week,
+    * day-of-week, weekend and month-boundary flags). Dimension
+    * generation is driver-free and O(days) — the spine is broadcast
+    * material at any fact scale. Day-of-week parity: Spark 1=Sunday..7
+    * vs DuckDB 0=Sunday..6 (+1 in the oracle, the chisq convention);
+    * both engines' weekofyear is ISO 8601.
+    */
+  private val dateDim = Op(
+    "etl_date_dim",
+    (s, sf) => {
+      val span = Tables.orders(s, sf).agg(
+        min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+      span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        .select(col("day"),
+          year(col("day")).as("yr"),
+          quarter(col("day")).as("qtr"),
+          month(col("day")).as("mo"),
+          dayofmonth(col("day")).as("dom"),
+          dayofweek(col("day")).as("dow"),
+          weekofyear(col("day")).as("iso_week"),
+          dayofweek(col("day")).isin(1, 7).as("is_weekend"),
+          (dayofmonth(col("day")) === 1).as("is_month_start"))
+        .orderBy("day")
+    },
+    Some("""WITH span AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders), spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span) SELECT day, CAST(year(day) AS INT) AS yr, CAST(quarter(day) AS INT) AS qtr, CAST(month(day) AS INT) AS mo, CAST(dayofmonth(day) AS INT) AS dom, CAST(dayofweek(day) + 1 AS INT) AS dow, CAST(weekofyear(day) AS INT) AS iso_week, dayofweek(day) + 1 IN (1, 7) AS is_weekend, dayofmonth(day) = 1 AS is_month_start FROM spine ORDER BY day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
-    snapshotDiff, scd2PointInTime, fkIntegrity)
+    snapshotDiff, scd2PointInTime, fkIntegrity, dateDim)
 }

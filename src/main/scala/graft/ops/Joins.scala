@@ -444,8 +444,35 @@ object Joins extends OpGroup {
     Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY order_month"""),
   )
 
+  /** Per-group SKYLINE / Pareto frontier (r10): each customer's orders
+    * that no other order of theirs STRICTLY dominates on both (price,
+    * recency) — the multi-criteria "non-dominated set" operator
+    * (classic Börzsönyi 2001 SKYLINE), grouped so the quadratic
+    * dominance test is bounded by the per-customer order count, never
+    * the relation (the blocked-pairwise discipline: the group key IS
+    * the block). Plan: one equi-self-join on o_custkey with the strict
+    * two-axis dominance residual, consumed as LEFT ANTI — Catalyst
+    * keeps the equi key in the hash join and evaluates the residual on
+    * the stream side. Doubles compare raw (same stored values both
+    * engines, no arithmetic).
+    */
+  private val skylineDominance = Op(
+    "join_skyline_dominance",
+    (s, sf) => {
+      val o = Tables.orders(s, sf)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("b.o_totalprice") > col("a.o_totalprice") &&
+            col("b.o_orderdate") > col("a.o_orderdate"),
+          "left_anti")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM orders a WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_custkey = a.o_custkey AND b.o_totalprice > a.o_totalprice AND b.o_orderdate > a.o_orderdate) ORDER BY o_custkey, o_orderkey"""),
+  )
+
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
     leftAnti, rangeInterval, asof, asofForwardTolerance, nearestValue,
     bucketedColocated, intervalBinned, skewSalted, fullOuterRecon,
-    bloomRuntime)
+    bloomRuntime, skylineDominance)
 }

@@ -278,6 +278,35 @@ object Sampling extends OpGroup {
     Some("""WITH f AS (SELECT CAST(MIN(n) AS BIGINT) AS floor_n FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) c), ranked AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT), doc_id) AS INT) AS rk FROM documents) SELECT doc_id, lang, rk, floor_n FROM ranked CROSS JOIN f WHERE rk <= floor_n ORDER BY doc_id"""),
   )
 
+  /** Overlapping chunking (r10) — the RAG / context-window preprocessing
+    * staple: every document split into 50-token windows at stride 40
+    * (10-token overlap so no boundary-spanning span is lost), each chunk
+    * fingerprinted. One narrow pass: split → explode the window starts →
+    * slice — embarrassingly parallel, the chunk relation partitions
+    * exactly like the scan. Chunks travel as (hash, bounds) not text:
+    * at 100 TB the chunk TEXT never needs to move — the hash joins
+    * against dedup/embedding stages and the bounds reconstruct the span
+    * from the source page on demand.
+    */
+  private val chunkOverlap = Op(
+    "pack_chunk_overlap",
+    (s, sf) => {
+      Tables.spread(s, Tables.documents(s, sf))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n_tok"),
+          explode(expr("sequence(1, greatest(n_tok, 1), 40)")).as("start"))
+        .select(col("doc_id"),
+          expr("cast((start - 1) div 40 as int)").as("chunk_id"),
+          col("start").cast("int").as("start_tok"),
+          size(expr("slice(toks, start, 50)")).as("chunk_len"),
+          md5(array_join(expr("slice(toks, start, 50)"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""SELECT doc_id, CAST((start - 1) // 40 AS INT) AS chunk_id, CAST(start AS INT) AS start_tok, CAST(len(list_slice(toks, start, start + 49)) AS INT) AS chunk_len, md5(array_to_string(list_slice(toks, start, start + 49), ' ')) AS chunk_hash FROM (SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n_tok FROM documents) d, LATERAL (SELECT unnest(generate_series(1, GREATEST(n_tok, 1), 40)) AS start) g ORDER BY doc_id, chunk_id"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
-    curationPipeline, weightedHash, temperatureMixture, balancedClasses)
+    curationPipeline, weightedHash, temperatureMixture, balancedClasses,
+    chunkOverlap)
 }
