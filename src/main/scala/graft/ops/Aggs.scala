@@ -653,6 +653,49 @@ object Aggs extends OpGroup {
     Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s, SUM(CAST(ROUND(1e-9 + ln(l_extendedprice), 6) AS DECIMAL(18,6))) AS sln, SUM(CAST(ROUND(1e-9 + 10000.0 / l_extendedprice, 6) AS DECIMAL(18,6))) AS srec FROM lineitem GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, ROUND(1e-9 + CAST(s AS DOUBLE) / n, 6) AS arith_mean, ROUND(1e-9 + exp(CAST(sln AS DOUBLE) / n), 6) AS geo_mean, ROUND(1e-9 + n * 10000.0 / CAST(srec AS DOUBLE), 6) AS harm_mean FROM m ORDER BY l_returnflag"""),
   )
 
+  /** Theil T inequality index with within/between decomposition (r10):
+    * the DECOMPOSABLE inequality measure next to [[giniCoefficient]] —
+    * Gini does not split into within-group + between-group parts;
+    * Theil does exactly (T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ)), which is
+    * why distributed profiling prefers it. Order-value inequality per
+    * market segment: one aggregate pass for per-group (n, Σx) moments,
+    * a broadcast join back for the per-row x/μ_g contributions
+    * (r6-rounded ratio BEFORE ln — the entropy discipline — then
+    * decimal-summed), and the decomposition assembled over the 5-row
+    * group relation with a window total. Two fact passes total; both
+    * linear hash-aggs.
+    */
+  private val theilIndex = Op(
+    "agg_theil_index",
+    (s, sf) => {
+      val fact = Tables.orders(s, sf)
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_totalprice").as("x"))
+      val g = fact.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"))
+      val withMu = fact.join(broadcast(g), "c_mktsegment")
+        .withColumn("mu", col("sx").cast("double") / col("n"))
+        .withColumn("ratio", r6(col("x") / col("mu")))
+        .withColumn("contrib", r6(col("ratio") * log(col("ratio"))))
+      val tg = withMu.groupBy(col("c_mktsegment"))
+        .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+          sum(dec(col("contrib"))).cast("double").as("sum_contrib"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      tg.withColumn("nn", sum("n").over(wAll))
+        .withColumn("sxa", sum("sx").over(wAll))
+        .withColumn("mu_g", col("sx").cast("double") / col("n"))
+        .withColumn("mu", col("sxa").cast("double") / col("nn"))
+        .withColumn("share", r6(col("sx").cast("double") / col("sxa").cast("double")))
+        .withColumn("theil_within_g", r6(col("sum_contrib") / col("n")))
+        .withColumn("between_contrib", r6(col("share") * log(r6(col("mu_g") / col("mu")))))
+        .select(col("c_mktsegment"), col("n").cast("long").as("n"),
+          r6(col("mu_g")).as("mean_value"), col("share").as("value_share"),
+          col("theil_within_g"), col("between_contrib"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH fact AS (SELECT c_mktsegment, o_totalprice AS x FROM orders JOIN customer ON o_custkey = c_custkey), g AS (SELECT c_mktsegment, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(18,6))) AS sx FROM fact GROUP BY 1), w AS (SELECT f.c_mktsegment, ROUND(1e-9 + ROUND(1e-9 + f.x / (CAST(g.sx AS DOUBLE) / g.n), 6) * ln(ROUND(1e-9 + f.x / (CAST(g.sx AS DOUBLE) / g.n), 6)), 6) AS contrib FROM fact f JOIN g ON g.c_mktsegment = f.c_mktsegment), tg AS (SELECT g.c_mktsegment, g.n, g.sx, CAST(SUM(CAST(w.contrib AS DECIMAL(18,6))) AS DOUBLE) AS sum_contrib FROM g JOIN w ON w.c_mktsegment = g.c_mktsegment GROUP BY 1, 2, 3), x AS (SELECT c_mktsegment, n, sx, sum_contrib, CAST(SUM(n) OVER () AS BIGINT) AS nn, CAST(SUM(sx) OVER () AS DECIMAL(38,6)) AS sxa FROM tg) SELECT c_mktsegment, CAST(n AS BIGINT) AS n, ROUND(1e-9 + CAST(sx AS DOUBLE) / n, 6) AS mean_value, ROUND(1e-9 + CAST(sx AS DOUBLE) / CAST(sxa AS DOUBLE), 6) AS value_share, ROUND(1e-9 + sum_contrib / n, 6) AS theil_within_g, ROUND(1e-9 + ROUND(1e-9 + CAST(sx AS DOUBLE) / CAST(sxa AS DOUBLE), 6) * ln(ROUND(1e-9 + (CAST(sx AS DOUBLE) / n) / (CAST(sxa AS DOUBLE) / nn), 6)), 6) AS between_contrib FROM x ORDER BY c_mktsegment"""),
+  )
+
   /** ARG-MAX/ARG-MIN aggregate (r10): per nation, WHICH customer holds
     * the extreme balance — the max_by/min_by surface expressed as the
     * struct-ordered MAX/MIN (lexicographic (balance, custkey) makes the
@@ -682,5 +725,5 @@ object Aggs extends OpGroup {
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
     benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans,
-    minmaxBy)
+    minmaxBy, theilIndex)
 }

@@ -745,8 +745,39 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT s_name, s_nationkey FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300) ORDER BY s_name"""),
   )
 
+  /** SQL PIVOT clause (r10): revenue by market segment × order priority
+    * through Spark's native `PIVOT (agg FOR col IN (...))` syntax — the
+    * SQL-surface dual of the DataFrame `agg_pivot_matrix` op (different
+    * parser/analyzer path: Catalyst's Pivot node and its
+    * RewritePivot lowering). Decimal sums inside the pivot, cast +
+    * rounded in the outer select. The oracle keeps the portable
+    * conditional-aggregation form (PIVOT syntax differs per engine;
+    * CASE-gated sums are the semantics both share).
+    */
+  private val pivotClause = Op(
+    "sql_pivot_clause",
+    (s, sf) => {
+      withViews(s, sf, "orders", "customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               ROUND(1e-9 + CAST(urgent AS DOUBLE), 6) AS urgent,
+               ROUND(1e-9 + CAST(high AS DOUBLE), 6) AS high,
+               ROUND(1e-9 + CAST(normal AS DOUBLE), 6) AS normal
+        FROM (
+          SELECT * FROM (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS p
+            FROM orders JOIN customer ON c_custkey = o_custkey)
+          PIVOT (SUM(p) FOR o_orderpriority IN
+            ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-NORMAL' AS normal)))
+        ORDER BY c_mktsegment
+      """)
+    },
+    Some("""SELECT c_mktsegment, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS urgent, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS high, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '3-NORMAL' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS normal FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
-    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20)
+    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause)
 }

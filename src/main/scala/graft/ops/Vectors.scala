@@ -1139,8 +1139,54 @@ object Vectors extends OpGroup {
     Some("""WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20), p AS (SELECT q.q_vec_id, v.vec_id, list_reduce(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS ip FROM q JOIN embeddings v ON v.vec_id <> q.q_vec_id) SELECT q_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY ip DESC, vec_id) AS INT) AS rk, vec_id, ROUND(1e-9 + ip, 6) AS ip FROM p QUALIFY rk <= 5 ORDER BY q_vec_id, rk"""),
   )
 
+  /** Sign-bit (1-bit) quantized Hamming retrieval (r10): the most
+    * aggressive member of the quantization ladder (float32 →
+    * [[quantizeInt8]] int8 → PQ codes → THIS, 1 bit/dim): each vector
+    * binarizes to its 64 coordinate signs packed into two 32-bit
+    * words, and retrieval is bit_count(a XOR b) — 8 bytes per vector, popcount
+    * per comparison, the cheapest possible rerank prefilter at 100 TB
+    * (and the asymmetric-free cousin of the SRP band keys, which are
+    * signs of PROJECTIONS; these are signs of coordinates, zero
+    * arithmetic, so the whole pipeline is integer-exact and fully
+    * oracled). Top-5 per query via the bounded-heap vec_topk on the
+    * negated distance — shuffle ≤ k per (query × partition).
+    */
+  private val signHammingTopk = Op(
+    "vec_sign_hamming_topk",
+    (s, sf) => {
+      graft.functions.VecTopK.register(s)
+      // Two 32-bit halves, not one 64-bit word: bit 63 of a signed long
+      // is unrepresentable as a left-shift in engines that check
+      // overflow (DuckDB errors on 1 << 63) - the simhash op's
+      // stay-inside-the-sign-bit lesson, solved here by splitting.
+      val sig = Tables.spread(s, Tables.embeddings(s, sf))
+        .withColumn("sig0", expr(
+          """aggregate(sequence(0, 31), 0L,
+               (acc, i) -> acc | CASE WHEN element_at(embedding, cast(i + 1 as int)) >= 0
+                                 THEN shiftleft(1L, cast(i as int)) ELSE 0L END)"""))
+        .withColumn("sig1", expr(
+          """aggregate(sequence(32, 63), 0L,
+               (acc, i) -> acc | CASE WHEN element_at(embedding, cast(i + 1 as int)) >= 0
+                                 THEN shiftleft(1L, cast(i - 32 as int)) ELSE 0L END)"""))
+        .select(col("vec_id"), col("sig0"), col("sig1"))
+      val q = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"),
+          col("sig0").as("q_sig0"), col("sig1").as("q_sig1"))
+      sig.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+        .withColumn("nham",
+          -(expr("bit_count(sig0 ^ q_sig0)") + expr("bit_count(sig1 ^ q_sig1)")).cast("double"))
+        .groupBy(col("q_vec_id"))
+        .agg(expr("vec_topk(vec_id, nham, 5)").as("top"))
+        .select(col("q_vec_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("q_vec_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("entry.id").as("vec_id"), (-col("entry.sim")).cast("int").as("hamming"))
+        .orderBy("q_vec_id", "rk")
+    },
+    Some("""WITH sig AS (SELECT vec_id, list_reduce(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig0, list_reduce(list_transform(generate_series(32, 63), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig1 FROM embeddings), q AS (SELECT vec_id AS q_vec_id, sig0 AS q_sig0, sig1 AS q_sig1 FROM sig WHERE vec_id < 20), p AS (SELECT q.q_vec_id, s.vec_id, CAST(bit_count(xor(s.sig0, q.q_sig0)) + bit_count(xor(s.sig1, q.q_sig1)) AS INT) AS hamming FROM q JOIN sig s ON s.vec_id <> q.q_vec_id) SELECT q_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY hamming ASC, vec_id) AS INT) AS rk, vec_id, hamming FROM p QUALIFY rk <= 5 ORDER BY q_vec_id, rk"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload, mipsTopk)
+    pqIndexReload, mipsTopk, signHammingTopk)
 }
