@@ -815,9 +815,56 @@ object Analytics extends OpGroup {
     Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau FROM events GROUP BY 1, 2), m AS (SELECT event_type, COUNT(DISTINCT user_id) AS mau FROM events GROUP BY 1) SELECT d.event_type, d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau, ROUND(1e-9 + CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness FROM d JOIN m ON m.event_type = d.event_type ORDER BY d.event_type, d.day"""),
   )
 
+  /** Kaplan-Meier survival estimator (r10b) over customer ACTIVITY
+    * LIFETIMES: duration = days between a customer's first and last
+    * order; a lifetime is an observed "death" (churn) only if the last
+    * order falls ≥ 30 days before the corpus horizon — later last-orders
+    * are right-CENSORED (still alive at cutoff), which is the entire
+    * point of KM over a naive duration histogram. At each distinct
+    * death time t: n_t = customers with duration ≥ t (window running
+    * sum from the top), d_t = deaths at t, S(t) = Π(1 − d/n). Scale
+    * shape: one orders hash-agg to per-customer rows, one groupBy to
+    * the ≤|days| duration relation; the product is exp(Σ ln) with the
+    * charlm r6-before-ln discipline and a decimal running sum, so the
+    * curve is order-free and engine-portable.
+    */
+  private val survivalKm = Op(
+    "analytics_survival_km",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val cust = Tables.orders(s, sf)
+        .groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("first_day"),
+          max(to_date(col("o_orderdate"))).as("last_day"))
+      val horizon = cust.agg(max(col("last_day")).as("hz"))
+      val lt = cust.crossJoin(broadcast(horizon))
+        .select(datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
+          (datediff(col("hz"), col("last_day")) >= 30).as("died"))
+      val byDur = lt.groupBy("dur")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("died"), 1L).otherwise(0L)).as("deaths"))
+      val wDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDur.withColumn("n_risk", sum("total").over(wDesc))
+        .filter(col("deaths") > 0)
+        .withColumn("lnterm",
+          r6(log(greatest(r6(lit(1.0) - col("deaths").cast("double") / col("n_risk")),
+            lit(1e-6)))))
+        .withColumn("survival", r6(exp(sum(dec(col("lnterm"))).over(wAsc).cast("double"))))
+        .select(col("dur").as("duration_days"), col("n_risk").cast("long").as("n_risk"),
+          col("deaths").cast("long").as("n_events"), col("survival"))
+        .orderBy("duration_days")
+    },
+    Some("""WITH cust AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day, MAX(CAST(o_orderdate AS DATE)) AS last_day FROM orders GROUP BY 1), hz AS (SELECT MAX(last_day) AS hz FROM cust), lt AS (SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur, date_diff('day', last_day, hz) >= 30 AS died FROM cust, hz), byd AS (SELECT dur, COUNT(*) AS total, SUM(CASE WHEN died THEN 1 ELSE 0 END) AS deaths FROM lt GROUP BY 1), risk AS (SELECT dur, CAST(deaths AS BIGINT) AS deaths, CAST(SUM(total) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM byd), ev AS (SELECT dur, n_risk, deaths, ROUND(1e-9 + ln(GREATEST(ROUND(1e-9 + 1.0 - CAST(deaths AS DOUBLE) / n_risk, 6), 1e-6)), 6) AS lnterm FROM risk WHERE deaths > 0) SELECT dur AS duration_days, n_risk, deaths AS n_events, ROUND(1e-9 + exp(CAST(SUM(CAST(lnterm AS DECIMAL(18,6))) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS survival FROM ev ORDER BY duration_days"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
-    newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness)
+    newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
+    survivalKm)
 }

@@ -628,7 +628,43 @@ object Dedup extends OpGroup {
     Some("""WITH win AS (SELECT doc_id, p AS pos, md5(substr(text, p, 40)) AS h FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39, 8)) AS p) g WHERE length(text) >= 40), dup AS (SELECT h FROM (SELECT h, doc_id FROM win GROUP BY h, doc_id) t GROUP BY h HAVING count(*) >= 2), cov AS (SELECT doc_id, pos, GREATEST(0, pos + 40 - GREATEST(COALESCE(MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS add_cov FROM win JOIN dup USING (h)), perdoc AS (SELECT doc_id, COUNT(*) AS n_dup_windows, CAST(SUM(add_cov) AS BIGINT) AS dup_chars FROM cov GROUP BY doc_id), nwin AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id) SELECT d.doc_id AS doc_id, COALESCE(n.n_windows, 0) AS n_windows, COALESCE(p.n_dup_windows, 0) AS n_dup_windows, COALESCE(p.dup_chars, 0) AS dup_chars, ROUND(1e-9 + CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / GREATEST(d.n_chars, 1), 6) AS dup_frac FROM documents d LEFT JOIN nwin n USING (doc_id) LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""),
   )
 
+  /** CCNet-style paragraph-level dedup (r10b, Wenzek 2020 §4.1): the
+    * corpus-wide companion to [[substringExact]]'s window sweep. Docs
+    * split into non-overlapping 20-word "paragraphs"; each paragraph is
+    * md5'd and the FIRST occurrence in (doc_id, idx) corpus order wins —
+    * every later copy anywhere in the corpus is dropped. Emits the
+    * per-doc retention decision table (paragraph count, kept count,
+    * retained fraction) the curation pipeline consumes. Scale shape:
+    * the explode carries (hash, doc_id, idx) — 16 bytes + key, never
+    * paragraph text — and the first-occurrence window hash-partitions
+    * on the paragraph hash, so the shuffle is uniform by construction
+    * (hashes don't skew) and work is linear in total paragraphs.
+    */
+  private val paragraphDedup = Op(
+    "dedup_paragraph",
+    (s, sf) => {
+      val pars = Tables.documents(s, sf)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ((size(col("words")) - 1) / 20).cast("int"))).as("idx"),
+          col("words"))
+        .select(col("doc_id"), col("idx"),
+          md5(array_join(slice(col("words"), col("idx") * 20 + 1, lit(20)), " ")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "idx")
+      pars.withColumn("kept", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_par"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("retained_frac",
+          r6(col("n_kept").cast("double") / col("n_par")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pars AS (SELECT doc_id, idx, md5(array_to_string(words[idx * 20 + 1 : idx * 20 + 20], ' ')) AS h FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d, LATERAL (SELECT unnest(generate_series(0, CAST((len(words) - 1) // 20 AS INT))) AS idx) g), marked AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS kept FROM pars) SELECT doc_id, COUNT(*) AS n_par, CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, ROUND(1e-9 + CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS retained_frac FROM marked GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
-    ngramJaccard, editdistBrandPairs, substringExact)
+    ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup)
 }

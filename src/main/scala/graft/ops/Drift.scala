@@ -665,8 +665,151 @@ object Drift extends OpGroup {
     Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1), d0 AS (SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev FROM daily), d1 AS (SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up FROM d0 WHERE prev IS NOT NULL), d2 AS (SELECT up, CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL THEN 1 WHEN up <> LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg FROM d1), a AS (SELECT CAST(SUM(up) AS BIGINT) AS n_up, CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down, CAST(SUM(chg) AS BIGINT) AS runs FROM d2), x AS (SELECT n_up, n_down, runs, CAST(n_up AS DOUBLE) AS n1, CAST(n_down AS DOUBLE) AS n2 FROM a) SELECT n_up, n_down, runs, ROUND(1e-9 + 1.0 + 2 * n1 * n2 / (n1 + n2), 6) AS expected_runs, ROUND(1e-9 + (runs - (1.0 + 2 * n1 * n2 / (n1 + n2))) / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_stat FROM x"""),
   )
 
+  /** G-test of independence (r10b) on the same event_type × day-of-week
+    * contingency as [[chisq]] — the likelihood-ratio dual (G = 2·Σ O·ln(O/E)),
+    * preferred over Pearson χ² when any expected cell is small because the
+    * statistic is exactly the deviance the log-linear model reports.
+    * Same scale shape as chisq: ONE linear hash-agg of the fact table,
+    * then window math over the ≤ |types|·7-cell relation. Parity: the ln
+    * ratio is r6'd before ln (both engines feed libm the same double),
+    * per-cell contributions r6'd then decimal-summed. Cells absent from
+    * the groupBy have O = 0 and contribute 0 in the limit — the standard
+    * G-test convention, identical on both sides by construction.
+    */
+  private val gTest = Op(
+    "stats_gtest",
+    (s, sf) => {
+      val o = Tables.events(s, sf)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("observed"))
+      val dfree = o.agg(
+        ((countDistinct(col("event_type")) - 1) *
+          (countDistinct(col("dow")) - 1)).cast("long").as("df"))
+      val wr = Window.partitionBy("event_type")
+      val wc = Window.partitionBy("dow")
+      val wAll = Window.partitionBy()
+      o.withColumn("rt", sum("observed").over(wr))
+        .withColumn("ct", sum("observed").over(wc))
+        .withColumn("n", sum("observed").over(wAll))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("g_contrib",
+          r6(lit(2.0) * col("observed") * log(r6(col("observed") / col("e")))))
+        .withColumn("g_total", sum(dec(col("g_contrib"))).over(wAll).cast("double"))
+        .crossJoin(broadcast(dfree))
+        .select(col("event_type"), col("dow"), col("observed"),
+          r6(col("e")).as("expected"), col("g_contrib"), col("g_total"), col("df"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed FROM events GROUP BY 1, 2), t AS (SELECT CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS df FROM o), x AS (SELECT event_type, dow, CAST(observed AS BIGINT) AS observed, CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) * CAST(SUM(observed) OVER (PARTITION BY dow) AS BIGINT) / CAST(SUM(observed) OVER () AS BIGINT) AS e FROM o), c AS (SELECT event_type, dow, observed, e, ROUND(1e-9 + 2.0 * observed * ln(ROUND(1e-9 + observed / e, 6)), 6) AS g_contrib FROM x) SELECT event_type, dow, observed, ROUND(1e-9 + e, 6) AS expected, g_contrib, CAST(SUM(CAST(g_contrib AS DECIMAL(18, 6))) OVER () AS DOUBLE) AS g_total, df FROM c, t ORDER BY event_type, dow"""),
+  )
+
+  /** Benjamini-Hochberg FDR correction (r10b) over a battery of per-type
+    * weekend-vs-weekday Welch z-tests — the multiple-comparisons
+    * discipline every per-segment monitoring battery needs (k tests at
+    * α=0.05 fire ~k/20 false alarms uncorrected). The two-sided p-value
+    * comes from the Abramowitz-Stegun 7.1.26 erfc polynomial (max abs
+    * error 1.5e-7, below the r6 grain) written as the IDENTICAL double
+    * expression on both engines — no engine exposes erf in SQL. BH step:
+    * rank p ascending, adj_i = min_{j≥i}(p_j·m/j) via a reversed running
+    * min, clamp at 1. Scale shape: one conditional-moments hash-agg of
+    * the fact table (linear, map-side combined), then window math over
+    * the |event types|-row battery.
+    */
+  private val bhFdr = Op(
+    "stats_bh_fdr",
+    (s, sf) => {
+      val wkendS = dayofweek(col("ts")).isin(1, 7)
+      val m = Tables.events(s, sf).groupBy("event_type").agg(
+        sum(when(wkendS, 1L).otherwise(0L)).as("n1"),
+        sum(when(wkendS, dec(col("value")))).as("sx1"),
+        sum(when(wkendS, dec(r6(col("value") * col("value"))))).as("sxx1"),
+        sum(when(!wkendS, 1L).otherwise(0L)).as("n2"),
+        sum(when(!wkendS, dec(col("value")))).as("sx2"),
+        sum(when(!wkendS, dec(r6(col("value") * col("value"))))).as("sxx2"))
+      val m1 = col("sx1").cast("double") / col("n1")
+      val m2 = col("sx2").cast("double") / col("n2")
+      val v1 = (col("sxx1").cast("double") - col("n1") * m1 * m1) / (col("n1") - 1)
+      val v2 = (col("sxx2").cast("double") - col("n2") * m2 * m2) / (col("n2") - 1)
+      val z = (m1 - m2) / sqrt(v1 / col("n1") + v2 / col("n2"))
+      val scored = m.select(col("event_type"),
+        col("n1").as("n_weekend"), col("n2").as("n_weekday"),
+        r6(z).as("z_stat"))
+        // A&S 7.1.26 on x = |z|/sqrt(2): erfc(x) = poly(t)·e^(−x²),
+        // t = 1/(1+0.3275911x) — evaluated on the r6-pinned |z| so both
+        // engines start from the same double.
+        .withColumn("x", abs(col("z_stat")) / sqrt(lit(2.0)))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+        .withColumn("p_value", r6(
+          col("t") * (lit(0.254829592) + col("t") * (lit(-0.284496736)
+            + col("t") * (lit(1.421413741) + col("t") * (lit(-1.453152027)
+            + col("t") * lit(1.061405429))))) * exp(-col("x") * col("x"))))
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy(col("p_value"), col("event_type"))
+      val wTail = Window.orderBy(col("p_value").desc, col("event_type").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("mtot", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("raw_adj", r6(col("p_value") * col("mtot") / col("rk")))
+        .withColumn("p_adj", least(lit(1.0), min(col("raw_adj")).over(wTail)))
+        .withColumn("rejected", col("p_adj") <= 0.05)
+        .select(col("event_type"), col("n_weekend"), col("n_weekday"),
+          col("z_stat"), col("p_value"), col("rk").cast("int").as("rk"),
+          col("p_adj"), col("rejected"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN CAST(value AS DECIMAL(18,6)) END) AS sx1, SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx1, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN CAST(value AS DECIMAL(18,6)) END) AS sx2, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6)) END) AS sxx2 FROM events GROUP BY 1), w AS (SELECT event_type, CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday, ROUND(1e-9 + (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2) / sqrt((CAST(sxx1 AS DOUBLE) - n1 * (CAST(sx1 AS DOUBLE) / n1) * (CAST(sx1 AS DOUBLE) / n1)) / (n1 - 1) / n1 + (CAST(sxx2 AS DOUBLE) - n2 * (CAST(sx2 AS DOUBLE) / n2) * (CAST(sx2 AS DOUBLE) / n2)) / (n2 - 1) / n2), 6) AS z_stat FROM m), p AS (SELECT event_type, n_weekend, n_weekday, z_stat, ROUND(1e-9 + t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-x * x), 6) AS p_value FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM (SELECT *, ABS(z_stat) / sqrt(2.0) AS x FROM w) a) b), r AS (SELECT *, COUNT(*) OVER () AS mtot, ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rk FROM p), adj AS (SELECT *, LEAST(1.0, MIN(ROUND(1e-9 + p_value * mtot / rk, 6)) OVER (ORDER BY p_value DESC, event_type DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj FROM r) SELECT event_type, n_weekend, n_weekday, z_stat, p_value, CAST(rk AS INT) AS rk, p_adj, p_adj <= 0.05 AS rejected FROM adj ORDER BY event_type"""),
+  )
+
+  /** Kendall tau-b (r10b) of l_quantity vs l_discount per returnflag —
+    * the rank-correlation companion to [[spearmanRank]], robust to the
+    * heavy ties both columns carry (50 and 11 distinct values). The
+    * naive statistic is O(n²) row pairs; this formulation is exact on
+    * the VALUE-CELL contingency: one linear hash-agg to (q, d, cnt)
+    * cells, then concordant/discordant mass via an ordered cell
+    * self-join (≤ 550 cells per flag → ≤ 151k cell pairs, forever —
+    * bounded by the value domain, not row count). Everything up to the
+    * final quotient is INTEGER (pair masses as exact longs; tie terms
+    * t(t−1) DIV 2 on the marginals); the denominator's two factors are
+    * ~n²/2 so each is sqrt'd separately in doubles to dodge the long
+    * overflow their product would hit at sf ≥ 1.
+    */
+  private val kendallTau = Op(
+    "stats_kendall_tau",
+    (s, sf) => {
+      val cells = Tables.lineitem(s, sf)
+        .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("q"),
+          col("l_discount").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val b = cells.select(col("f").as("bf"), col("q").as("bq"),
+        col("d").as("bd"), col("cnt").as("bcnt"))
+      val cd = cells.join(b, col("f") === col("bf") &&
+          (col("q") < col("bq") || (col("q") === col("bq") && col("d") < col("bd"))))
+        .groupBy("f")
+        .agg(
+          sum(when(col("bq") > col("q") && col("bd") > col("d"),
+            col("cnt") * col("bcnt")).otherwise(0L)).cast("long").as("conc"),
+          sum(when(col("bq") > col("q") && col("bd") < col("d"),
+            col("cnt") * col("bcnt")).otherwise(0L)).cast("long").as("disc"))
+      val tot = cells.groupBy("f").agg(sum("cnt").cast("long").as("n"))
+      def ties(k: String, out: String) = cells.groupBy(col("f"), col(k))
+        .agg(sum("cnt").as("t"))
+        .groupBy("f").agg(sum(expr("t * (t - 1) DIV 2")).cast("long").as(out))
+      val j = tot.join(cd, Seq("f")).join(ties("q", "tx"), Seq("f"))
+        .join(ties("d", "ty"), Seq("f"))
+        .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      j.select(col("f").as("l_returnflag"), col("n"),
+          col("conc").as("concordant"), col("disc").as("discordant"),
+          r6((col("conc") - col("disc")).cast("double") /
+            (sqrt((col("n0") - col("tx")).cast("double")) *
+              sqrt((col("n0") - col("ty")).cast("double")))).as("tau_b"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS f, l_quantity AS q, l_discount AS d, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2, 3), cd AS (SELECT a.f, CAST(SUM(CASE WHEN b.q > a.q AND b.d > a.d THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS conc, CAST(SUM(CASE WHEN b.q > a.q AND b.d < a.d THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS disc FROM cells a JOIN cells b ON a.f = b.f AND (a.q < b.q OR (a.q = b.q AND a.d < b.d)) GROUP BY 1), tot AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1), tx AS (SELECT f, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tx FROM (SELECT f, q, SUM(cnt) AS t FROM cells GROUP BY 1, 2) z GROUP BY 1), ty AS (SELECT f, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ty FROM (SELECT f, d, SUM(cnt) AS t FROM cells GROUP BY 1, 2) z GROUP BY 1), j AS (SELECT tot.f, n, conc, disc, tx, ty, n * (n - 1) // 2 AS n0 FROM tot JOIN cd ON cd.f = tot.f JOIN tx ON tx.f = tot.f JOIN ty ON ty.f = tot.f) SELECT f AS l_returnflag, n, conc AS concordant, disc AS discordant, ROUND(1e-9 + CAST(conc - disc AS DOUBLE) / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))), 6) AS tau_b FROM j ORDER BY l_returnflag"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
-    spearmanRank, runsTest)
+    spearmanRank, runsTest, gTest, bhFdr, kendallTau)
 }

@@ -324,6 +324,39 @@ object EtlLoad extends OpGroup {
     Some("""WITH span AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders), spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span) SELECT day, CAST(year(day) AS INT) AS yr, CAST(quarter(day) AS INT) AS qtr, CAST(month(day) AS INT) AS mo, CAST(dayofmonth(day) AS INT) AS dom, CAST(dayofweek(day) + 1 AS INT) AS dow, CAST(weekofyear(day) AS INT) AS iso_week, dayofweek(day) + 1 IN (1, 7) AS is_weekend, dayofmonth(day) = 1 AS is_month_start FROM spine ORDER BY day"""),
   )
 
+  /** Order-free whole-table fingerprint (r10b): the cross-engine /
+    * cross-copy integrity check a migration or replication job runs
+    * after every load ("is the replica byte-equivalent to the source?").
+    * Each row renders to ONE canonical string — integers as-is, doubles
+    * through DECIMAL(18,6) (fixed 6-digit rendering on both engines,
+    * dodging engine float-to-string skew), the timestamp as an ISO
+    * date — then md5 → 28-bit int, and the table collapses to
+    * (count, sum, min, max) of row hashes: commutative aggregates, so
+    * the fingerprint is independent of partitioning, row order, and
+    * engine. Scale shape: one linear scan, map-side combined to a
+    * single row; any subset (partition, day) fingerprints the same way
+    * and sums compose.
+    */
+  private val tableFingerprint = Op(
+    "etl_table_fingerprint",
+    (s, sf) => {
+      import parity.Dec
+      val canon = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(Dec).cast("string"),
+        col("l_extendedprice").cast(Dec).cast("string"),
+        col("l_discount").cast(Dec).cast("string"),
+        col("l_tax").cast(Dec).cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        to_date(col("l_shipdate")).cast("string"))
+      Tables.lineitem(s, sf)
+        .select(conv(substring(md5(canon), 1, 7), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum("h").as("hash_sum"),
+          min("h").as("hash_min"), max("h").as("hash_max"))
+    },
+    Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
-    snapshotDiff, scd2PointInTime, fkIntegrity, dateDim)
+    snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint)
 }

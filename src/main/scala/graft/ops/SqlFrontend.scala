@@ -776,8 +776,34 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT c_mktsegment, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS urgent, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS high, ROUND(1e-9 + CAST(SUM(CASE WHEN o_orderpriority = '3-NORMAL' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS normal FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
   )
 
+  /** GROUP BY ALL (r10b) — the analyst-ergonomics SQL surface both
+    * engines added independently (Spark 3.4 / DuckDB 0.5): every
+    * non-aggregate select item becomes a grouping key, resolved at
+    * ANALYSIS time (Catalyst's ResolveGroupByAll), so the physical plan
+    * is the ordinary hash-agg — this key pins the FRONTEND path, not a
+    * new operator. Revenue and order count per (segment, priority,
+    * status) with a computed grouping expression in the list.
+    */
+  private val groupByAll = Op(
+    "sql_groupby_all",
+    (s, sf) => {
+      import org.apache.spark.sql.functions.col
+      withViews(s, sf, "customer", "orders")
+      s.sql("""
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               o.o_orderstatus = 'F' AS is_final,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS revenue
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY ALL
+        ORDER BY c_mktsegment, o_orderpriority, is_final
+      """).withColumn("revenue", col("revenue").cast("double"))
+    },
+    Some("""SELECT c.c_mktsegment, o.o_orderpriority, o.o_orderstatus = 'F' AS is_final, COUNT(*) AS n_orders, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY ALL ORDER BY c_mktsegment, o_orderpriority, is_final"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
-    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause)
+    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll)
 }

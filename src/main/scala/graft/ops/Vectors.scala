@@ -1185,8 +1185,92 @@ object Vectors extends OpGroup {
     Some("""WITH sig AS (SELECT vec_id, list_reduce(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig0, list_reduce(list_transform(generate_series(32, 63), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig1 FROM embeddings), q AS (SELECT vec_id AS q_vec_id, sig0 AS q_sig0, sig1 AS q_sig1 FROM sig WHERE vec_id < 20), p AS (SELECT q.q_vec_id, s.vec_id, CAST(bit_count(xor(s.sig0, q.q_sig0)) + bit_count(xor(s.sig1, q.q_sig1)) AS INT) AS hamming FROM q JOIN sig s ON s.vec_id <> q.q_vec_id) SELECT q_vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY hamming ASC, vec_id) AS INT) AS rk, vec_id, hamming FROM p QUALIFY rk <= 5 ORDER BY q_vec_id, rk"""),
   )
 
+  /** Johnson-Lindenstrauss sign projection (r10b, Achlioptas 2003's
+    * ±1 database-friendly variant): 64 → 16 dims through a DETERMINISTIC
+    * ±1 matrix keyed off md5(dim, j) — no stored projection artifact,
+    * any executor regenerates any matrix entry locally, which is exactly
+    * why the sign construction (not Gaussian) is the one you run at
+    * 100 TB. y_j = Σ_i s_ij·x_i / √16 with r6'd per-term doubles
+    * decimal-summed (order-free). Plan shape: the 1024-row sign matrix
+    * broadcasts; the exploded (vec_id, dim, x) relation joins it and
+    * map-side combines into (vec_id, j) partials — shuffle carries
+    * 16 rows per vector, never the 16× intermediate.
+    */
+  private val jlProjection = Op(
+    "vec_jl_projection",
+    (s, sf) => {
+      val sgn = s.range(64).select(col("id").cast("int").as("dim"))
+        .crossJoin(s.range(16).select(col("id").cast("int").as("j")))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat_ws("_", col("dim"), col("j"))), 1, 7),
+            16, 10).cast("long") % 2 === 0, 1).otherwise(-1))
+      val e = Tables.embeddings(s, sf)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      e.join(broadcast(sgn), "dim")
+        .groupBy("vec_id", "j")
+        .agg(sum(dec(r6(col("sgn") * col("x")))).as("acc"))
+        .select(col("vec_id"), col("j"),
+          r6(col("acc").cast("double") / lit(4.0)).as("y"))
+        .orderBy("vec_id", "j")
+    },
+    Some("""WITH sgn AS (SELECT dim, j, CASE WHEN CAST(concat('0x', substr(md5(CAST(dim AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 7)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM (SELECT unnest(generate_series(0, 63)) AS dim) a, (SELECT unnest(generate_series(0, 15)) AS j) b), e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)) SELECT vec_id, j, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + sgn * x, 6) AS DECIMAL(18,6))) AS DOUBLE) / 4.0, 6) AS y FROM e JOIN sgn ON sgn.dim = e.dim GROUP BY vec_id, j ORDER BY vec_id, j"""),
+  )
+
+  /** Deterministic fixed-iteration Lloyd k-means (r10b): K = 4 clusters,
+    * init = the 4 lowest vec_ids, exactly TWO update rounds then a final
+    * assignment — the training-loop shape of the IVF coarse quantizer
+    * ([[annIvf]] consumes a trained model; this key IS two steps of that
+    * training as an oracled dataflow). Every distance is a decimal sum
+    * of r6'd per-dim squared gaps (order-free, so the argmin with cid
+    * tiebreak is exact on both engines) and every centroid coordinate is
+    * an r6'd decimal-mean — the whole loop stays under the hash gate
+    * with no float-accumulation drift. Plan shape per round: centroids
+    * (≤ 256 rows) BROADCAST onto the exploded vectors, distances
+    * map-side combine into (vec, cid) partials, assignment is one
+    * bounded 4-row-per-vector window — a genuine Lloyd round is two
+    * broadcast joins + two hash-aggs, no collect. An emptied cluster
+    * simply drops out of the centroid relation (standard Lloyd decay),
+    * identically on both engines.
+    */
+  private val kmeansFixed = Op(
+    "vec_kmeans_fixed",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.spread(s, Tables.embeddings(s, sf))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      def distances(cent: DataFrame): DataFrame =
+        e.join(broadcast(cent), "dim")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum(dec(r6((col("x") - col("c")) * (col("x") - col("c"))))).as("dist"))
+      def assign(cent: DataFrame): DataFrame =
+        distances(cent).withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+          .filter(col("rk") === 1)
+      var cent = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("dim"), col("x").as("c"))
+      for (_ <- 1 to 2) {
+        cent = e.join(assign(cent).select("vec_id", "cid"), "vec_id")
+          .groupBy("cid", "dim")
+          .agg(r6(sum(dec(r6(col("x")))).cast("double") / count(lit(1))).as("c"))
+      }
+      val fin = assign(cent)
+      val sizes = fin.groupBy("cid")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(dec(col("dist"))).cast("double").as("inertia_raw"))
+      val checks = cent.groupBy("cid")
+        .agg(sum(dec(col("c"))).cast("double").as("ck"))
+      sizes.join(checks, "cid")
+        .select(col("cid"), col("n_assigned"), r6(col("inertia_raw")).as("inertia"),
+          r6(col("ck")).as("centroid_checksum"))
+        .orderBy("cid")
+    },
+    Some("""WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, x AS c FROM e WHERE vec_id < 4), d1 AS (SELECT e.vec_id, c0.cid, SUM(CAST(ROUND(1e-9 + (e.x - c0.c) * (e.x - c0.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c0 ON c0.dim = e.dim GROUP BY 1, 2), a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) z WHERE rk = 1), c1 AS (SELECT a1.cid, e.dim, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + e.x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM e JOIN a1 ON a1.vec_id = e.vec_id GROUP BY 1, 2), d2 AS (SELECT e.vec_id, c1.cid, SUM(CAST(ROUND(1e-9 + (e.x - c1.c) * (e.x - c1.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c1 ON c1.dim = e.dim GROUP BY 1, 2), a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2) z WHERE rk = 1), c2 AS (SELECT a2.cid, e.dim, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + e.x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM e JOIN a2 ON a2.vec_id = e.vec_id GROUP BY 1, 2), df AS (SELECT e.vec_id, c2.cid, SUM(CAST(ROUND(1e-9 + (e.x - c2.c) * (e.x - c2.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c2 ON c2.dim = e.dim GROUP BY 1, 2), af AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM df) z WHERE rk = 1), sizes AS (SELECT cid, COUNT(*) AS n_assigned, CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS inertia_raw FROM af GROUP BY 1), checks AS (SELECT cid, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS ck FROM c2 GROUP BY 1) SELECT sizes.cid AS cid, n_assigned, ROUND(1e-9 + inertia_raw, 6) AS inertia, ROUND(1e-9 + ck, 6) AS centroid_checksum FROM sizes JOIN checks ON checks.cid = sizes.cid ORDER BY cid"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload, mipsTopk, signHammingTopk)
+    pqIndexReload, mipsTopk, signHammingTopk, jlProjection, kmeansFixed)
 }

@@ -524,9 +524,90 @@ object Windows extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), x0 AS (SELECT event_type, day, SUM(rev) OVER w AS cum FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), x AS (SELECT event_type, day, cum, MAX(cum) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax FROM x0), y AS (SELECT event_type, day, cum, runmax, ROUND(1e-9 + CAST(cum AS DOUBLE) / CAST(runmax AS DOUBLE) - 1, 6) AS dd FROM x), z AS (SELECT event_type, day, cum, runmax, dd, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd ASC, day ASC) AS rk FROM y) SELECT event_type, day AS trough_day, ROUND(1e-9 + CAST(cum AS DOUBLE), 6) AS cum_at_trough, ROUND(1e-9 + CAST(runmax AS DOUBLE), 6) AS peak_cum, dd AS max_drawdown FROM z WHERE rk = 1 ORDER BY event_type"""),
   )
 
+  /** 14-day RSI (r10b) per event type on daily revenue — Wilder's
+    * relative-strength index in its SMA form (the window-expressible
+    * variant; the recursive EWM form is [[ts_ewma_smooth]]'s family).
+    * Day-over-day changes are EXACT decimal diffs of exact decimal
+    * daily sums, so gains/losses and their 14-row window sums are
+    * order-free; RSI = 100·G/(G+L) algebraically avoids both the /14
+    * and the divide-by-zero of the RS form (G+L = 0, a 14-day flat
+    * stretch, maps to the neutral 50 on both engines). Emitted only
+    * once the window is full (rn ≥ 15). Bounded (type) partitions over
+    * DAYS — scale-free window input like the Bollinger op.
+    */
+  private val rsi14 = Op(
+    "win_rsi",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val w14 = wo.rowsBetween(-13, Window.currentRow)
+      val d = daily
+        .withColumn("chg", col("rev") - lag(col("rev"), 1).over(wo))
+        .withColumn("rn", row_number().over(wo))
+        .filter(col("chg").isNotNull)
+        .withColumn("gain", greatest(col("chg"), lit(0).cast(parity.Dec)))
+        .withColumn("loss", greatest(-col("chg"), lit(0).cast(parity.Dec)))
+      d.withColumn("g", sum(dec(col("gain"))).over(w14).cast("double"))
+        .withColumn("l", sum(dec(col("loss"))).over(w14).cast("double"))
+        .filter(col("rn") >= 15)
+        .select(col("event_type"), col("day"),
+          when(col("g") + col("l") === 0.0, lit(50.0))
+            .otherwise(r6(lit(100.0) * col("g") / (col("g") + col("l"))))
+            .as("rsi_14"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), d AS (SELECT event_type, day, rev - LAG(rev) OVER (PARTITION BY event_type ORDER BY day) AS chg, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily), gl AS (SELECT event_type, day, rn, GREATEST(chg, CAST(0 AS DECIMAL(18,6))) AS gain, GREATEST(-chg, CAST(0 AS DECIMAL(18,6))) AS loss FROM d WHERE chg IS NOT NULL), win AS (SELECT event_type, day, rn, CAST(SUM(CAST(gain AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS DOUBLE) AS g, CAST(SUM(CAST(loss AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS DOUBLE) AS l FROM gl) SELECT event_type, day, CASE WHEN g + l = 0.0 THEN 50.0 ELSE ROUND(1e-9 + 100.0 * g / (g + l), 6) END AS rsi_14 FROM win WHERE rn >= 15 ORDER BY event_type, day"""),
+  )
+
+  /** 7-day rolling Pearson correlation (r10b) of each type's daily
+    * revenue against the ALL-TYPE daily total — the co-movement monitor
+    * next to [[bollingerBands]]' envelope (is this segment still moving
+    * with the book, or decoupling?). x and y are exact decimal daily
+    * sums; the five windowed moment terms are per-day doubles computed
+    * from them with r6 pinning, then decimal-summed over the fixed
+    * 7-row frame, so both engines assemble the same moments. A
+    * zero-variance window (7 identical days, possible after gap-fill)
+    * yields NULL via the vx·vy ≤ 0 guard on both engines — never a
+    * 0/0 NaN-vs-inf skew. Bounded (type) partitions over DAYS.
+    */
+  private val rollingCorr = Op(
+    "win_rolling_corr",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+      val totals = daily.groupBy("day").agg(sum(dec(col("x"))).as("y"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val w7 = wo.rowsBetween(-6, Window.currentRow)
+      // Moments run on /1e3-scaled values: correlation is scale-invariant
+      // and the scaling keeps the r6'd cross products inside DECIMAL(18,6)
+      // at any sf (unscaled, a daily-total square passes 1e12 at sf≈1).
+      val j = daily.join(broadcast(totals), Seq("day"))
+        .withColumn("xd", col("x").cast("double") / 1000.0)
+        .withColumn("yd", col("y").cast("double") / 1000.0)
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("sx", sum(dec(r6(col("xd")))).over(w7).cast("double"))
+        .withColumn("sy", sum(dec(r6(col("yd")))).over(w7).cast("double"))
+        .withColumn("sxx", sum(dec(r6(col("xd") * col("xd")))).over(w7).cast("double"))
+        .withColumn("syy", sum(dec(r6(col("yd") * col("yd")))).over(w7).cast("double"))
+        .withColumn("sxy", sum(dec(r6(col("xd") * col("yd")))).over(w7).cast("double"))
+        .filter(col("rn") >= 7)
+      val vx = lit(7.0) * col("sxx") - col("sx") * col("sx")
+      val vy = lit(7.0) * col("syy") - col("sy") * col("sy")
+      j.select(col("event_type"), col("day"),
+          when(vx * vy <= 0.0, lit(null).cast("double"))
+            .otherwise(r6((lit(7.0) * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(vx) * sqrt(vy)))).as("corr_7d"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS x FROM events GROUP BY 1, 2), totals AS (SELECT day, SUM(CAST(x AS DECIMAL(18,6))) AS y FROM daily GROUP BY 1), j AS (SELECT d.event_type, d.day, CAST(d.x AS DOUBLE) / 1000.0 AS xd, CAST(t.y AS DOUBLE) / 1000.0 AS yd, ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn FROM daily d JOIN totals t ON t.day = d.day), m AS (SELECT event_type, day, rn, CAST(SUM(CAST(ROUND(1e-9 + xd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(ROUND(1e-9 + yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy, CAST(SUM(CAST(ROUND(1e-9 + xd * xd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx, CAST(SUM(CAST(ROUND(1e-9 + yd * yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy, CAST(SUM(CAST(ROUND(1e-9 + xd * yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy FROM j WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT event_type, day, CASE WHEN (7.0 * sxx - sx * sx) * (7.0 * syy - sy * sy) <= 0.0 THEN NULL ELSE ROUND(1e-9 + (7.0 * sxy - sx * sy) / (sqrt(7.0 * sxx - sx * sx) * sqrt(7.0 * syy - sy * sy)), 6) END AS corr_7d FROM m WHERE rn >= 7 ORDER BY event_type, day"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
     rollingMedian, hampelFilter, gapsIslands, concurrencySweep,
-    bollingerBands, maxDrawdown)
+    bollingerBands, maxDrawdown, rsi14, rollingCorr)
 }
