@@ -861,10 +861,58 @@ object Analytics extends OpGroup {
     Some("""WITH cust AS (SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day, MAX(CAST(o_orderdate AS DATE)) AS last_day FROM orders GROUP BY 1), hz AS (SELECT MAX(last_day) AS hz FROM cust), lt AS (SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS dur, date_diff('day', last_day, hz) >= 30 AS died FROM cust, hz), byd AS (SELECT dur, COUNT(*) AS total, SUM(CASE WHEN died THEN 1 ELSE 0 END) AS deaths FROM lt GROUP BY 1), risk AS (SELECT dur, CAST(deaths AS BIGINT) AS deaths, CAST(SUM(total) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM byd), ev AS (SELECT dur, n_risk, deaths, ROUND(1e-9 + ln(GREATEST(ROUND(1e-9 + 1.0 - CAST(deaths AS DOUBLE) / n_risk, 6), 1e-6)), 6) AS lnterm FROM risk WHERE deaths > 0) SELECT dur AS duration_days, n_risk, deaths AS n_events, ROUND(1e-9 + exp(CAST(SUM(CAST(lnterm AS DECIMAL(18,6))) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS survival FROM ev ORDER BY duration_days"""),
   )
 
+  /** Holt linear-trend exponential smoothing (r10c, α=0.5 β=0.3) per
+    * event type over daily revenue — [[ewmaSmooth]]'s two-parameter
+    * extension (level AND trend state), the workhorse short-horizon
+    * forecaster. The recurrence is inherently SEQUENTIAL in t, so the
+    * engine folds it as a higher-order `aggregate` over each type's
+    * day-sorted value array — legitimate because the array is bounded
+    * by the CALENDAR (30 days here, never row count): at 100 TB the
+    * shuffle still carries one (type, day, x) row per type-day, and
+    * the fold is O(days) driver-free per group. Init l₁=x₁, b₁=x₂−x₁
+    * (Hyndman's convention); both engines execute the IDENTICAL
+    * multiply-add chain (Spark HOF vs DuckDB recursive CTE) on the
+    * same exact-decimal-derived doubles, r6 once at output.
+    */
+  private val holtLinear = Op(
+    "ts_holt_linear",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.r6
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")).cast("int"))
+      val folded = daily.groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(rn, x))), p -> p.x)").as("xs"))
+        .withColumn("states", expr("""
+          aggregate(
+            slice(xs, 2, size(xs) - 1),
+            array(named_struct('l', element_at(xs, 1),
+                               'b', element_at(xs, 2) - element_at(xs, 1))),
+            (acc, xv) -> concat(acc, array(named_struct(
+              'l', 0.5D * xv + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b),
+              'b', 0.3D * ((0.5D * xv + 0.5D * (element_at(acc, -1).l + element_at(acc, -1).b))
+                           - element_at(acc, -1).l)
+                   + 0.7D * element_at(acc, -1).b))))
+        """))
+        .select(col("event_type"), posexplode(col("states")).as(Seq("i", "st")))
+        .select(col("event_type"), (col("i") + 1).cast("int").as("rn"),
+          col("st.l").as("l"), col("st.b").as("b"))
+      folded.join(daily.select("event_type", "rn", "day"), Seq("event_type", "rn"))
+        .select(col("event_type"), col("day"),
+          r6(col("l")).as("level"), r6(col("b")).as("trend"),
+          r6(col("l") + col("b")).as("forecast_next"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2), idx AS (SELECT event_type, day, x, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS rn FROM daily), holt AS (SELECT i.event_type, 1 AS rn, i.x AS l, j.x - i.x AS b FROM idx i JOIN idx j ON j.event_type = i.event_type AND j.rn = 2 WHERE i.rn = 1 UNION ALL SELECT i.event_type, h.rn + 1, 0.5 * i.x + 0.5 * (h.l + h.b), 0.3 * ((0.5 * i.x + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b FROM holt h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn + 1) SELECT h.event_type, i.day, ROUND(1e-9 + h.l, 6) AS level, ROUND(1e-9 + h.b, 6) AS trend, ROUND(1e-9 + h.l + h.b, 6) AS forecast_next FROM holt h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn ORDER BY h.event_type, i.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
-    survivalKm)
+    survivalKm, holtLinear)
 }

@@ -666,7 +666,45 @@ object Clusters extends OpGroup {
     Some("""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), bfs(node, depth) AS (SELECT MIN(u), 0 FROM sym UNION SELECT c.v, bfs.depth + 1 FROM bfs JOIN sym c ON c.u = bfs.node WHERE bfs.depth < 4) SELECT node, CAST(MIN(depth) AS INT) AS hops FROM bfs GROUP BY node ORDER BY node"""),
   )
 
+  /** Adamic-Adar link prediction (r10c) over the co-purchase graph —
+    * [[neighborJaccard]]'s weighted sibling: shared neighbors count
+    * 1/ln(deg) each, so a rare co-purchased part is stronger evidence of
+    * a link than a ubiquitous one (Adamic & Adar 2003, the classical
+    * "friends-of-friends, discounted by hubness" score). Same wedge-join
+    * shape: Σ per-shared-neighbor work = Σ deg², never node pairs; the
+    * per-wedge weight joins the degree relation at the wedge CENTER and
+    * decimal-sums r6'd 1/ln terms (wedge centers have deg ≥ 2, so ln is
+    * never 0). Candidate set gated at ≥ 3 shared neighbors — the same
+    * support floor the Jaccard key uses, keeping output O(strong pairs).
+    */
+  private val adamicAdar = Op(
+    "graph_adamic_adar",
+    (s, sf) => Tables.withConfs(s, Seq(
+      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.{dec, r6}
+      val edges = copurchaseEdges(s, sf)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.as("s1").join(sym.as("s2"),
+          col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
+        .select(col("s1.v").as("a"), col("s2.v").as("b"), col("s1.u").as("ctr"))
+        .join(deg.select(col("node").as("ctr"), col("deg").as("deg_ctr")), "ctr")
+      val out = wedges.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"),
+          sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
+        .filter(col("shared") >= 3)
+        .select(col("a").as("u"), col("b").as("v"), col("shared"),
+          col("aa").cast("double").as("adamic_adar"))
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      pinned.orderBy("u", "v")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared, SUM(CAST(ROUND(1e-9 + 1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6))) AS aa FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v JOIN deg ON deg.node = s1.u GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT a AS u, b AS v, CAST(shared AS BIGINT) AS shared, CAST(aa AS DOUBLE) AS adamic_adar FROM w ORDER BY u, v"""),
+  )
+
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
-    bfsHops)
+    bfsHops, adamicAdar)
 }

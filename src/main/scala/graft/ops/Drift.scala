@@ -808,8 +808,76 @@ object Drift extends OpGroup {
     Some("""WITH cells AS (SELECT l_returnflag AS f, l_quantity AS q, l_discount AS d, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2, 3), cd AS (SELECT a.f, CAST(SUM(CASE WHEN b.q > a.q AND b.d > a.d THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS conc, CAST(SUM(CASE WHEN b.q > a.q AND b.d < a.d THEN a.cnt * b.cnt ELSE 0 END) AS BIGINT) AS disc FROM cells a JOIN cells b ON a.f = b.f AND (a.q < b.q OR (a.q = b.q AND a.d < b.d)) GROUP BY 1), tot AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1), tx AS (SELECT f, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tx FROM (SELECT f, q, SUM(cnt) AS t FROM cells GROUP BY 1, 2) z GROUP BY 1), ty AS (SELECT f, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ty FROM (SELECT f, d, SUM(cnt) AS t FROM cells GROUP BY 1, 2) z GROUP BY 1), j AS (SELECT tot.f, n, conc, disc, tx, ty, n * (n - 1) // 2 AS n0 FROM tot JOIN cd ON cd.f = tot.f JOIN tx ON tx.f = tot.f JOIN ty ON ty.f = tot.f) SELECT f AS l_returnflag, n, conc AS concordant, disc AS discordant, ROUND(1e-9 + CAST(conc - disc AS DOUBLE) / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE))), 6) AS tau_b FROM j ORDER BY l_returnflag"""),
   )
 
+  /** Jarque-Bera normality test (r10c) per event type — the screen that
+    * turns [[skewKurtosis]]'s descriptive moments into a decision
+    * statistic: JB = n·(g1²/6 + g2²/24) is asymptotically χ²(2) under
+    * normality, so a fat tail OR an asymmetry alone fires it. Same
+    * single-pass mergeable-moments shape as its parent (one linear
+    * hash-agg carrying decimal Σx..Σx⁴; central moments by the binomial
+    * expansion); JB is computed from the RAW m-moments and rounded once
+    * — never from the already-rounded skew/kurt columns (no compounding).
+    */
+  private val jarqueBera = Op(
+    "stats_jarque_bera",
+    (s, sf) => {
+      val m = Tables.events(s, sf).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("s1"),
+        sum(dec(r6(col("value") * col("value")))).as("s2"),
+        sum(dec(r6(col("value") * col("value") * col("value")))).as("s3"),
+        sum(dec(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1").cast("double") / n
+      val r2 = col("s2").cast("double") / n
+      val r3 = col("s3").cast("double") / n
+      val r4 = col("s4").cast("double") / n
+      val m2 = r2 - mu * mu
+      val m3 = r3 - lit(3) * mu * r2 + lit(2) * mu * mu * mu
+      val m4 = r4 - lit(4) * mu * r3 + lit(6) * mu * mu * r2 - lit(3) * mu * mu * mu * mu
+      val g1 = m3 / pow(m2, 1.5)
+      val g2 = m4 / (m2 * m2) - lit(3)
+      m.select(col("event_type"), col("n"),
+          r6(g1).as("skewness"), r6(g2).as("kurtosis_excess"),
+          r6(n * (g1 * g1 / 6 + g2 * g2 / 24)).as("jb_stat"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(18,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(18,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x), g AS (SELECT event_type, n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) - 3 AS g2 FROM c) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + g1, 6) AS skewness, ROUND(1e-9 + g2, 6) AS kurtosis_excess, ROUND(1e-9 + n * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_stat FROM g ORDER BY event_type"""),
+  )
+
+  /** Poisson dispersion test (r10c) on daily event COUNTS per type —
+    * the arrival-process screen (a Poisson stream has variance = mean;
+    * overdispersion means bursts/contagion, underdispersion means
+    * rate-limiting). Counts are integers so the day-level moments are
+    * EXACT decimals with no r6 anywhere before the final quotients;
+    * the χ² form (n−1)·s²/x̄ is the classical conditional test. Scale
+    * shape: one linear hash-agg to (type, day) counts, then a
+    * days-bounded second agg — the fact table is touched once.
+    */
+  private val poissonDispersion = Op(
+    "stats_poisson_dispersion",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("c")).cast("long").as("total"),
+        sum(dec(col("c") * col("c"))).as("s2"))
+      val n = col("n_days").cast("double")
+      val mu = col("total").cast("double") / n
+      val v = (col("s2").cast("double") - n * mu * mu) / (n - 1)
+      m.select(col("event_type"), col("n_days"), col("total"),
+          r6(mu).as("mean_daily"), r6(v).as("var_daily"),
+          r6(v / mu).as("dispersion_index"),
+          r6((n - 1) * v / mu).as("chi2_stat"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1, 2), m AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total, SUM(CAST(c * c AS DECIMAL(18,6))) AS s2 FROM daily GROUP BY 1), x AS (SELECT event_type, n_days, total, CAST(n_days AS DOUBLE) AS n, CAST(total AS DOUBLE) / n_days AS mu, (CAST(s2 AS DOUBLE) - n_days * (CAST(total AS DOUBLE) / n_days) * (CAST(total AS DOUBLE) / n_days)) / (n_days - 1) AS v FROM m) SELECT event_type, n_days, total, ROUND(1e-9 + mu, 6) AS mean_daily, ROUND(1e-9 + v, 6) AS var_daily, ROUND(1e-9 + v / mu, 6) AS dispersion_index, ROUND(1e-9 + (n - 1) * v / mu, 6) AS chi2_stat FROM x ORDER BY event_type"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
-    spearmanRank, runsTest, gTest, bhFdr, kendallTau)
+    spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
+    poissonDispersion)
 }

@@ -357,6 +357,37 @@ object EtlLoad extends OpGroup {
     Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h"""),
   )
 
+  /** Partition-skew audit (r10c): would `orders` partitioned by
+    * (year, month) of o_orderdate lay out evenly? The pre-flight a
+    * `partitionBy` writer runs before committing a layout — a hot
+    * month 10× the mean becomes the straggler task of every downstream
+    * scan. One linear hash-agg to per-partition (rows, exact decimal
+    * revenue), then window math over the months-bounded relation:
+    * share of total rows, skew ratio vs the uniform mean, and the
+    * ratio > 2 flag a layout job would alert on.
+    */
+  private val partitionSkewAudit = Op(
+    "etl_partition_skew_audit",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import parity.{dec, r6}
+      val p = Tables.orders(s, sf)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_rows"), sum(dec(col("o_totalprice"))).as("rev"))
+      val wAll = Window.partitionBy()
+      p.withColumn("tot", sum("n_rows").over(wAll))
+        .withColumn("nparts", count(lit(1)).over(wAll))
+        .select(col("yr"), col("mo"), col("n_rows"),
+          col("rev").cast("double").as("revenue"),
+          r6(col("n_rows").cast("double") / col("tot")).as("row_share"),
+          r6(col("n_rows").cast("double") * col("nparts") / col("tot")).as("skew_ratio"),
+          (col("n_rows").cast("double") * col("nparts") / col("tot") > 2.0).as("skewed"))
+        .orderBy("yr", "mo")
+    },
+    Some("""WITH p AS (SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo, COUNT(*) AS n_rows, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY 1, 2), x AS (SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, CAST(n_rows AS BIGINT) AS n_rows, CAST(rev AS DOUBLE) AS revenue, CAST(SUM(n_rows) OVER () AS BIGINT) AS tot, CAST(COUNT(*) OVER () AS BIGINT) AS nparts FROM p) SELECT yr, mo, n_rows, revenue, ROUND(1e-9 + CAST(n_rows AS DOUBLE) / tot, 6) AS row_share, ROUND(1e-9 + CAST(n_rows AS DOUBLE) * nparts / tot, 6) AS skew_ratio, CAST(n_rows AS DOUBLE) * nparts / tot > 2.0 AS skewed FROM x ORDER BY yr, mo"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
-    snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint)
+    snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint,
+    partitionSkewAudit)
 }

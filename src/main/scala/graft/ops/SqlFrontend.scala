@@ -802,8 +802,37 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT c.c_mktsegment, o.o_orderpriority, o.o_orderstatus = 'F' AS is_final, COUNT(*) AS n_orders, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY ALL ORDER BY c_mktsegment, o_orderpriority, is_final"""),
   )
 
+  /** SQL UNPIVOT clause (r10c) — [[pivotClause]]'s inverse through the
+    * frontend door (Catalyst ResolveUnpivot → Expand, distinct from the
+    * DataFrame `agg_unpivot_stack` key which goes through stack()):
+    * a wide per-returnflag measure row folds to (flag, metric, value)
+    * long form. Both engines accept the identical SQL-standard
+    * `UNPIVOT (val FOR name IN (...))` table clause. Measures are
+    * rounded doubles BEFORE unpivoting so the single value column is
+    * double on both sides.
+    */
+  private val unpivotClause = Op(
+    "sql_unpivot_clause",
+    (s, sf) => {
+      withViews(s, sf, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, metric, metric_value
+        FROM (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_rows
+          FROM lineitem GROUP BY l_returnflag
+        ) UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price, n_rows))
+        ORDER BY l_returnflag, metric
+      """)
+    },
+    Some("""SELECT l_returnflag, metric, metric_value FROM (SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price, CAST(COUNT(*) AS DOUBLE) AS n_rows FROM lineitem GROUP BY l_returnflag) UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price, n_rows)) ORDER BY l_returnflag, metric"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
-    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll)
+    tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
+    unpivotClause)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-10c batch (the oracle gate proves
+  * engine parity; these prove the statistics and curves mean what the
+  * Scaladoc claims).
+  */
+class Round10cSpec extends SparkSpec {
+
+  test("stats_jarque_bera is consistent with stats_skew_kurtosis moments") {
+    val jb = SparkEntry.queries("stats_jarque_bera")(spark, sf).collect()
+    val sk = SparkEntry.queries("stats_skew_kurtosis")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("skewness"), r.getAs[Double]("kurtosis_excess"))).toMap
+    assert(jb.nonEmpty)
+    jb.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val stat = r.getAs[Double]("jb_stat")
+      assert(stat >= 0.0)
+      // Same moment machinery → the r6'd skew/kurt columns must agree.
+      assert(math.abs(r.getAs[Double]("skewness") - sk(t)._1) < 1e-9)
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") - sk(t)._2) < 1e-9)
+      // JB recomputed from the rounded columns lands near the raw-chain stat.
+      val n = r.getAs[Long]("n").toDouble
+      val re = n * (sk(t)._1 * sk(t)._1 / 6 + sk(t)._2 * sk(t)._2 / 24)
+      assert(math.abs(re - stat) / math.max(stat, 1.0) < 1e-3)
+    }
+  }
+
+  test("stats_poisson_dispersion: chi2 = (n-1) * dispersion within rounding") {
+    val rows = SparkEntry.queries("stats_poisson_dispersion")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val di = r.getAs[Double]("dispersion_index")
+      val chi = r.getAs[Double]("chi2_stat")
+      val n = r.getAs[Long]("n_days").toDouble
+      assert(di > 0.0)
+      assert(math.abs(chi - (n - 1) * di) < 0.01, s"chi2 $chi vs (n-1)*DI ${(n - 1) * di}")
+      // mean * n_days == total (exact integer accounting).
+      assert(math.abs(r.getAs[Double]("mean_daily") * n - r.getAs[Long]("total")) < 0.01)
+    }
+  }
+
+  test("graph_adamic_adar pairs match neighbor_jaccard's candidate set and bounds") {
+    val aa = SparkEntry.queries("graph_adamic_adar")(spark, sf)
+    val jc = SparkEntry.queries("graph_neighbor_jaccard")(spark, sf)
+    // Same wedge join, same >= 3 support floor → identical (u, v, shared).
+    val a = aa.select("u", "v", "shared")
+    val j = jc.select("u", "v", "shared")
+    assert(a.exceptAll(j).isEmpty && j.exceptAll(a).isEmpty,
+      "AA and Jaccard must emit the same candidate pairs")
+    // Per-wedge weight is in (1/ln(maxdeg), 1/ln(2)] → AA bounded by shared
+    // multiples of those.
+    val rows = aa.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s0 = r.getAs[Long]("shared").toDouble
+      val v = r.getAs[Double]("adamic_adar")
+      assert(v > 0.0 && v <= s0 / math.log(2.0) + 1e-6)
+    }
+  }
+
+  test("etl_partition_skew_audit: shares sum to 1, skew ratios average 1") {
+    val rows = SparkEntry.queries("etl_partition_skew_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("row_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val meanRatio = rows.map(_.getAs[Double]("skew_ratio")).sum / rows.length
+    assert(math.abs(meanRatio - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("skewed") == (r.getAs[Double]("skew_ratio") > 2.0))
+    }
+  }
+
+  test("sql_unpivot_clause emits one long row per (flag, measure), values matching the wide agg") {
+    val long = SparkEntry.queries("sql_unpivot_clause")(spark, sf).collect()
+    val flags = long.map(_.getAs[String]("l_returnflag")).distinct
+    assert(long.length == flags.length * 3)
+    val wide = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double").as("sum_qty"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("sum_qty"), r.getAs[Double]("n_rows"))).toMap
+    long.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      r.getAs[String]("metric") match {
+        case "sum_qty" => assert(math.abs(r.getAs[Double]("metric_value") - wide(f)._1) < 1e-6)
+        case "n_rows"  => assert(math.abs(r.getAs[Double]("metric_value") - wide(f)._2) < 1e-6)
+        case "sum_price" => ()
+        case m => fail(s"unexpected metric $m")
+      }
+    }
+  }
+
+  test("ts_holt_linear matches a driver-side re-run of the recurrence") {
+    val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
+      .filter(col("event_type") === "purchase").orderBy("day").collect()
+    assert(out.length >= 3)
+    val xs = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("x"))
+      .orderBy("day").collect().map(_.getAs[Double]("x"))
+    var l = xs(0); var b = xs(1) - xs(0)
+    def r6(v: Double): Double = math.rint((v + 1e-9) * 1e6) / 1e6
+    assert(math.abs(out(0).getAs[Double]("level") - r6(l)) < 1e-9)
+    assert(math.abs(out(0).getAs[Double]("trend") - r6(b)) < 1e-9)
+    for (t <- 1 until xs.length) {
+      val nl = 0.5 * xs(t) + 0.5 * (l + b)
+      b = 0.3 * (nl - l) + 0.7 * b
+      l = nl
+      assert(math.abs(out(t).getAs[Double]("level") - r6(l)) < 2e-6,
+        s"level mismatch at t=$t: ${out(t).getAs[Double]("level")} vs ${r6(l)}")
+      assert(math.abs(out(t).getAs[Double]("trend") - r6(b)) < 2e-6,
+        s"trend mismatch at t=$t")
+    }
+  }
+}
