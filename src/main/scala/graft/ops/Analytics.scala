@@ -909,10 +909,50 @@ object Analytics extends OpGroup {
     Some("""WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x FROM events GROUP BY 1, 2), idx AS (SELECT event_type, day, x, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS rn FROM daily), holt AS (SELECT i.event_type, 1 AS rn, i.x AS l, j.x - i.x AS b FROM idx i JOIN idx j ON j.event_type = i.event_type AND j.rn = 2 WHERE i.rn = 1 UNION ALL SELECT i.event_type, h.rn + 1, 0.5 * i.x + 0.5 * (h.l + h.b), 0.3 * ((0.5 * i.x + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b FROM holt h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn + 1) SELECT h.event_type, i.day, ROUND(1e-9 + h.l, 6) AS level, ROUND(1e-9 + h.b, 6) AS trend, ROUND(1e-9 + h.l + h.b, 6) AS forecast_next FROM holt h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn ORDER BY h.event_type, i.day"""),
   )
 
+  /** SMA crossover detector (r10d): 7-day vs 21-day simple moving
+    * averages of each type's daily revenue, emitting only the CROSSING
+    * days (golden cross = fast rises through slow; death cross =
+    * falls through) — the trend-regime-change alarm beside
+    * [[graft.ops.Windows]]' Bollinger envelope. The sign comparison is
+    * EXACT with no float anywhere: sma7 > sma21 ⟺ 3·Σ7 > Σ21 on the
+    * exact-decimal window sums (21/7 = 3 clears both denominators), so
+    * a crossover can never flicker from rounding skew. Both windows
+    * full (rn ≥ 21) before any signal. Bounded (type) partitions over
+    * DAYS.
+    */
+  private val smaCrossover = Op(
+    "ts_sma_crossover",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val w7 = wo.rowsBetween(-6, Window.currentRow)
+      val w21 = wo.rowsBetween(-20, Window.currentRow)
+      val sig = daily
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("s7", sum(dec(col("rev"))).over(w7))
+        .withColumn("s21", sum(dec(col("rev"))).over(w21))
+        .filter(col("rn") >= 21)
+        .withColumn("sign", when(col("s7") * 3 > col("s21"), 1)
+          .when(col("s7") * 3 < col("s21"), -1).otherwise(0))
+        .withColumn("prev", lag(col("sign"), 1).over(wo))
+      sig.filter(col("prev").isNotNull && col("sign") =!= col("prev"))
+        .select(col("event_type"), col("day"),
+          when(col("sign") > col("prev"), "golden").otherwise("death").as("cross"),
+          r6(col("s7").cast("double") / 7).as("sma7"),
+          r6(col("s21").cast("double") / 21).as("sma21"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn, SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7, SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS s21 FROM daily), sg AS (SELECT event_type, day, s7, s21, CASE WHEN s7 * 3 > s21 THEN 1 WHEN s7 * 3 < s21 THEN -1 ELSE 0 END AS sign FROM w WHERE rn >= 21), c AS (SELECT event_type, day, s7, s21, sign, LAG(sign) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM sg) SELECT event_type, day, CASE WHEN sign > prev THEN 'golden' ELSE 'death' END AS cross, ROUND(1e-9 + CAST(s7 AS DOUBLE) / 7, 6) AS sma7, ROUND(1e-9 + CAST(s21 AS DOUBLE) / 21, 6) AS sma21 FROM c WHERE prev IS NOT NULL AND sign <> prev ORDER BY event_type, day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
-    survivalKm, holtLinear)
+    survivalKm, holtLinear, smaCrossover)
 }

@@ -875,9 +875,134 @@ object Drift extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1, 2), m AS (SELECT event_type, COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total, SUM(CAST(c * c AS DECIMAL(18,6))) AS s2 FROM daily GROUP BY 1), x AS (SELECT event_type, n_days, total, CAST(n_days AS DOUBLE) AS n, CAST(total AS DOUBLE) / n_days AS mu, (CAST(s2 AS DOUBLE) - n_days * (CAST(total AS DOUBLE) / n_days) * (CAST(total AS DOUBLE) / n_days)) / (n_days - 1) AS v FROM m) SELECT event_type, n_days, total, ROUND(1e-9 + mu, 6) AS mean_daily, ROUND(1e-9 + v, 6) AS var_daily, ROUND(1e-9 + v / mu, 6) AS dispersion_index, ROUND(1e-9 + (n - 1) * v / mu, 6) AS chi2_stat FROM x ORDER BY event_type"""),
   )
 
+  /** Ljung-Box portmanteau test (r10d) per event type — turns
+    * [[graft.ops.Analytics]]'s ts_autocorr_lags ACF into the standard
+    * whiteness decision: Q = n(n+2)·Σ_{k≤5} r_k²/(n−k) ~ χ²(5) under
+    * independence (the residual screen every forecasting fit runs).
+    * Identical ACF formulation as the parent key (r6'd centered
+    * products, decimal-summed, exact-decimal daily revenue), so the two
+    * keys are mutually consistent by construction; the 5%-level χ²(5)
+    * critical value 11.0705 is pinned as a literal on both engines.
+    * Scale shape: one fact hash-agg, then lag self-join and window math
+    * over the DAYS-bounded daily relation.
+    */
+  private val ljungBox = Op(
+    "stats_ljungbox",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+      val idxd = daily
+        .withColumn("idx", datediff(col("day"), min(col("day")).over(
+          Window.partitionBy("event_type"))))
+        .withColumn("y", col("ydec").cast("double"))
+      val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val mean = idxd.groupBy("event_type")
+        .agg(r6(sum(col("ydec")).cast("double") / count(lit(1))).as("mean"))
+      val d = idxd.join(mean, "event_type")
+        .select(col("event_type"), col("idx"), r6(col("y") - col("mean")).as("d"))
+      val den = d.groupBy("event_type")
+        .agg(sum(dec(r6(col("d") * col("d")))).as("den"))
+      val acf = d.as("a")
+        .join(d.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("b.idx") > col("a.idx") && col("b.idx") <= col("a.idx") + 5)
+        .select(col("a.event_type").as("event_type"),
+          (col("b.idx") - col("a.idx")).as("lag"),
+          r6(col("a.d") * col("b.d")).as("prod"))
+        .groupBy("event_type", "lag")
+        .agg(sum(dec(col("prod"))).as("num"))
+        .join(den, "event_type")
+        .select(col("event_type"), col("lag"),
+          r6(col("num").cast("double") / col("den").cast("double")).as("r"))
+      acf.join(nDays, "event_type")
+        .withColumn("term",
+          r6(col("r") * col("r") / (col("n") - col("lag"))))
+        .groupBy(col("event_type"), col("n").as("n_days"))
+        .agg(sum(dec(col("term"))).as("tsum"))
+        .select(col("event_type"), col("n_days"),
+          r6(col("n_days") * (col("n_days") + 2) *
+            col("tsum").cast("double")).as("q_stat"),
+          lit(5).as("df"),
+          (col("n_days") * (col("n_days") + 2) * col("tsum").cast("double")
+            > 11.070498).as("reject_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS idx, CAST(ydec AS DOUBLE) AS y FROM daily), nd AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1), m AS (SELECT event_type, ROUND(1e-9 + CAST(SUM(ydec) AS DOUBLE) / COUNT(*), 6) AS mean FROM daily GROUP BY 1), d AS (SELECT i.event_type, idx, ROUND(1e-9 + y - mean, 6) AS d FROM i JOIN m ON m.event_type = i.event_type), den AS (SELECT event_type, SUM(CAST(ROUND(1e-9 + d * d, 6) AS DECIMAL(18,6))) AS den FROM d GROUP BY 1), acf AS (SELECT a.event_type, b.idx - a.idx AS lag, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + a.d * b.d, 6) AS DECIMAL(18,6))) AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS r FROM d a JOIN d b ON b.event_type = a.event_type AND b.idx > a.idx AND b.idx <= a.idx + 5 JOIN den ON den.event_type = a.event_type GROUP BY 1, 2, den.den), t AS (SELECT acf.event_type, nd.n AS n_days, SUM(CAST(ROUND(1e-9 + r * r / (nd.n - lag), 6) AS DECIMAL(18,6))) AS tsum FROM acf JOIN nd ON nd.event_type = acf.event_type GROUP BY 1, 2) SELECT event_type, CAST(n_days AS BIGINT) AS n_days, ROUND(1e-9 + n_days * (n_days + 2) * CAST(tsum AS DOUBLE), 6) AS q_stat, 5 AS df, n_days * (n_days + 2) * CAST(tsum AS DOUBLE) > 11.070498 AS reject_5pct FROM t ORDER BY event_type"""),
+  )
+
+  /** Lincoln-Petersen / Chapman capture-recapture (r10d): estimate the
+    * total user population from two weekly "captures" (week-1 users
+    * mark, week-2 users recapture) — the classical mark-recapture
+    * estimator, which doubles in data work as a cheap coverage check on
+    * expensive distinct counts (if N̂ >> observed distinct, the corpus
+    * window undercounts the population). One pass to per-user week
+    * flags (hash-agg, map-side combined), one row out; Chapman's +1
+    * correction is the small-sample-safe variant. All integer until the
+    * two final quotients.
+    */
+  private val captureRecapture = Op(
+    "stats_capture_recapture",
+    (s, sf) => {
+      val w1e = col("ts") < lit("2024-01-08").cast("timestamp")
+      val w2e = col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-15").cast("timestamp")
+      val users = Tables.events(s, sf)
+        .filter(w1e || w2e)
+        .groupBy("user_id")
+        .agg(max(when(w1e, 1).otherwise(0)).as("in1"),
+          max(when(w2e, 1).otherwise(0)).as("in2"))
+      users.agg(
+          sum(col("in1")).cast("long").as("n1"),
+          sum(col("in2")).cast("long").as("n2"),
+          sum(col("in1") * col("in2")).cast("long").as("overlap"),
+          count(lit(1)).as("true_union"))
+        .select(col("n1"), col("n2"), col("overlap"), col("true_union"),
+          r6(col("n1").cast("double") * col("n2") / col("overlap"))
+            .as("lincoln_petersen"),
+          r6((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("overlap") + 1) - 1).as("chapman"))
+    },
+    Some("""WITH u AS (SELECT user_id, MAX(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS in1, MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS in2 FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1) SELECT CAST(SUM(in1) AS BIGINT) AS n1, CAST(SUM(in2) AS BIGINT) AS n2, CAST(SUM(in1 * in2) AS BIGINT) AS overlap, COUNT(*) AS true_union, ROUND(1e-9 + CAST(SUM(in1) AS DOUBLE) * SUM(in2) / SUM(in1 * in2), 6) AS lincoln_petersen, ROUND(1e-9 + CAST(SUM(in1) + 1 AS DOUBLE) * (SUM(in2) + 1) / (SUM(in1 * in2) + 1) - 1, 6) AS chapman FROM u"""),
+  )
+
+  /** Two-proportion z-test (r10d): is the PURCHASE SHARE of events
+    * different on weekends vs weekdays? The conversion-rate A/B shape
+    * (pooled-variance z on two binomial proportions) next to
+    * [[bhFdr]]'s mean-shift battery; p-value through the same A&S
+    * erfc polynomial. One conditional hash-agg of the fact table,
+    * 1 row out, integers until the z chain.
+    */
+  private val propZtest = Op(
+    "stats_prop_ztest",
+    (s, sf) => {
+      val wkendS = dayofweek(col("ts")).isin(1, 7)
+      val m = Tables.events(s, sf).agg(
+        sum(when(wkendS, 1L).otherwise(0L)).as("n1"),
+        sum(when(wkendS && col("event_type") === "purchase", 1L).otherwise(0L)).as("x1"),
+        sum(when(!wkendS, 1L).otherwise(0L)).as("n2"),
+        sum(when(!wkendS && col("event_type") === "purchase", 1L).otherwise(0L)).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1")
+      val p2 = col("x2").cast("double") / col("n2")
+      val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      m.select(col("n1").as("n_weekend"), col("x1").as("conv_weekend"),
+          col("n2").as("n_weekday"), col("x2").as("conv_weekday"),
+          r6(p1).as("p_weekend"), r6(p2).as("p_weekday"), r6(z).as("z_stat"))
+        .withColumn("x", abs(col("z_stat")) / sqrt(lit(2.0)))
+        .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+        .withColumn("p_value", r6(
+          col("t") * (lit(0.254829592) + col("t") * (lit(-0.284496736)
+            + col("t") * (lit(1.421413741) + col("t") * (lit(-1.453152027)
+            + col("t") * lit(1.061405429))))) * exp(-col("x") * col("x"))))
+        .drop("x", "t")
+    },
+    Some("""WITH m AS (SELECT SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS x1, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS x2 FROM events), x AS (SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(x1 AS BIGINT) AS conv_weekend, CAST(n2 AS BIGINT) AS n_weekday, CAST(x2 AS BIGINT) AS conv_weekday, CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2, CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp FROM m), z AS (SELECT n_weekend, conv_weekend, n_weekday, conv_weekday, ROUND(1e-9 + p1, 6) AS p_weekend, ROUND(1e-9 + p2, 6) AS p_weekday, ROUND(1e-9 + (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n_weekend + 1.0 / n_weekday)), 6) AS z_stat FROM x) SELECT n_weekend, conv_weekend, n_weekday, conv_weekday, p_weekend, p_weekday, z_stat, ROUND(1e-9 + t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-xx * xx), 6) AS p_value FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM (SELECT *, ABS(z_stat) / sqrt(2.0) AS xx FROM z) a) b"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
     spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
-    poissonDispersion)
+    poissonDispersion, ljungBox, captureRecapture, propZtest)
 }

@@ -93,6 +93,63 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("stats_ljungbox is consistent with ts_autocorr_lags' ACF values") {
+    val lb = SparkEntry.queries("stats_ljungbox")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("q_stat"))).toMap
+    val acf = SparkEntry.queries("ts_autocorr_lags")(spark, sf)
+      .filter(col("lag") <= 5).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(lb.nonEmpty)
+    acf.foreach { case (t, rows) =>
+      val n = lb(t)._1.toDouble
+      val q = rows.map(r => {
+        val rk = r.getAs[Double]("acf"); val k = r.getAs[Int]("lag")
+        rk * rk / (n - k)
+      }).sum * n * (n + 2)
+      assert(math.abs(q - lb(t)._2) / math.max(lb(t)._2, 1.0) < 1e-3,
+        s"$t: recomputed Q $q vs ${lb(t)._2}")
+      assert(lb(t)._2 >= 0.0)
+    }
+  }
+
+  test("stats_capture_recapture estimates dominate the observed union") {
+    val r = SparkEntry.queries("stats_capture_recapture")(spark, sf).head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val m = r.getAs[Long]("overlap"); val u = r.getAs[Long]("true_union")
+    assert(m <= math.min(n1, n2))
+    assert(u == n1 + n2 - m, "union identity must hold")
+    // (n1-m)(n2-m) >= 0  =>  LP = n1*n2/m >= n1+n2-m = union.
+    assert(r.getAs[Double]("lincoln_petersen") >= u - 1e-6)
+    assert(r.getAs[Double]("chapman") <= r.getAs[Double]("lincoln_petersen") + 1e-6)
+  }
+
+  test("stats_prop_ztest: z sign matches the proportion gap, p lawful") {
+    val r = SparkEntry.queries("stats_prop_ztest")(spark, sf).head
+    val gap = r.getAs[Double]("p_weekend") - r.getAs[Double]("p_weekday")
+    val z = r.getAs[Double]("z_stat")
+    assert(math.signum(z) == math.signum(gap) || math.abs(gap) < 1e-6)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 0.0 && p <= 1.0)
+    assert(r.getAs[Long]("conv_weekend") <= r.getAs[Long]("n_weekend"))
+    assert(r.getAs[Long]("conv_weekday") <= r.getAs[Long]("n_weekday"))
+  }
+
+  test("ts_sma_crossover directions alternate per type") {
+    val rows = SparkEntry.queries("ts_sma_crossover")(spark, sf)
+      .orderBy("event_type", "day").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      rs.map(_.getAs[String]("cross")).sliding(2).foreach {
+        case Array(a, b) => assert(a != b, "consecutive crosses must alternate")
+        case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sma7") > 0.0 && r.getAs[Double]("sma21") > 0.0)
+    }
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
