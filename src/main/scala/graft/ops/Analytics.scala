@@ -949,10 +949,38 @@ object Analytics extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn, SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7, SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS s21 FROM daily), sg AS (SELECT event_type, day, s7, s21, CASE WHEN s7 * 3 > s21 THEN 1 WHEN s7 * 3 < s21 THEN -1 ELSE 0 END AS sign FROM w WHERE rn >= 21), c AS (SELECT event_type, day, s7, s21, sign, LAG(sign) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM sg) SELECT event_type, day, CASE WHEN sign > prev THEN 'golden' ELSE 'death' END AS cross, ROUND(1e-9 + CAST(s7 AS DOUBLE) / 7, 6) AS sma7, ROUND(1e-9 + CAST(s21 AS DOUBLE) / 21, 6) AS sma21 FROM c WHERE prev IS NOT NULL AND sign <> prev ORDER BY event_type, day"""),
   )
 
+  /** Hill power-law tail fit (r10d): MLE exponent of the per-user
+    * activity distribution, α̂ = 1 + n/Σ ln(x/xmin) over users with
+    * ≥ xmin events (Clauset-Shalizi-Newman's continuous-MLE form, the
+    * standard "how heavy is the heavy tail" fit) — the engagement-side
+    * sibling of text_docfreq_zipf's rank-frequency slope, and the
+    * number a skew-planning pass (salting, AQE thresholds) actually
+    * wants. One hash-agg to per-user counts, one conditional agg over
+    * the user relation; ln args r6-pinned, contributions decimal-summed.
+    */
+  private val powerLawFit = Op(
+    "analytics_power_law_fit",
+    (s, sf) => {
+      import graft.ops.parity.{dec, r6}
+      val counts = Tables.events(s, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      counts.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("x") >= 5, 1L).otherwise(0L)).as("n_tail"),
+          max(col("x")).as("x_max"),
+          sum(when(col("x") >= 5,
+            dec(r6(log(r6(col("x").cast("double") / 5.0)))))).as("lnsum"))
+        .select(col("n_users"), col("n_tail"), col("x_max"), lit(5).as("x_min"),
+          r6(lit(1.0) + col("n_tail") /
+            when(col("lnsum") =!= 0, col("lnsum").cast("double"))).as("alpha_hill"))
+    },
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1) SELECT COUNT(*) AS n_users, CAST(SUM(CASE WHEN x >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail, CAST(MAX(x) AS BIGINT) AS x_max, 5 AS x_min, ROUND(1e-9 + 1.0 + SUM(CASE WHEN x >= 5 THEN 1 ELSE 0 END) / NULLIF(CAST(SUM(CASE WHEN x >= 5 THEN CAST(ROUND(1e-9 + ln(ROUND(1e-9 + CAST(x AS DOUBLE) / 5.0, 6)), 6) AS DECIMAL(18,6)) END) AS DOUBLE), 0), 6) AS alpha_hill FROM c"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
-    survivalKm, holtLinear, smaCrossover)
+    survivalKm, holtLinear, smaCrossover, powerLawFit)
 }

@@ -664,7 +664,52 @@ object Dedup extends OpGroup {
     Some("""WITH pars AS (SELECT doc_id, idx, md5(array_to_string(words[idx * 20 + 1 : idx * 20 + 20], ' ')) AS h FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d, LATERAL (SELECT unnest(generate_series(0, CAST((len(words) - 1) // 20 AS INT))) AS idx) g), marked AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS kept FROM pars) SELECT doc_id, COUNT(*) AS n_par, CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, ROUND(1e-9 + CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS retained_frac FROM marked GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Bloom-prefiltered incremental dedup (r10d): the INCREMENTAL-LOAD
+    * face of [[paragraphDedup]] — a new batch (odd doc_ids) checks its
+    * paragraphs against the already-loaded corpus (even doc_ids)
+    * through Spark's native `bloom_filter_agg`/`might_contain` pair
+    * before any join: the corpus collapses to a ~KB bitset that ships
+    * like a literal, the probe is a codegen'd stateless filter, and
+    * only the ~1% bloom survivors reach the exact verify join. False
+    * positives die in the verify; false negatives are impossible — so
+    * the RESULT is bit-identical to the plain equi-join the oracle
+    * runs, and the bloom is pure plan-side economics (at 100 TB the
+    * incoming batch never shuffles non-colliding paragraphs at all).
+    */
+  private val bloomPrefilter = Op(
+    "dedup_bloom_prefilter",
+    (s, sf) => {
+      graft.functions.BloomFuncs.register(s)
+      def pars(parity: Int) = Tables.documents(s, sf)
+        .filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ((size(col("words")) - 1) / 20).cast("int"))).as("idx"),
+          col("words"))
+        .select(col("doc_id"), col("idx"),
+          md5(array_join(slice(col("words"), col("idx") * 20 + 1, lit(20)), " ")).as("h"))
+      pars(0).createOrReplaceTempView("graft_bloom_base")
+      pars(1).createOrReplaceTempView("graft_bloom_incoming")
+      // might_contain's analysis contract: the bloom argument must be a
+      // scalar subquery (or constant) — it plans as a ReusedSubquery
+      // broadcast, exactly like the optimizer's own runtime filters.
+      s.sql("""
+        SELECT i.doc_id, i.idx, b.dup_of
+        FROM (SELECT doc_id, idx, h FROM graft_bloom_incoming
+              WHERE graft_might_contain(
+                (SELECT graft_bloom_agg(xxhash64(h)) FROM graft_bloom_base),
+                xxhash64(h))) i
+        JOIN (SELECT h, MIN(doc_id) AS dup_of
+              FROM graft_bloom_base GROUP BY h) b ON b.h = i.h
+        ORDER BY i.doc_id, i.idx
+      """)
+    },
+    Some("""WITH pars AS (SELECT doc_id, idx, md5(array_to_string(words[idx * 20 + 1 : idx * 20 + 20], ' ')) AS h FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d, LATERAL (SELECT unnest(generate_series(0, CAST((len(words) - 1) // 20 AS INT))) AS idx) g), base AS (SELECT h, MIN(doc_id) AS dup_of FROM pars WHERE doc_id % 2 = 0 GROUP BY h), inc AS (SELECT doc_id, idx, h FROM pars WHERE doc_id % 2 = 1) SELECT inc.doc_id, inc.idx, base.dup_of FROM inc JOIN base ON base.h = inc.h ORDER BY doc_id, idx"""),
+  )
+
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
-    ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup)
+    ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
+    bloomPrefilter)
 }

@@ -150,6 +150,37 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("dedup_bloom_prefilter: bloom is in the plan and transparent to the result") {
+    val df = SparkEntry.queries("dedup_bloom_prefilter")(spark, sf)
+    // The prefilter must actually plan through the bloom expressions…
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+      "expected the bloom prefilter in the physical plan")
+    // …and be invisible in the result: identical to the plain equi-join.
+    val pars = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ((size(col("w")) - 1) / 20).cast("int"))).as("idx"),
+        col("w"))
+      .select(col("doc_id"), col("idx"),
+        md5(array_join(slice(col("w"), col("idx") * 20 + 1, lit(20)), " ")).as("h"))
+    val base = pars.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .groupBy("h").agg(min("doc_id").as("dup_of"))
+    val plain = pars.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(base, "h").select("doc_id", "idx", "dup_of")
+    assert(df.count() > 0, "fixture has cross-parity duplicate paragraphs")
+    assert(df.exceptAll(plain).isEmpty && plain.exceptAll(df).isEmpty,
+      "bloom prefilter changed the result")
+  }
+
+  test("analytics_power_law_fit: alpha > 1 and tail accounting lawful") {
+    val r = SparkEntry.queries("analytics_power_law_fit")(spark, sf).head
+    assert(r.getAs[Long]("n_tail") <= r.getAs[Long]("n_users"))
+    assert(r.getAs[Long]("x_max") >= 5)
+    val a = r.getAs[Double]("alpha_hill")
+    assert(a > 1.0 && a < 20.0, s"implausible Hill alpha $a")
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
