@@ -48,6 +48,9 @@ class Sf1WitnessSpec extends SparkSpec {
     "dedup_minhash_lsh",    // Σ bucket² band join, disjoint shard vocabularies
     "dedup_substring_exact", // inverted window index, linear + Σ df
     "graph_neighbor_jaccard", // wedge join, constant per-part degree
+    "dedup_paragraph",       // r10b: hash-partitioned first-occurrence, linear in paragraphs
+    "dedup_bloom_prefilter", // r10d: bloom probe + verify join, linear in paragraphs
+    "graph_adamic_adar",     // r10c: same wedge shape as neighbor_jaccard
   )
 
   for (key <- tenXKeys) test(s"$key stays sub-quadratic across the 10x sf0.1 -> sf1 step") {
