@@ -977,10 +977,115 @@ object Analytics extends OpGroup {
     Some("""WITH c AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1) SELECT COUNT(*) AS n_users, CAST(SUM(CASE WHEN x >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail, CAST(MAX(x) AS BIGINT) AS x_max, 5 AS x_min, ROUND(1e-9 + 1.0 + SUM(CASE WHEN x >= 5 THEN 1 ELSE 0 END) / NULLIF(CAST(SUM(CASE WHEN x >= 5 THEN CAST(ROUND(1e-9 + ln(ROUND(1e-9 + CAST(x AS DOUBLE) / 5.0, 6)), 6) AS DECIMAL(18,6)) END) AS DOUBLE), 0), 6) AS alpha_hill FROM c"""),
   )
 
+  /** Partial autocorrelation (r10e, lags 1–3) of daily revenue per type
+    * via the Durbin-Levinson recursion unrolled to closed forms — the
+    * AR-order-selection companion to [[autocorrLags]] (ACF says "is
+    * there memory"; PACF says "how many AR terms"). φ₁₁ = r₁;
+    * φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ from the level-3 step with
+    * a₂₁ = r₁(1−φ₂₂). Inputs are the SAME r6'd ACF values as the parent
+    * key (spec-pinned consistent), the algebra is one identical double
+    * chain per engine, outputs r6'd once. Scale shape: the parent's —
+    * one fact hash-agg, lag self-join over the days-bounded relation,
+    * then 5 rows of arithmetic.
+    */
+  private val pacfDurbin = Op(
+    "ts_pacf_durbin",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+      val idxd = daily
+        .withColumn("idx", datediff(col("day"), min(col("day")).over(
+          Window.partitionBy("event_type"))))
+        .withColumn("y", col("ydec").cast("double"))
+      val mean = idxd.groupBy("event_type")
+        .agg(r6(sum(col("ydec")).cast("double") / count(lit(1))).as("mean"))
+      val d = idxd.join(mean, "event_type")
+        .select(col("event_type"), col("idx"), r6(col("y") - col("mean")).as("d"))
+      val den = d.groupBy("event_type")
+        .agg(sum(dec(r6(col("d") * col("d")))).as("den"))
+      val acf = d.as("a")
+        .join(d.as("b"), col("a.event_type") === col("b.event_type") &&
+          col("b.idx") > col("a.idx") && col("b.idx") <= col("a.idx") + 3)
+        .select(col("a.event_type").as("event_type"),
+          (col("b.idx") - col("a.idx")).as("lag"),
+          r6(col("a.d") * col("b.d")).as("prod"))
+        .groupBy("event_type", "lag")
+        .agg(sum(dec(col("prod"))).as("num"))
+        .join(den, "event_type")
+        .select(col("event_type"), col("lag"),
+          r6(col("num").cast("double") / col("den").cast("double")).as("r"))
+      val wide = acf.groupBy("event_type").agg(
+        max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+      val p22 = (col("r2") - col("r1") * col("r1")) /
+        (lit(1.0) - col("r1") * col("r1"))
+      val a21 = col("r1") * (lit(1.0) - p22)
+      val p33 = (col("r3") - a21 * col("r2") - p22 * col("r1")) /
+        (lit(1.0) - a21 * col("r1") - p22 * col("r2"))
+      wide.select(col("event_type"),
+          r6(col("r1")).as("pacf1"), r6(p22).as("pacf2"), r6(p33).as("pacf3"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), i AS (SELECT event_type, datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS idx, CAST(ydec AS DOUBLE) AS y FROM daily), m AS (SELECT event_type, ROUND(1e-9 + CAST(SUM(ydec) AS DOUBLE) / COUNT(*), 6) AS mean FROM daily GROUP BY 1), d AS (SELECT i.event_type, idx, ROUND(1e-9 + y - mean, 6) AS d FROM i JOIN m ON m.event_type = i.event_type), den AS (SELECT event_type, SUM(CAST(ROUND(1e-9 + d * d, 6) AS DECIMAL(18,6))) AS den FROM d GROUP BY 1), acf AS (SELECT a.event_type, b.idx - a.idx AS lag, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + a.d * b.d, 6) AS DECIMAL(18,6))) AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS r FROM d a JOIN d b ON b.event_type = a.event_type AND b.idx > a.idx AND b.idx <= a.idx + 3 JOIN den ON den.event_type = a.event_type GROUP BY 1, 2, den.den), w AS (SELECT event_type, MAX(CASE WHEN lag = 1 THEN r END) AS r1, MAX(CASE WHEN lag = 2 THEN r END) AS r2, MAX(CASE WHEN lag = 3 THEN r END) AS r3 FROM acf GROUP BY 1), x AS (SELECT event_type, r1, r2, r3, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM w), y AS (SELECT event_type, r1, r2, r3, p22, r1 * (1.0 - p22) AS a21 FROM x) SELECT event_type, ROUND(1e-9 + r1, 6) AS pacf1, ROUND(1e-9 + p22, 6) AS pacf2, ROUND(1e-9 + (r3 - a21 * r2 - p22 * r1) / (1.0 - a21 * r1 - p22 * r2), 6) AS pacf3 FROM y ORDER BY event_type"""),
+  )
+
+  /** Inter-event gap percentiles (r10e): the arrival-cadence
+    * distribution — per-user consecutive-event gaps in MINUTES, exact
+    * p50/p90/p99 via the weighted-median lower-rank discipline over the
+    * gap-value-grouped relation (minute granularity bounds the NDV by
+    * the corpus window: ≤ 43k distinct gaps for a 30-day window at ANY
+    * row count, which is what makes the exact percentile scale-safe).
+    * The per-user lag window shuffles once on user_id; ties within a
+    * timestamp break on event_id so the gap sequence is deterministic.
+    */
+  private val intereventGaps = Op(
+    "analytics_interevent_gaps",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.r6
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(s, sf)
+        .withColumn("prev", lag(col("ts"), 1).over(wUser))
+        .filter(col("prev").isNotNull)
+        // Exact integer micros on both engines (the ts carries sub-second
+        // fractions; a seconds-truncating conversion would skew the floor).
+        .select(expr("(unix_micros(ts) - unix_micros(prev)) DIV 60000000")
+          .cast("long").as("gap_min"))
+      val g = gaps.groupBy("gap_min").agg(count(lit(1)).as("cnt"))
+      val wRun = Window.orderBy("gap_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.withColumn("cum", sum("cnt").over(wRun))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy()))
+        .select(col("gap_min"), col("cum"), col("tot"),
+          explode(expr("array(50, 90, 99)")).as("pct"))
+        .filter(col("cum") * 100 >= col("pct") * col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("pct").orderBy("gap_min")))
+        .filter(col("rk") === 1)
+      val mean = g.agg(sum(col("gap_min") * col("cnt")).as("sg"),
+        sum("cnt").as("n"))
+        .select(r6(col("sg").cast("double") / col("n")).as("mean_gap_min"),
+          col("n").cast("long").as("n_gaps"))
+      cum.groupBy(col("tot"))
+        .pivot("pct", Seq(50, 90, 99)).agg(first(col("gap_min")))
+        .select(col("50").as("p50_min"), col("90").as("p90_min"),
+          col("99").as("p99_min"))
+        .crossJoin(mean)
+        .select(col("n_gaps"), col("mean_gap_min"),
+          col("p50_min"), col("p90_min"), col("p99_min"))
+    },
+    Some("""WITH gaps AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 60000000 AS gap_min FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NOT NULL), g AS (SELECT gap_min, COUNT(*) AS cnt FROM gaps GROUP BY 1), c AS (SELECT gap_min, SUM(cnt) OVER (ORDER BY gap_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS tot FROM g), picks AS (SELECT pct, MIN(gap_min) AS v FROM c, (SELECT unnest([50, 90, 99]) AS pct) p WHERE cum * 100 >= pct * tot GROUP BY 1), m AS (SELECT ROUND(1e-9 + CAST(SUM(gap_min * cnt) AS DOUBLE) / SUM(cnt), 6) AS mean_gap_min, CAST(SUM(cnt) AS BIGINT) AS n_gaps FROM g) SELECT n_gaps, mean_gap_min, (SELECT v FROM picks WHERE pct = 50) AS p50_min, (SELECT v FROM picks WHERE pct = 90) AS p90_min, (SELECT v FROM picks WHERE pct = 99) AS p99_min FROM m"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
-    survivalKm, holtLinear, smaCrossover, powerLawFit)
+    survivalKm, holtLinear, smaCrossover, powerLawFit, pacfDurbin,
+    intereventGaps)
 }

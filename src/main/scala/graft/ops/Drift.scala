@@ -1000,9 +1000,46 @@ object Drift extends OpGroup {
     Some("""WITH m AS (SELECT SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS n1, SUM(CASE WHEN dayofweek(ts) IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS x1, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END) AS n2, SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) AND event_type = 'purchase' THEN 1 ELSE 0 END) AS x2 FROM events), x AS (SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(x1 AS BIGINT) AS conv_weekend, CAST(n2 AS BIGINT) AS n_weekday, CAST(x2 AS BIGINT) AS conv_weekday, CAST(x1 AS DOUBLE) / n1 AS p1, CAST(x2 AS DOUBLE) / n2 AS p2, CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp FROM m), z AS (SELECT n_weekend, conv_weekend, n_weekday, conv_weekday, ROUND(1e-9 + p1, 6) AS p_weekend, ROUND(1e-9 + p2, 6) AS p_weekday, ROUND(1e-9 + (p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n_weekend + 1.0 / n_weekday)), 6) AS z_stat FROM x) SELECT n_weekend, conv_weekend, n_weekday, conv_weekday, p_weekend, p_weekday, z_stat, ROUND(1e-9 + t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-xx * xx), 6) AS p_value FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM (SELECT *, ABS(z_stat) / sqrt(2.0) AS xx FROM z) a) b"""),
   )
 
+  /** Hash-splitter uniformity audit (r10e): χ² goodness-of-fit of the
+    * md5 bucket assignment (the exact function `sample_hash_split` and
+    * every deterministic sampler key off) against uniform over 100
+    * buckets, on event_id — the infrastructure SELF-CHECK that the
+    * reproducible-sampling discipline rests on (a skewed splitter
+    * silently biases every train/val/test cut downstream). One linear
+    * hash-agg to 100 bucket counts; χ²(99) with the 5% critical value
+    * pinned as a shared literal. All integer until the contribution
+    * chain.
+    */
+  private val hashUniformity = Op(
+    "stats_hash_uniformity",
+    (s, sf) => {
+      val b = Tables.events(s, sf)
+        .select(pmod(conv(substring(md5(col("event_id").cast("string")), 1, 7),
+          16, 10).cast("bigint"), lit(100)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val tot = b.agg(sum("cnt").as("n"), count(lit(1)).as("k"),
+        min("cnt").as("min_bucket"), max("cnt").as("max_bucket"))
+      val e = col("n").cast("double") / lit(100.0)
+      b.crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          r6((col("cnt") - e) * (col("cnt") - e) / e))
+        .agg(first(col("n")).as("nn"), first(col("k")).as("kk"),
+          first(col("min_bucket")).as("mn"), first(col("max_bucket")).as("mx"),
+          sum(dec(col("contrib"))).as("chi2"))
+        .select(col("nn").cast("long").as("n_rows"),
+          col("kk").cast("long").as("n_buckets"),
+          col("mn").cast("long").as("min_bucket"),
+          col("mx").cast("long").as("max_bucket"),
+          col("chi2").cast("double").as("chi2_stat"),
+          (col("chi2").cast("double") > 123.225221).as("reject_5pct"))
+    },
+    Some("""WITH b AS (SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket, COUNT(*) AS cnt FROM events GROUP BY 1), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k, CAST(MIN(cnt) AS BIGINT) AS mn, CAST(MAX(cnt) AS BIGINT) AS mx FROM b), c AS (SELECT SUM(CAST(ROUND(1e-9 + (cnt - n / 100.0) * (cnt - n / 100.0) / (n / 100.0), 6) AS DECIMAL(18,6))) AS chi2 FROM b, t) SELECT t.n AS n_rows, t.k AS n_buckets, t.mn AS min_bucket, t.mx AS max_bucket, CAST(c.chi2 AS DOUBLE) AS chi2_stat, CAST(c.chi2 AS DOUBLE) > 123.225221 AS reject_5pct FROM t, c"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
     spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
-    poissonDispersion, ljungBox, captureRecapture, propZtest)
+    poissonDispersion, ljungBox, captureRecapture, propZtest,
+    hashUniformity)
 }

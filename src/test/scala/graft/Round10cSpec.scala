@@ -181,6 +181,47 @@ class Round10cSpec extends SparkSpec {
     assert(a > 1.0 && a < 20.0, s"implausible Hill alpha $a")
   }
 
+  test("ts_pacf_durbin: pacf1 equals the lag-1 ACF, all values in [-1, 1]") {
+    val pacf = SparkEntry.queries("ts_pacf_durbin")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val acf1 = SparkEntry.queries("ts_autocorr_lags")(spark, sf)
+      .filter(col("lag") === 1).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("acf")).toMap
+    assert(pacf.nonEmpty)
+    pacf.foreach { case (t, r) =>
+      assert(math.abs(r.getAs[Double]("pacf1") - acf1(t)) < 1e-9,
+        s"$t: pacf1 must equal lag-1 ACF")
+      Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6, s"$t.$c = $v out of range")
+      }
+    }
+  }
+
+  test("analytics_interevent_gaps: percentiles ordered, gap accounting exact") {
+    val r = SparkEntry.queries("analytics_interevent_gaps")(spark, sf).head
+    val (p50, p90, p99) = (r.getAs[Long]("p50_min"), r.getAs[Long]("p90_min"),
+      r.getAs[Long]("p99_min"))
+    assert(p50 <= p90 && p90 <= p99)
+    assert(r.getAs[Double]("mean_gap_min") >= 0.0)
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_gaps") == nEvents - nUsers,
+      "one gap per event beyond each user's first")
+  }
+
+  test("stats_hash_uniformity: bucket accounting and chi2 sanity") {
+    val r = SparkEntry.queries("stats_hash_uniformity")(spark, sf).head
+    assert(r.getAs[Long]("n_buckets") == 100L)
+    val n = r.getAs[Long]("n_rows")
+    assert(r.getAs[Long]("min_bucket") <= n / 100 && n / 100 <= r.getAs[Long]("max_bucket"))
+    val chi2 = r.getAs[Double]("chi2_stat")
+    // md5 is a good hash: χ²(99) should sit well inside [40, 180] here —
+    // far from both degenerate 0 and a skew blow-up.
+    assert(chi2 > 0.0 && chi2 < 250.0, s"chi2 $chi2 implausible for md5 buckets")
+    assert(n == Tables.events(spark, sf).count())
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
