@@ -398,7 +398,65 @@ object Streaming extends OpGroup {
     Some("""WITH ranked AS (SELECT user_id, event_type, value, ts, COUNT(*) OVER (PARTITION BY user_id) AS n_ops, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) SELECT user_id, ROUND(1e-9 + value, 6) AS last_value, ts AS last_ts, n_ops FROM ranked WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""),
   )
 
+  /** Per-type running totals through the Spark 4 `transformWithState`
+    * API (r10e) — the arbitrary-state processor that SUPERSEDES
+    * mapGroupsWithState in the 4.x line: named, individually-evolvable
+    * state variables behind a `StatefulProcessorHandle` (here one
+    * ValueState of exact integer moments), explicit TimeMode/TTL, and a
+    * REQUIRED RocksDB state backend — i.e. the API a new 100 TB
+    * stateful pipeline should be written against, witnessed end-to-end
+    * next to the legacy-API key ([[statefulAgg]]). Exact arithmetic
+    * discipline matches that key: values ride as integer micros, so the
+    * state fold is order-free and the oracle is the plain batch
+    * aggregate.
+    */
+  private class TypeRunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      var (n, sum, mx) = if (st.exists()) st.get() else (0L, 0L, Long.MinValue)
+      rows.foreach { case (_, m) => n += 1; sum += m; if (m > mx) mx = m }
+      st.update((n, sum, mx))
+      Iterator.single((key, n, sum, mx))
+    }
+  }
+
+  private val transformWithStateOp = Op(
+    "stream_transform_with_state",
+    (s, sf) => withStateParts(s, 8) {
+      Tables.withConfs(s, Seq(
+        // transformWithState REQUIRES the RocksDB provider — which is
+        // also the backend the family documents for 100 TB state.
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val src = eventsStream(s, sf)
+          .select(col("event_type"),
+            expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").as("micros"))
+          .as[(String, Long)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new TypeRunningTotals, TimeMode.None(),
+            OutputMode.Update())
+        runToCompletion(s,
+            out.toDF("event_type", "n_events", "sum_micros", "max_micros"),
+            "update")
+          .select(col("event_type"), col("n_events"),
+            r6(col("sum_micros") / 1000000.0).as("sum_value"),
+            r6(col("max_micros") / 1000000.0).as("max_value"))
+          .orderBy("event_type")
+      }
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, ROUND(1e-9 + CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS max_value FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
     appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin,
-    streamStreamJoin, cdcApply)
+    streamStreamJoin, cdcApply, transformWithStateOp)
 }

@@ -222,6 +222,18 @@ class Round10cSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("stream_transform_with_state equals the batch dual exactly") {
+    val stream = SparkEntry.queries("stream_transform_with_state")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        ops.parity.r6(sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double")).as("sum_value"),
+        ops.parity.r6(max(expr("CAST(value AS DECIMAL(18,6))")).cast("double")).as("max_value"))
+      .orderBy("event_type")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "transformWithState running totals must equal the batch aggregate")
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
