@@ -605,9 +605,67 @@ object Windows extends OpGroup {
     Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS x FROM events GROUP BY 1, 2), totals AS (SELECT day, SUM(CAST(x AS DECIMAL(18,6))) AS y FROM daily GROUP BY 1), j AS (SELECT d.event_type, d.day, CAST(d.x AS DOUBLE) / 1000.0 AS xd, CAST(t.y AS DOUBLE) / 1000.0 AS yd, ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn FROM daily d JOIN totals t ON t.day = d.day), m AS (SELECT event_type, day, rn, CAST(SUM(CAST(ROUND(1e-9 + xd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx, CAST(SUM(CAST(ROUND(1e-9 + yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy, CAST(SUM(CAST(ROUND(1e-9 + xd * xd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx, CAST(SUM(CAST(ROUND(1e-9 + yd * yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy, CAST(SUM(CAST(ROUND(1e-9 + xd * yd, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy FROM j WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT event_type, day, CASE WHEN (7.0 * sxx - sx * sx) * (7.0 * syy - sy * sy) <= 0.0 THEN NULL ELSE ROUND(1e-9 + (7.0 * sxy - sx * sy) / (sqrt(7.0 * sxx - sx * sx) * sqrt(7.0 * syy - sy * sy)), 6) END AS corr_7d FROM m WHERE rn >= 7 ORDER BY event_type, day"""),
   )
 
+  /** Kaufman efficiency ratio (r10e): directional efficiency of each
+    * type's daily revenue over a 10-day window — |net 9-step change| /
+    * Σ |daily changes|, the trend-vs-chop discriminator that gates
+    * adaptive smoothing constants (KAMA). EVERY term is an exact
+    * decimal (daily sums, their lags, absolute diffs), so the ratio's
+    * two operands are order-free and the only float is the final
+    * quotient; a flat window (denominator 0) yields NULL via CASE on
+    * both engines. Bounded (type) partitions over DAYS.
+    */
+  private val kaufmanEr = Op(
+    "win_kaufman_efficiency",
+    (s, sf) => {
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val w9 = wo.rowsBetween(-8, Window.currentRow)
+      val d = daily
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("chg", abs(col("rev") - lag(col("rev"), 1).over(wo)))
+        .withColumn("net", abs(col("rev") - lag(col("rev"), 9).over(wo)))
+        .withColumn("vol", sum(dec(col("chg"))).over(w9))
+        .filter(col("rn") >= 10)
+      d.select(col("event_type"), col("day"),
+          when(col("vol") === dec(lit(0)), lit(null).cast("double"))
+            .otherwise(r6(col("net").cast("double") / col("vol").cast("double")))
+            .as("efficiency_ratio"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, SUM(CAST(value AS DECIMAL(18,6))) AS rev FROM events GROUP BY 1, 2), d AS (SELECT event_type, day, ROW_NUMBER() OVER w AS rn, ABS(rev - LAG(rev, 1) OVER w) AS chg, ABS(rev - LAG(rev, 9) OVER w) AS net FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)), v AS (SELECT event_type, day, rn, net, SUM(CAST(chg AS DECIMAL(18,6))) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vol FROM d) SELECT event_type, day, CASE WHEN vol = 0 THEN NULL ELSE ROUND(1e-9 + CAST(net AS DOUBLE) / CAST(vol AS DOUBLE), 6) END AS efficiency_ratio FROM v WHERE rn >= 10 ORDER BY event_type, day"""),
+  )
+
+  /** Spark's NATIVE batch `session_window` (r10e) — the engine's own
+    * session-merge operator (SessionWindowing + MergingSessionsExec)
+    * rather than [[lagSessionize]]'s manual lag/running-sum build: 30-min
+    * inactivity gap per user, each session's end = last event + gap.
+    * Semantics pin: Spark merges an event into a session iff its time is
+    * STRICTLY before the current session end, so a gap of exactly 1800 s
+    * STARTS a new session — the oracle's gaps-islands split is therefore
+    * `diff >= 1800 s` (the manual key uses `> 1800`, documenting the
+    * two APIs' off-by-an-instant difference). Exact integer micros on
+    * both sides.
+    */
+  private val sessionWindowNative = Op(
+    "win_session_window_native",
+    (s, sf) => {
+      Tables.events(s, sf)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(dec(col("value"))).cast("double")).as("session_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH marked AS (SELECT user_id, ts, event_id, value, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, value, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM marked) SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,
     lagSessionize, rankDistribution, cumulativeDistinct, longestStreak,
     ntileDeciles, valueFunctions, rangeFrameSum, cusumChangepoint,
     rollingMedian, hampelFilter, gapsIslands, concurrencySweep,
-    bollingerBands, maxDrawdown, rsi14, rollingCorr)
+    bollingerBands, maxDrawdown, rsi14, rollingCorr, kaufmanEr,
+    sessionWindowNative)
 }

@@ -234,6 +234,33 @@ class Round10cSpec extends SparkSpec {
       "transformWithState running totals must equal the batch aggregate")
   }
 
+  test("win_kaufman_efficiency stays in [0, 1] by the triangle inequality") {
+    val rows = SparkEntry.queries("win_kaufman_efficiency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("efficiency_ratio"))) {
+        val er = r.getAs[Double]("efficiency_ratio")
+        assert(er >= 0.0 && er <= 1.0 + 1e-9, s"ER $er outside [0,1]")
+      }
+    }
+  }
+
+  test("win_session_window_native agrees with the manual sessionizer up to boundary semantics") {
+    val native = SparkEntry.queries("win_session_window_native")(spark, sf)
+    val manual = SparkEntry.queries("win_lag_sessionize")(spark, sf)
+    val nN = native.count(); val nM = manual.count()
+    // Native splits on gap >= 1800 s, the manual key on > 1800 s — native
+    // can only split MORE, and the two counts coincide unless a gap lands
+    // exactly on the boundary.
+    assert(nN >= nM, s"native $nN sessions vs manual $nM")
+    assert(nN - nM <= 5, "boundary-exact gaps should be rare")
+    // Every native session spans ≥ 1 event and end = last event + 30 min > start.
+    val bad = native.filter(col("session_end") <= col("session_start")).count()
+    assert(bad == 0)
+    assert(native.agg(sum("n_events")).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
