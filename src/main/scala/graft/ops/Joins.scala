@@ -471,8 +471,36 @@ object Joins extends OpGroup {
     Some("""SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM orders a WHERE NOT EXISTS (SELECT 1 FROM orders b WHERE b.o_custkey = a.o_custkey AND b.o_totalprice > a.o_totalprice AND b.o_orderdate > a.o_orderdate) ORDER BY o_custkey, o_orderkey"""),
   )
 
+  /** Null-safe equality join (r10e): Spark's `<=>` / SQL
+    * `IS NOT DISTINCT FROM` — the three-valued-logic escape hatch a
+    * plain `=` join silently lacks (NULL = NULL is NULL, so null-keyed
+    * rows vanish from an inner join; `<=>` matches them). The fact side
+    * carries genuine NULLs (priority nulled by NULLIF); the dim side is
+    * its own distinct-key relation with a label for the NULL bucket;
+    * the null-safe inner join loses NOTHING — row conservation is the
+    * spec's witness. Plan note: Spark hashes `<=>` keys like ordinary
+    * equi-keys (HashJoin with coalesced key), so this is NOT a
+    * nested-loop downgrade at scale.
+    */
+  private val nullSafeEq = Op(
+    "join_null_safe_eq",
+    (s, sf) => {
+      val left = Tables.orders(s, sf)
+        .withColumn("grp", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      val dim = left.select(col("grp")).distinct()
+        .withColumn("label", coalesce(col("grp"), lit("UNSPECIFIED")))
+      left.join(broadcast(dim.withColumnRenamed("grp", "dgrp")),
+          col("grp") <=> col("dgrp"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("label")
+    },
+    Some("""WITH l AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS grp, o_totalprice FROM orders), d AS (SELECT grp, COALESCE(grp, 'UNSPECIFIED') AS label FROM (SELECT DISTINCT grp FROM l) t) SELECT d.label, COUNT(*) AS n_orders, CAST(SUM(CAST(l.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM l JOIN d ON l.grp IS NOT DISTINCT FROM d.grp GROUP BY d.label ORDER BY d.label"""),
+  )
+
   val ops: Seq[Op] = Seq(multiwayInner, broadcastDim, leftOuter, leftSemi,
     leftAnti, rangeInterval, asof, asofForwardTolerance, nearestValue,
     bucketedColocated, intervalBinned, skewSalted, fullOuterRecon,
-    bloomRuntime, skylineDominance)
+    bloomRuntime, skylineDominance, nullSafeEq)
 }

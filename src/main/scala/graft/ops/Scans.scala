@@ -450,8 +450,84 @@ object Scans extends OpGroup {
     Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, CAST(SUM(length(text)) AS BIGINT) AS sum_text_len, COUNT(DISTINCT doc_id) AS n_distinct_ids FROM documents GROUP BY lang ORDER BY lang"""),
   )
 
+  /** PERMISSIVE-mode JSONL ingestion with corrupt-record quarantine
+    * (r10e): the lake-edge reality [[jsonlRoundtrip]] idealizes away —
+    * a feed where some lines are malformed. Every doc_id ≡ 0 (mod 17)
+    * line is deterministically truncated at write time (half the JSON,
+    * unparseable); the PERMISSIVE read routes those to
+    * `_corrupt_record` instead of failing the batch (FAILFAST) or
+    * silently dropping them (DROPMALFORMED), and the op emits the
+    * per-lang survivor aggregate PLUS the quarantined count — the
+    * ingest-with-audit contract. Oracle: the corruption rule is pure
+    * doc_id arithmetic, so DuckDB reproduces both populations from the
+    * clean table without reading the scratch file.
+    */
+  private val jsonlCorruptQuarantine = Op(
+    "src_jsonl_corrupt_quarantine",
+    (s, sf) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.Tables.cachedDir("/tmp/graft_jsonl_bad",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "documents")) + "/documents"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.documents(s, sf)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))).as("j"), col("doc_id"))
+          .select(when(pmod(col("doc_id"), lit(17)) === 0,
+            substring(col("j"), 1, 20)).otherwise(col("j")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+      // Spark disallows queries that effectively reference only the
+      // corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+      // documented workaround is cache()). Cache-free equivalent: the
+      // 20-char truncation always cuts inside the text field, so with
+      // PERMISSIVE partial results (3.4+ default) a corrupt line parses
+      // doc_id but NEVER lang — and every clean line carries lang —
+      // so lang IS NULL ⟺ quarantined, corrupt-column-reference-free.
+      val flagged = read.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lang").isNull.as("is_bad"))
+      val good = flagged.filter(!col("is_bad"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"))
+      val bad = flagged.filter(col("is_bad"))
+        .agg(count(lit(1)).as("n_quarantined"))
+      good.crossJoin(broadcast(bad))
+        .select(col("lang"), col("n_docs"), col("sum_n_chars").cast("long").as("sum_n_chars"),
+          col("n_quarantined"))
+        .orderBy("lang")
+    },
+    Some("""WITH good AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents WHERE doc_id % 17 <> 0 GROUP BY lang), bad AS (SELECT COUNT(*) AS n_quarantined FROM documents WHERE doc_id % 17 = 0) SELECT lang, n_docs, sum_n_chars, n_quarantined FROM good, bad ORDER BY lang"""),
+  )
+
+  /** Hidden `_metadata` file-source column (r10e): Spark exposes file
+    * provenance (name, size, row position) on every file scan without
+    * any schema change — the lineage hook an audit pipeline reads
+    * instead of parsing paths. Emits rows-per-file with the basename;
+    * the fixture is one file per table, so the oracle states the
+    * expected (name, count) directly from the clean table.
+    */
+  private val fileMetadata = Op(
+    "src_file_metadata",
+    (s, sf) => {
+      s.read.parquet(s"$sf/documents.parquet")
+        .select(expr("_metadata.file_name").as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")
+    },
+    Some("""SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows FROM documents"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
     dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout, textLines,
-    jsonlRoundtrip)
+    jsonlRoundtrip, jsonlCorruptQuarantine, fileMetadata)
 }

@@ -261,6 +261,33 @@ class Round10cSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("src_jsonl_corrupt_quarantine: quarantine count exact, survivors lossless") {
+    val rows = SparkEntry.queries("src_jsonl_corrupt_quarantine")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val expectedBad = docs.filter(pmod(col("doc_id"), lit(17)) === 0).count()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_quarantined") == expectedBad))
+    val survivors = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(survivors == docs.count() - expectedBad,
+      "every non-corrupted line must survive the permissive read")
+  }
+
+  test("src_file_metadata exposes the file name and exact row count") {
+    val r = SparkEntry.queries("src_file_metadata")(spark, sf).head
+    assert(r.getAs[String]("file_name") == "documents.parquet")
+    assert(r.getAs[Long]("n_rows") == Tables.documents(spark, sf).count())
+  }
+
+  test("join_null_safe_eq conserves every row including the NULL-keyed bucket") {
+    val rows = SparkEntry.queries("join_null_safe_eq")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.orders(spark, sf).count(),
+      "null-safe join must not drop NULL-keyed rows")
+    val unspec = rows.find(_.getAs[String]("label") == "UNSPECIFIED")
+    assert(unspec.isDefined && unspec.get.getAs[Long]("n_orders") > 0,
+      "the NULL bucket must match through <=>")
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
