@@ -720,10 +720,31 @@ object Aggs extends OpGroup {
     Some("""SELECT c_nationkey, COUNT(*) AS n_customers, (MAX(struct_pack(b := c_acctbal, k := c_custkey))).b AS top_bal, (MAX(struct_pack(b := c_acctbal, k := c_custkey))).k AS top_custkey, (MIN(struct_pack(b := c_acctbal, k := c_custkey))).b AS low_bal, (MIN(struct_pack(b := c_acctbal, k := c_custkey))).k AS low_custkey FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""),
   )
 
+  /** Ordered LISTAGG (r10e): Spark 4.0's native `listagg(expr, sep)
+    * WITHIN GROUP (ORDER BY …)` aggregate — the SQL-standard ordered
+    * string concatenation that previously needed the collect_list +
+    * array_join workaround ([[collectSortedList]] keeps witnessing that
+    * shape; this key pins the native function). DISTINCT + explicit
+    * ORDER BY make the result deterministic; DuckDB's dual is
+    * string_agg(DISTINCT … ORDER BY …).
+    */
+  private val listaggOrdered = Op(
+    "agg_listagg",
+    (s, sf) =>
+      Tables.orders(s, sf)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("listagg(DISTINCT o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+            .as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities, COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
     benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans,
-    minmaxBy, theilIndex)
+    minmaxBy, theilIndex, listaggOrdered)
 }

@@ -224,7 +224,56 @@ object Scalars extends OpGroup {
     Some("""SELECT o_orderkey, o_orderdate + INTERVAL 3 MONTH AS plus_3mo, CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end, CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start, CAST(quarter(o_orderdate) AS INT) AS qtr FROM orders ORDER BY o_orderkey"""),
   )
 
+  /** ANSI-safe try_* arithmetic (r10e): `try_divide` / `try_cast` — the
+    * error-as-NULL contract that keeps a malformed row from failing a
+    * 100 TB batch job under ANSI mode (and degrades to plain NULL
+    * semantics without it; either way the FUNCTIONS are the pinned
+    * surface). Division hits a genuine zero (quantity = 25 zeroes the
+    * shifted divisor), the cast a genuinely non-numeric string; the
+    * aggregate reports survivors and nulls per flag. Oracle: DuckDB
+    * spells the same semantics as CASE + TRY_CAST.
+    */
+  private val tryArithmetic = Op(
+    "math_try_safe",
+    (s, sf) =>
+      Tables.lineitem(s, sf)
+        .select(col("l_returnflag"),
+          expr("try_divide(CAST(l_extendedprice AS DECIMAL(18,6)), l_quantity - 25)").as("q"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_as_int"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          r6(sum(dec(r6(col("q").cast("double"))))
+            .cast("double")).as("sum_safe_quotient"),
+          sum(when(col("flag_as_int").isNull, 1L).otherwise(0L)).as("n_cast_null"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN l_quantity - 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + CAST(CASE WHEN l_quantity - 25 = 0 THEN NULL ELSE CAST(l_extendedprice AS DECIMAL(18,6)) / (l_quantity - 25) END AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_safe_quotient, CAST(SUM(CASE WHEN TRY_CAST(l_returnflag AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
+  /** Regex function suite (r10e): regexp_count / regexp_instr /
+    * regexp_substr / capture-group regexp_replace over the structured
+    * customer name — the extraction quartet an ID-normalization pass
+    * leans on beyond [[idNormalize]]'s anchored rewrite. Portability
+    * notes pinned here: Spark's regexp_replace rewrites ALL occurrences
+    * while DuckDB's rewrites the FIRST (names carry exactly one
+    * pattern instance, so the duals agree), and the instr dual is
+    * strpos-of-first-extract (sound because an identical earlier
+    * substring would itself be the first match).
+    */
+  private val regexSuite = Op(
+    "str_regex_suite",
+    (s, sf) =>
+      Tables.customer(s, sf)
+        .select(col("c_custkey"),
+          expr("regexp_count(c_name, '[0-9]+')").cast("int").as("n_digit_runs"),
+          expr("regexp_instr(c_name, '[0-9]+')").cast("int").as("first_digit_pos"),
+          expr("regexp_substr(c_name, '[0-9]+')").as("first_run"),
+          expr("regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '$2#$1')").as("swapped"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_digit_runs, CAST(strpos(c_name, regexp_extract(c_name, '[0-9]+')) AS INT) AS first_digit_pos, regexp_extract(c_name, '[0-9]+') AS first_run, regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '\2#\1') AS swapped FROM customer ORDER BY c_custkey"""),
+  )
+
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
     mathScalarExpr, jsonExtractTyped, jsonStructDecode, arrayHofNorm,
-    mapEntriesBuild, strFunctions, dateFunctions)
+    mapEntriesBuild, strFunctions, dateFunctions, tryArithmetic, regexSuite)
 }

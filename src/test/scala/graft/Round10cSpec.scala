@@ -288,6 +288,42 @@ class Round10cSpec extends SparkSpec {
       "the NULL bucket must match through <=>")
   }
 
+  test("agg_listagg: ordered, distinct, comma-joined priorities per status") {
+    val rows = SparkEntry.queries("agg_listagg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("priorities").split(",").toSeq
+      assert(parts == parts.sorted, "WITHIN GROUP ordering must hold")
+      assert(parts.distinct == parts, "DISTINCT must dedupe")
+    }
+  }
+
+  test("math_try_safe: try_divide nulls exactly the zero-divisor rows") {
+    val rows = SparkEntry.queries("math_try_safe")(spark, sf).collect()
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("l_quantity") === 25, 1L).otherwise(0L)).as("z"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("z")).toMap
+    rows.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      assert(r.getAs[Long]("n_div_null") == expected(f))
+      assert(r.getAs[Long]("n_cast_null") == r.getAs[Long]("n_rows"),
+        "a flag letter can never cast to INT")
+    }
+  }
+
+  test("str_regex_suite: counts/positions consistent with the extracted run") {
+    val rows = SparkEntry.queries("str_regex_suite")(spark, sf).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_digit_runs") >= 1, "customer names carry digits")
+      val pos = r.getAs[Int]("first_digit_pos")
+      assert(pos >= 1)
+      assert(r.getAs[String]("first_run").forall(_.isDigit))
+      assert(r.getAs[String]("swapped").nonEmpty)
+    }
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
