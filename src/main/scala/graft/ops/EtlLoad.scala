@@ -387,7 +387,57 @@ object EtlLoad extends OpGroup {
     Some("""WITH p AS (SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo, COUNT(*) AS n_rows, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev FROM orders GROUP BY 1, 2), x AS (SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, CAST(n_rows AS BIGINT) AS n_rows, CAST(rev AS DOUBLE) AS revenue, CAST(SUM(n_rows) OVER () AS BIGINT) AS tot, CAST(COUNT(*) OVER () AS BIGINT) AS nparts FROM p) SELECT yr, mo, n_rows, revenue, ROUND(1e-9 + CAST(n_rows AS DOUBLE) / tot, 6) AS row_share, ROUND(1e-9 + CAST(n_rows AS DOUBLE) * nparts / tot, 6) AS skew_ratio, CAST(n_rows AS DOUBLE) * nparts / tot > 2.0 AS skewed FROM x ORDER BY yr, mo"""),
   )
 
+  /** CDC net-changes compaction (r10e): the Debezium-style batch
+    * compaction of an op-log WINDOW against a baseline cut — the
+    * downstream-friendly dual of streaming's per-op apply
+    * (`stream_cdc_apply`): a consumer that syncs daily wants one NET row
+    * per key (insert/update/delete vs the baseline), not every
+    * intermediate op. Op-log convention matches the stream key:
+    * event_type 'error' = delete/tombstone, anything else = upsert of
+    * `value`, total order (ts, event_id). Baseline = state at the
+    * week-1 cut; window = everything after. Keys with no window ops —
+    * or dead on both sides — compact away entirely (the whole point).
+    * Scale shape: two rank windows per user partition + one conditional
+    * count; shuffles once on the key like any CDC reader.
+    */
+  private val cdcNetChanges = Op(
+    "etl_cdc_net_changes",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import parity.r6
+      val cut = lit("2024-01-08").cast("timestamp")
+      val ev = Tables.events(s, sf)
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val before = ev.filter(col("ts") < cut)
+        .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+        .select(col("user_id"),
+          (col("event_type") =!= "error").as("alive1"),
+          col("value").as("v1"))
+      val after = ev
+        .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+        .select(col("user_id"),
+          (col("event_type") =!= "error").as("alive2"),
+          col("value").as("v2"), col("ts").as("last_ts"))
+      val nWin = ev.filter(col("ts") >= cut)
+        .groupBy("user_id").agg(count(lit(1)).as("n_ops_window"))
+      nWin.join(before, Seq("user_id"), "left").join(after, Seq("user_id"))
+        .withColumn("b_alive", coalesce(col("alive1"), lit(false)))
+        .withColumn("net_op",
+          when(!col("b_alive") && col("alive2"), "insert")
+            .when(col("b_alive") && !col("alive2"), "delete")
+            .when(col("b_alive") && col("alive2"), "update"))
+        .filter(col("net_op").isNotNull)
+        .select(col("user_id"), col("net_op"),
+          when(col("b_alive"), r6(col("v1"))).as("before_value"),
+          when(col("alive2"), r6(col("v2"))).as("after_value"),
+          col("last_ts"), col("n_ops_window"))
+        .orderBy("user_id")
+    },
+    Some("""WITH before AS (SELECT user_id, event_type <> 'error' AS alive1, value AS v1 FROM (SELECT user_id, event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts < TIMESTAMP '2024-01-08') t WHERE rn = 1), after AS (SELECT user_id, event_type <> 'error' AS alive2, value AS v2, ts AS last_ts FROM (SELECT user_id, event_type, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1), w AS (SELECT user_id, COUNT(*) AS n_ops_window FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1), j AS (SELECT w.user_id, COALESCE(before.alive1, false) AS b_alive, before.v1, after.alive2, after.v2, after.last_ts, w.n_ops_window FROM w LEFT JOIN before ON before.user_id = w.user_id JOIN after ON after.user_id = w.user_id) SELECT user_id, CASE WHEN NOT b_alive AND alive2 THEN 'insert' WHEN b_alive AND NOT alive2 THEN 'delete' WHEN b_alive AND alive2 THEN 'update' END AS net_op, CASE WHEN b_alive THEN ROUND(1e-9 + v1, 6) END AS before_value, CASE WHEN alive2 THEN ROUND(1e-9 + v2, 6) END AS after_value, last_ts, n_ops_window FROM j WHERE (CASE WHEN NOT b_alive AND alive2 THEN 'insert' WHEN b_alive AND NOT alive2 THEN 'delete' WHEN b_alive AND alive2 THEN 'update' END) IS NOT NULL ORDER BY user_id"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
     snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint,
-    partitionSkewAudit)
+    partitionSkewAudit, cdcNetChanges)
 }

@@ -324,6 +324,26 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("etl_cdc_net_changes is consistent with the full per-op apply") {
+    val net = SparkEntry.queries("etl_cdc_net_changes")(spark, sf).collect()
+    assert(net.nonEmpty)
+    // The compaction's 'after' side must agree with stream_cdc_apply's
+    // final alive snapshot: every 'delete' user absent there, every
+    // insert/update user present with the same final value.
+    val alive = SparkEntry.queries("stream_cdc_apply")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("last_value")).toMap
+    net.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      r.getAs[String]("net_op") match {
+        case "delete" => assert(!alive.contains(u), s"deleted user $u still alive")
+        case op =>
+          assert(alive.contains(u), s"$op user $u missing from apply snapshot")
+          assert(math.abs(alive(u) - r.getAs[Double]("after_value")) < 1e-9)
+      }
+      assert(r.getAs[Long]("n_ops_window") >= 1)
+    }
+  }
+
   test("ts_holt_linear matches a driver-side re-run of the recurrence") {
     val out = SparkEntry.queries("ts_holt_linear")(spark, sf)
       .filter(col("event_type") === "purchase").orderBy("day").collect()
