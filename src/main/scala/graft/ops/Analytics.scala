@@ -886,6 +886,12 @@ object Analytics extends OpGroup {
           Window.partitionBy("event_type").orderBy("day")).cast("int"))
       val folded = daily.groupBy("event_type")
         .agg(expr("transform(array_sort(collect_list(struct(rn, x))), p -> p.x)").as("xs"))
+        // The init reads xs[2] for b₁ = x₂−x₁, so a 1-observation group
+        // has no defined trend: drop it BEFORE the fold, mirroring the
+        // oracle's rn=2 init join (which silently emits no rows for such
+        // a group) — otherwise Spark yields b=NULL (or an out-of-bounds
+        // error under ANSI mode) where DuckDB yields nothing (r10 advice).
+        .filter(size(col("xs")) >= 2)
         .withColumn("states", expr("""
           aggregate(
             slice(xs, 2, size(xs) - 1),

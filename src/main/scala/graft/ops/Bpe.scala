@@ -69,9 +69,20 @@ object Bpe extends OpGroup {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .as[(String, Long)]
       // Vocabulary relation carries the evolving tokenization state.
+      // Job budget (r10 verdict #3 — the 8-iteration job FLOOR dominates
+      // this op's wall time in local mode): one job per merge instead of
+      // two. The merge application is NOT separately materialized — the
+      // next iteration's argmax job computes it from the still-cached
+      // parent state (one cheap map over a cached relation) and fills
+      // the child's persist as a side effect; the parent unpersists only
+      // AFTER that job, so lineage stays flat (iteration k never
+      // recomputes 1..k-1). The FINAL merge's application is never
+      // consumed at all — the result is the merge TABLE — so it is
+      // skipped entirely (the old code computed and counted it).
       var vocab = counts.map { case (w, f) => (w, f, initSyms(w)) }.persist()
       vocab.count(): Unit
       val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+      var prev: Option[org.apache.spark.sql.Dataset[(String, Long, Seq[String])]] = None
       var rank = 1
       var exhausted = false
       while (rank <= k && !exhausted) {
@@ -85,18 +96,24 @@ object Bpe extends OpGroup {
           .groupBy("l", "r").agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
           .limit(1).collect() // bounded: exactly the one winning pair
+        // This job just materialized vocab's persist — the previous
+        // state's cache has served its one consumer and can go.
+        prev.foreach(_.unpersist(false))
+        prev = None
         if (best.isEmpty) exhausted = true
         else {
           val row = best(0)
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((rank, l, r, l + r, c))
-          val next = vocab.map { case (w, f, syms) => (w, f, mergePair(syms, l, r)) }.persist()
-          next.count(): Unit
-          vocab.unpersist(false)
-          vocab = next
+          if (rank < k) {
+            val next = vocab.map { case (w, f, syms) => (w, f, mergePair(syms, l, r)) }.persist()
+            prev = Some(vocab)
+            vocab = next
+          }
           rank += 1
         }
       }
+      prev.foreach(_.unpersist(false))
       vocab.unpersist(false)
       merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
         .orderBy("rank")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * statistical screens a 100 TB training-data lake actually needs.
   */
 object Drift extends OpGroup {
-  import parity.{dec, r6}
+  import parity.{dec, dec38, r6}
 
   /** Two-sample Kolmogorov-Smirnov drift test: event values in the first
     * half of the corpus window (ts < Jan 16) vs the second half. EXACT
@@ -356,8 +356,9 @@ object Drift extends OpGroup {
     * accumulates count and Σx…Σx⁴ — mergeable raw moments, the
     * 1000-executor formulation — with each power rounded then
     * decimal-summed (x has 2 decimals, so x² is exact at 4 and x³/x⁴
-    * are pinned by r6 to identical summands on both engines; magnitudes
-    * ≤ 500⁴ ≈ 6.3e10 per row stay inside the widened decimal sum).
+    * are pinned by r6 to identical summands on both engines; the s2..s4
+    * sums are DECIMAL(38,6) on BOTH engines so a fourth-power term at
+    * |value| ≥ 1000 cannot silently overflow — r10 advice).
     * Central moments, g1 = m3/m2^1.5 and excess g2 = m4/m2² − 3 are one
     * IEEE chain over the exact moments, rounded once. Population (not
     * sample-corrected) convention so the formulas are identical algebra
@@ -369,9 +370,9 @@ object Drift extends OpGroup {
       val m = Tables.events(s, sf).groupBy("event_type").agg(
         count(lit(1)).as("n"),
         sum(dec(col("value"))).as("s1"),
-        sum(dec(r6(col("value") * col("value")))).as("s2"),
-        sum(dec(r6(col("value") * col("value") * col("value")))).as("s3"),
-        sum(dec(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
+        sum(dec38(r6(col("value") * col("value")))).as("s2"),
+        sum(dec38(r6(col("value") * col("value") * col("value")))).as("s3"),
+        sum(dec38(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
       val n = col("n").cast("double")
       val mu = col("s1").cast("double") / n
       val m2 = col("s2").cast("double") / n - mu * mu
@@ -384,7 +385,7 @@ object Drift extends OpGroup {
           r6(m4 / (m2 * m2) - lit(3)).as("kurtosis_excess"))
         .orderBy("event_type")
     },
-    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(18,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(18,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, mu, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + mu, 6) AS mean, ROUND(1e-9 + sqrt(m2), 6) AS sd_pop, ROUND(1e-9 + m3 / pow(m2, 1.5), 6) AS skewness, ROUND(1e-9 + m4 / (m2 * m2) - 3, 6) AS kurtosis_excess FROM c ORDER BY event_type"""),
+    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(38,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(38,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(38,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, mu, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + mu, 6) AS mean, ROUND(1e-9 + sqrt(m2), 6) AS sd_pop, ROUND(1e-9 + m3 / pow(m2, 1.5), 6) AS skewness, ROUND(1e-9 + m4 / (m2 * m2) - 3, 6) AS kurtosis_excess FROM c ORDER BY event_type"""),
   )
 
   /** Daily latency-style percentile bands (r9g) — exact p50/p90/p99 of
@@ -816,6 +817,10 @@ object Drift extends OpGroup {
     * hash-agg carrying decimal Σx..Σx⁴; central moments by the binomial
     * expansion); JB is computed from the RAW m-moments and rounded once
     * — never from the already-rounded skew/kurt columns (no compounding).
+    * The s2..s4 sums are DECIMAL(38,6) on BOTH engines: a fourth-power
+    * term at |value| ≥ 1000 exceeds DECIMAL(18,6)'s 1e12 integer capacity
+    * — Spark would NULL it silently (non-ANSI) while DuckDB errors, a
+    * quiet divergence (r10 advice). 38,6 holds to |value| ~ 1e8.
     */
   private val jarqueBera = Op(
     "stats_jarque_bera",
@@ -823,9 +828,9 @@ object Drift extends OpGroup {
       val m = Tables.events(s, sf).groupBy("event_type").agg(
         count(lit(1)).as("n"),
         sum(dec(col("value"))).as("s1"),
-        sum(dec(r6(col("value") * col("value")))).as("s2"),
-        sum(dec(r6(col("value") * col("value") * col("value")))).as("s3"),
-        sum(dec(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
+        sum(dec38(r6(col("value") * col("value")))).as("s2"),
+        sum(dec38(r6(col("value") * col("value") * col("value")))).as("s3"),
+        sum(dec38(r6(col("value") * col("value") * col("value") * col("value")))).as("s4"))
       val n = col("n").cast("double")
       val mu = col("s1").cast("double") / n
       val r2 = col("s2").cast("double") / n
@@ -841,7 +846,7 @@ object Drift extends OpGroup {
           r6(n * (g1 * g1 / 6 + g2 * g2 / 24)).as("jb_stat"))
         .orderBy("event_type")
     },
-    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(18,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(18,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(18,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x), g AS (SELECT event_type, n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) - 3 AS g2 FROM c) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + g1, 6) AS skewness, ROUND(1e-9 + g2, 6) AS kurtosis_excess, ROUND(1e-9 + n * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_stat FROM g ORDER BY event_type"""),
+    Some("""WITH m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s1, SUM(CAST(ROUND(1e-9 + value * value, 6) AS DECIMAL(38,6))) AS s2, SUM(CAST(ROUND(1e-9 + value * value * value, 6) AS DECIMAL(38,6))) AS s3, SUM(CAST(ROUND(1e-9 + value * value * value * value, 6) AS DECIMAL(38,6))) AS s4 FROM events GROUP BY 1), x AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4 FROM m), c AS (SELECT event_type, n, r2 - mu * mu AS m2, r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3, r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4 FROM x), g AS (SELECT event_type, n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) - 3 AS g2 FROM c) SELECT event_type, CAST(n AS BIGINT) AS n, ROUND(1e-9 + g1, 6) AS skewness, ROUND(1e-9 + g2, 6) AS kurtosis_excess, ROUND(1e-9 + n * (g1 * g1 / 6 + g2 * g2 / 24), 6) AS jb_stat FROM g ORDER BY event_type"""),
   )
 
   /** Poisson dispersion test (r10c) on daily event COUNTS per type —

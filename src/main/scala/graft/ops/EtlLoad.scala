@@ -335,7 +335,14 @@ object EtlLoad extends OpGroup {
     * the fingerprint is independent of partitioning, row order, and
     * engine. Scale shape: one linear scan, map-side combined to a
     * single row; any subset (partition, day) fingerprints the same way
-    * and sums compose.
+    * and sums compose. hash_sum accumulates as DECIMAL(38,0) and is
+    * reported MOD 2^62 (r10 advice): at ~1e12 rows a LongType sum of
+    * 28-bit hashes wraps silently in non-ANSI Spark while DuckDB's
+    * HUGEINT CAST errors — the fingerprint would diverge exactly at the
+    * scale the op advertises. The modular form is still commutative and
+    * composes across subsets ((a+b) mod m = (a mod m + b mod m) mod m),
+    * the accumulator holds to ~1e29 rows, and the reported value always
+    * fits BIGINT (the output-type rulebook bans DECIMAL columns).
     */
   private val tableFingerprint = Op(
     "etl_table_fingerprint",
@@ -351,10 +358,12 @@ object EtlLoad extends OpGroup {
         to_date(col("l_shipdate")).cast("string"))
       Tables.lineitem(s, sf)
         .select(conv(substring(md5(canon), 1, 7), 16, 10).cast("long").as("h"))
-        .agg(count(lit(1)).as("n_rows"), sum("h").as("hash_sum"),
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(4611686018427387904L)).cast("long").as("hash_sum"),
           min("h").as("hash_min"), max("h").as("hash_max"))
     },
-    Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h"""),
+    Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(h AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h"""),
   )
 
   /** Partition-skew audit (r10c): would `orders` partitioned by

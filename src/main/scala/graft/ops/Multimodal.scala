@@ -87,16 +87,17 @@ object Multimodal extends OpGroup {
         it.map { case (docId, bytes) =>
           val payload = docId % 3 match {
             case 1 => Wav.synthesize(docId, bytes)
-            case 2 => Bmp.synthesize(docId, bytes)
+            case 2 => ImageIoPng.imagePayload(docId, bytes) // PNG odd / BMP even (r11)
             case _ => bytes
           }
-          (Wav.decode(payload), Bmp.decode(payload)) match {
+          (Wav.decode(payload), ImageIoPng.decodeAny(payload)) match {
             case (Some(p), _) =>
               (docId, payload.length, "pcm_wav", p.sampleRate, p.nSamples,
                 math.rint(p.durationMs * 1000) / 1000,
                 math.rint(p.rms * 1000) / 1000, p.peak, 0, 0, 0.0)
             case (_, Some(img)) =>
-              (docId, payload.length, "bmp", 0, 0, 0.0, 0.0, 0,
+              val codec = if ((payload(0) & 0xff) == 0x89) "png" else "bmp"
+              (docId, payload.length, codec, 0, 0, 0.0, 0.0, 0,
                 img.width, img.height, math.rint(img.meanLuma * 1000) / 1000)
             case _ =>
               // --- STUB fallback: replace with a linked codec call ---
@@ -216,7 +217,10 @@ object Multimodal extends OpGroup {
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.flatMap { case (docId, bytes) =>
-          Bmp.decode(Bmp.synthesize(docId, bytes)).map { img =>
+          // Both image containers flow through the one feature pipeline
+          // (PNG odd / BMP even, r11); the pixel formula is identical so
+          // features are format-invariant (PngSpec).
+          ImageIoPng.decodeAny(ImageIoPng.imagePayload(docId, bytes)).map { img =>
             val w = img.width; val h = img.height
             val luma = new Array[Double](w * h)
             var i = 0
@@ -365,7 +369,10 @@ object Multimodal extends OpGroup {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.flatMap { case (docId, bytes) =>
-            Bmp.decode(Bmp.synthesize(docId, bytes)).map { img =>
+            // Perceptual hashes are computed on DECODED pixels, so the
+            // two containers (PNG odd / BMP even, r11) hash identically
+            // — exactly why a dedup pipeline hashes post-decode.
+            ImageIoPng.decodeAny(ImageIoPng.imagePayload(docId, bytes)).map { img =>
               (docId, Bmp.aHash(img), Bmp.dHash(img))
             }
           }
@@ -403,6 +410,43 @@ object Multimodal extends OpGroup {
     None,
   )
 
+  /** DECODE QUARANTINE audit (r11) — the `src_jsonl_corrupt_quarantine`
+    * pattern applied to binary payloads: a deterministic sixth of the
+    * image docs (`doc_id % 17 == 0`) arrive truncated to 20 bytes
+    * (a cut upload — too short for a BMP header or a PNG IHDR), the
+    * decode stage routes them to the quarantine count instead of
+    * failing the batch, and the audit reports per-format decoded vs
+    * quarantined populations. ORACLED: decodability is exactly the
+    * corruption rule (synthesized containers always parse, 20-byte
+    * stubs never — PngSpec/MultimodalSpec pin both directions), so the
+    * counts are doc_id arithmetic DuckDB reproduces from the clean
+    * table.
+    */
+  private val imageQuarantine = Op(
+    "mm_image_quarantine",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.documents(s, sf)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val whole = ImageIoPng.imagePayload(docId, bytes)
+          val payload = if (docId % 17 == 0) whole.take(20) else whole
+          val fmt = if (docId % 2 == 1) "png" else "bmp"
+          (fmt, ImageIoPng.decodeAny(payload).isDefined)
+        }
+      }.toDF("format", "decoded")
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("decoded").cast("long")).as("n_decoded"),
+          sum((!col("decoded")).cast("long")).as("n_quarantined"))
+        .orderBy("format")
+    },
+    Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded, CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined FROM documents WHERE doc_id % 3 = 2 GROUP BY 1 ORDER BY format"""),
+  )
+
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
-    imageFeatures, byteStats, chunkDedup, phashHamming)
+    imageFeatures, byteStats, chunkDedup, phashHamming, imageQuarantine)
 }

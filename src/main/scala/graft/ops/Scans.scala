@@ -517,6 +517,16 @@ object Scans extends OpGroup {
   private val fileMetadata = Op(
     "src_file_metadata",
     (s, sf) => {
+      // The oracle hardcodes file_name = 'documents.parquet', which is
+      // only true for the single-FILE fixture layout; a regenerated
+      // fixture that writes a DIRECTORY of part files would surface as a
+      // confusing hash mismatch. Fail fast with a contract error instead
+      // (r10 advice) — the assertion, not the oracle, owns the layout.
+      val f = new java.io.File(s"$sf/documents.parquet")
+      require(f.isFile,
+        s"src_file_metadata expects the single-file fixture layout; " +
+          s"$sf/documents.parquet is a directory — update the oracle to " +
+          "derive per-part names before re-enabling")
       s.read.parquet(s"$sf/documents.parquet")
         .select(expr("_metadata.file_name").as("file_name"))
         .groupBy("file_name")

@@ -456,7 +456,79 @@ object Streaming extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value, ROUND(1e-9 + CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS max_value FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** CHECKPOINT-RESTART recovery (r11, the r10 verdict's item 5): the one
+    * property checkpoints exist for, which none of the other 12 streaming
+    * keys witnessed — a SECOND streaming query resuming from the first's
+    * checkpoint produces exactly-once totals over the combined input,
+    * with no reprocessing of data the first query committed.
+    *
+    * Mechanics: the events table is staged into a private source
+    * directory in two time-ordered files (first half of the time span,
+    * then the rest — time-split so no phase-2 row is ever late behind
+    * phase-1's final watermark, which would make drops legitimate and
+    * the batch dual wrong). Query 1 runs a 30-minute tumbling windowed
+    * aggregate (1 h watermark, append mode) over file 1 to completion
+    * against a checkpoint; query 2 starts FRESH from that same
+    * checkpoint after file 2 lands. The windows straddling the cut are
+    * open (unemitted) state in the checkpoint — query 2 must restore
+    * them, fold in phase-2 rows, and emit each window exactly once. The
+    * sink is the idempotent foreachBatch parquet-per-batch-id pattern
+    * (batch ids continue across the restart, from the checkpoint's
+    * commit log). Oracle = the closed-window batch dual over the WHOLE
+    * events table — any re-read (double counts), loss (missing
+    * windows), or double emission (duplicate rows) breaks the hash.
+    * StreamingRestartSpec additionally asserts from the checkpoint's
+    * own source log that no input file was committed twice.
+    */
+  private[graft] def restartRecoveryRun(s: SparkSession, sf: String): (DataFrame, String) = {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream_restart/" +
+      s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${runId.incrementAndGet()}"
+    // The per-JVM runId restarts at 1, so a prior process may have left
+    // artifacts at this path — a stale checkpoint would make the "fresh"
+    // first query itself a restart. Clean slate per invocation.
+    Tables.rmTree(new java.io.File(base))
+    val (inDir, ckpt, out) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    val ev = Tables.events(s, sf)
+    // Midpoint of the observed time span — deterministic, one bounded row.
+    val Array(cutRow) = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("cut")).collect()
+    val cutUs = cutRow.getLong(0)
+    ev.filter(expr(s"unix_micros(ts) < ${cutUs}L")).write.parquet(s"$inDir/p1")
+    val schema = s.read.parquet(s"$inDir/p1").schema
+    def runQ(): Unit = {
+      val q: StreamingQuery = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    withStateParts(s, 8) {
+      runQ() // session 1: first half, runs to completion, emits its closed windows
+      ev.filter(expr(s"unix_micros(ts) >= ${cutUs}L")).write.parquet(s"$inDir/p2")
+      runQ() // session 2: SAME checkpoint — restores state, processes only p2
+    }
+    (s.read.parquet(out)
+      .select("win_start", "event_type", "n", "sum_value")
+      .orderBy("win_start", "event_type"), ckpt)
+  }
+
+  private val restartRecovery = Op(
+    "stream_restart_recovery",
+    (s, sf) => restartRecoveryRun(s, sf)._1,
+    Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 3600000) * 1000 AS wm_us FROM events) SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events, m WHERE epoch_us(to_timestamp(floor(epoch(ts) / 1800) * 1800) + INTERVAL 30 MINUTE) <= wm_us GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
     appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin,
-    streamStreamJoin, cdcApply, transformWithStateOp)
+    streamStreamJoin, cdcApply, transformWithStateOp, restartRecovery)
 }

@@ -289,7 +289,14 @@ object TextOps extends OpGroup {
       val model = bi.join(uni, "w1")
         .select(col("w1"), col("w2"),
           expr("cast(round(-ln(c2 / cast(c1 as double)) + 1e-9, 6) as decimal(18,6))").as("nll"))
-      grams.join(broadcast(model), Seq("w1", "w2"))
+      // No broadcast hint on the model: the corpus's distinct-bigram
+      // table is strictly LARGER than the unigram vocabulary (whose
+      // forced broadcast the tfidf keys already ban) — unbounded at web
+      // scale, a guaranteed OOM if hinted. It is a plain equi-join on
+      // (w1, w2); the cost model elects broadcast while the measured
+      // model is small and flips to shuffle on its own at scale.
+      // Pinned by PlanShapeSpec (no ResolvedHint in this plan).
+      grams.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           r6(sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"))

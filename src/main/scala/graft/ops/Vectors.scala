@@ -1282,8 +1282,71 @@ object Vectors extends OpGroup {
     Some("""WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), c0 AS (SELECT CAST(vec_id AS INT) AS cid, dim, x AS c FROM e WHERE vec_id < 4), d1 AS (SELECT e.vec_id, c0.cid, SUM(CAST(ROUND(1e-9 + (e.x - c0.c) * (e.x - c0.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c0 ON c0.dim = e.dim GROUP BY 1, 2), a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) z WHERE rk = 1), c1 AS (SELECT a1.cid, e.dim, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + e.x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM e JOIN a1 ON a1.vec_id = e.vec_id GROUP BY 1, 2), d2 AS (SELECT e.vec_id, c1.cid, SUM(CAST(ROUND(1e-9 + (e.x - c1.c) * (e.x - c1.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c1 ON c1.dim = e.dim GROUP BY 1, 2), a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d2) z WHERE rk = 1), c2 AS (SELECT a2.cid, e.dim, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + e.x, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c FROM e JOIN a2 ON a2.vec_id = e.vec_id GROUP BY 1, 2), df AS (SELECT e.vec_id, c2.cid, SUM(CAST(ROUND(1e-9 + (e.x - c2.c) * (e.x - c2.c), 6) AS DECIMAL(18,6))) AS dist FROM e JOIN c2 ON c2.dim = e.dim GROUP BY 1, 2), af AS (SELECT vec_id, cid, dist FROM (SELECT vec_id, cid, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM df) z WHERE rk = 1), sizes AS (SELECT cid, COUNT(*) AS n_assigned, CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS inertia_raw FROM af GROUP BY 1), checks AS (SELECT cid, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS ck FROM c2 GROUP BY 1) SELECT sizes.cid AS cid, n_assigned, ROUND(1e-9 + inertia_raw, 6) AS inertia, ROUND(1e-9 + ck, 6) AS centroid_checksum FROM sizes JOIN checks ON checks.cid = sizes.cid ORDER BY cid"""),
   )
 
+  /** RECALL@10 of 1-bit sign-Hamming retrieval vs exact cosine (r11) —
+    * the EVALUATION op the quantization ladder was missing: every ANN
+    * deployment reports recall against the exact tier before shipping,
+    * and this runs that measurement as one query (per-query overlap of
+    * the two top-10 sets + the corpus mean). Both retrieval arms are
+    * integer-or-rounded-exact and already individually oracled
+    * (vec_cosine_topk / vec_sign_hamming_topk semantics), so the recall
+    * itself hashes cross-engine — a rare fully-ORACLED ANN quality
+    * metric (trained-index recall stays spec-gated in VectorSpec; this
+    * key pins the training-free arm). Scale shape: queries are a
+    * bounded set (broadcast), each arm is the corpus×queries retrieval
+    * with bounded-heap partial top-k, and the overlap join is
+    * query-key-partitioned — nothing quadratic in the corpus.
+    */
+  private val recallSignVsExact = Op(
+    "vec_recall_sign_vs_exact",
+    (s, sf) => {
+      val k = 10
+      val v = normed(s, sf)
+      val q = v.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      // Exact arm: cosine top-10 (raw-sim ranking, vec_id tiebreak).
+      val exact = v.join(broadcast(q), col("vec_id") =!= col("q_vec_id"))
+        .withColumn("sim", expr("vec_dot(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
+        .groupBy(col("q_vec_id"))
+        .agg(expr(s"vec_topk(vec_id, sim, $k)").as("top"))
+        .select(col("q_vec_id"), explode(col("top.id")).as("vec_id"))
+      // Approximate arm: coordinate-sign Hamming top-10 (the
+      // vec_sign_hamming_topk signature, negated distance in the heap,
+      // vec_id tiebreak — identical to its oracled convention).
+      val sig = Tables.spread(s, Tables.embeddings(s, sf))
+        .withColumn("sig0", expr(
+          """aggregate(sequence(0, 31), 0L,
+               (acc, i) -> acc | CASE WHEN element_at(embedding, cast(i + 1 as int)) >= 0
+                                 THEN shiftleft(1L, cast(i as int)) ELSE 0L END)"""))
+        .withColumn("sig1", expr(
+          """aggregate(sequence(32, 63), 0L,
+               (acc, i) -> acc | CASE WHEN element_at(embedding, cast(i + 1 as int)) >= 0
+                                 THEN shiftleft(1L, cast(i - 32 as int)) ELSE 0L END)"""))
+        .select(col("vec_id"), col("sig0"), col("sig1"))
+      val qs = sig.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_vec_id"),
+          col("sig0").as("q_sig0"), col("sig1").as("q_sig1"))
+      val approx = sig.join(broadcast(qs), col("vec_id") =!= col("q_vec_id"))
+        .withColumn("nham",
+          -(expr("bit_count(sig0 ^ q_sig0)") + expr("bit_count(sig1 ^ q_sig1)")).cast("double"))
+        .groupBy(col("q_vec_id"))
+        .agg(expr(s"vec_topk(vec_id, nham, $k)").as("top"))
+        .select(col("q_vec_id"), explode(col("top.id")).as("vec_id"))
+      exact.join(approx, Seq("q_vec_id", "vec_id"), "left_semi")
+        .groupBy("q_vec_id").agg(count(lit(1)).as("n_overlap"))
+        // Queries whose sets are disjoint still report (recall 0).
+        .join(q.select("q_vec_id"), Seq("q_vec_id"), "right")
+        .select(col("q_vec_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          r6(coalesce(col("n_overlap"), lit(0L)).cast("double") / k).as("recall_at_10"))
+        .orderBy("q_vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 20), ex AS (SELECT q_vec_id, vec_id FROM (SELECT q.q_vec_id, v.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_vec_id ORDER BY list_reduce(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (q.q_nrm * v.nrm) DESC, v.vec_id) AS rk FROM q JOIN v ON v.vec_id <> q.q_vec_id) z WHERE rk <= 10), sig AS (SELECT vec_id, list_reduce(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig0, list_reduce(list_transform(generate_series(32, 63), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig1 FROM embeddings), qs AS (SELECT vec_id AS q_vec_id, sig0 AS q_sig0, sig1 AS q_sig1 FROM sig WHERE vec_id < 20), ap AS (SELECT q_vec_id, vec_id FROM (SELECT qs.q_vec_id, s.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.q_vec_id ORDER BY bit_count(xor(s.sig0, qs.q_sig0)) + bit_count(xor(s.sig1, qs.q_sig1)) ASC, s.vec_id) AS rk FROM qs JOIN sig s ON s.vec_id <> qs.q_vec_id) z WHERE rk <= 10), ov AS (SELECT ex.q_vec_id, COUNT(*) AS n_overlap FROM ex JOIN ap ON ap.q_vec_id = ex.q_vec_id AND ap.vec_id = ex.vec_id GROUP BY 1) SELECT q.q_vec_id, COALESCE(ov.n_overlap, 0) AS n_overlap, ROUND(1e-9 + COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10 FROM q LEFT JOIN ov ON ov.q_vec_id = q.q_vec_id ORDER BY q_vec_id"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload, mipsTopk, signHammingTopk, jlProjection, kmeansFixed)
+    pqIndexReload, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
+    recallSignVsExact)
 }

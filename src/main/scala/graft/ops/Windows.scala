@@ -641,12 +641,13 @@ object Windows extends OpGroup {
     * session-merge operator (SessionWindowing + MergingSessionsExec)
     * rather than [[lagSessionize]]'s manual lag/running-sum build: 30-min
     * inactivity gap per user, each session's end = last event + gap.
-    * Semantics pin: Spark merges an event into a session iff its time is
-    * STRICTLY before the current session end, so a gap of exactly 1800 s
-    * STARTS a new session — the oracle's gaps-islands split is therefore
-    * `diff >= 1800 s` (the manual key uses `> 1800`, documenting the
-    * two APIs' off-by-an-instant difference). Exact integer micros on
-    * both sides.
+    * Semantics pin (MEASURED, SessionBoundarySpec — the r10 doc had it
+    * backwards): Spark merges an event into a session iff its time is
+    * <= the current session end, so a gap of exactly 1800 s still
+    * MERGES — the oracle's gaps-islands split is `diff > 1800 s`, the
+    * same convention the manual key and stream_session_window use (the
+    * three session keys now pin ONE boundary rule). Exact integer
+    * micros on both sides.
     */
   private val sessionWindowNative = Op(
     "win_session_window_native",
@@ -659,7 +660,7 @@ object Windows extends OpGroup {
           col("sw.end").as("session_end"), col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")
     },
-    Some("""WITH marked AS (SELECT user_id, ts, event_id, value, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, value, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM marked) SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+    Some("""WITH marked AS (SELECT user_id, ts, event_id, value, CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), sess AS (SELECT user_id, ts, value, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM marked) SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
   )
 
   val ops: Seq[Op] = Seq(dedupRank, topkPerGroup, runningTotal, movingAvg,

@@ -20,6 +20,15 @@ object parity {
   /** Cast a measure for an order-insensitive exact SUM. */
   def dec(c: Column): Column = c.cast(Dec)
 
+  /** Wide variant for higher-moment / huge-cardinality sums: DECIMAL(18,6)
+    * caps the integer part at 1e12, which a fourth-power term (|x| ≥ 1000)
+    * or a 1e12-row hash sum silently exceeds — Spark NULLs the overflow in
+    * non-ANSI mode while DuckDB errors, a quiet divergence exactly at the
+    * scale these ops advertise. 38,6 moves the bound to 1e32.
+    */
+  val Dec38: DecimalType = DecimalType(38, 6)
+  def dec38(c: Column): Column = c.cast(Dec38)
+
   /** Round an unavoidable double for stable cross-engine comparison.
     *
     * The +1e-9 shift is load-bearing: exact rational quotients (decimal

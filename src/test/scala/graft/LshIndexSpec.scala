@@ -1,0 +1,51 @@
+package graft
+
+/** Lifecycle contract of the persisted text-LSH index (r11, the r10
+  * verdict's item 4 — the text dual of [[PqIndexSpec]]): the
+  * fingerprint-keyed (bands, masks, vocab) parquet artifacts must
+  * (a) serve the incremental probe bit-identically to a fresh
+  * recomputation of the index, and (b) serve a cold session (files
+  * already on disk) with ZERO signature passes over the base corpus.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  test("dedup_minhash_index_reload: reload ≡ recompute, and a warm index never rebuilds") {
+    // Clean slate: no on-disk artifacts.
+    Tables.rmTree(new java.io.File(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index"))
+
+    // Reference: the probe against FRESH index relations (no persistence
+    // involved anywhere). md5 strings and longs round-trip parquet
+    // exactly, so the persisted path must reproduce this row for row.
+    val fresh = ops.Dedup.lshProbe(spark, sf, ops.Dedup.lshIndexFresh(spark, sf))
+      .collect().map(_.toSeq).toSet
+
+    val buildsBefore = ops.Dedup.lshBuildCounter.get()
+    val r1 = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(ops.Dedup.lshBuildCounter.get() == buildsBefore + 1,
+      "first call should have built the index exactly once")
+    assert(r1 == fresh, "persisted-index probe diverged from the fresh recomputation")
+
+    val dir = ops.Dedup.lshIndexDir(spark, sf)
+    for (p <- Seq("bands", "masks", "vocab"))
+      assert(new java.io.File(s"$dir/$p", "_SUCCESS").exists(), s"missing artifact $p")
+
+    // Cold-serve witness: with artifacts on disk, the op must answer
+    // from the files alone — the build counter (the only path that
+    // signs the base corpus) must not move.
+    val r2 = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(ops.Dedup.lshBuildCounter.get() == buildsBefore + 1,
+      "warm call re-built the index — the serve path is recomputing the base corpus")
+    assert(r2 == r1, "warm-serve probe diverged from the first result")
+  }
+
+  test("a regenerated base corpus invalidates the persisted LSH index (fingerprint key)") {
+    // The cachedDir contract: the directory NAME carries the source
+    // fingerprint, so a different fingerprint can never read these files.
+    val dir = ops.Dedup.lshIndexDir(spark, sf)
+    assert(dir.contains(Tables.fingerprint(sf, "documents")),
+      "index dir is not fingerprint-keyed — a regenerated corpus would serve stale bands")
+  }
+}

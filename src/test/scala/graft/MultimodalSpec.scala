@@ -29,7 +29,7 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
-  test("mm_decode_features is deterministic and exercises ALL THREE codec paths") {
+  test("mm_decode_features is deterministic and exercises ALL FOUR codec paths") {
     val a = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
     assert(a.sameElements(b))
@@ -37,8 +37,9 @@ class MultimodalSpec extends SparkSpec {
       .groupBy("codec").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byCodec.getOrElse("pcm_wav", 0L) > 0, "no docs took the real WAV path")
     assert(byCodec.getOrElse("bmp", 0L) > 0, "no docs took the real BMP path")
+    assert(byCodec.getOrElse("png", 0L) > 0, "no docs took the real PNG path (r11)")
     assert(byCodec.getOrElse("stub", 0L) > 0, "no docs took the stub fallback")
-    assert(byCodec.keySet == Set("pcm_wav", "bmp", "stub"))
+    assert(byCodec.keySet == Set("pcm_wav", "bmp", "png", "stub"))
   }
 
   test("WAV-decoded features equal an independent plain-Scala re-decode") {
@@ -83,7 +84,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { r =>
       val docId = r.getLong(0)
-      assert(docId % 3 == 2, s"doc $docId on the BMP path without a BMP payload")
+      assert(docId % 3 == 2 && docId % 2 == 0,
+        s"doc $docId on the BMP path without a BMP payload (odd image docs are PNG since r11)")
       val src = docs(docId).getBytes("UTF-8")
       val width = 8 + (math.abs(docId) % 24).toInt
       val height = 8 + (src.length % 24)
@@ -106,6 +108,39 @@ class MultimodalSpec extends SparkSpec {
         s"doc $docId: mean luma from real pixels")
       assert(r.getInt(1) == 54 + rowBytes * height,
         s"doc $docId: container size (54-byte headers + padded rows)")
+      assert(r.getInt(4) == 0 && r.getDouble(6) == 0.0,
+        s"doc $docId: audio fields must be zero on the image path")
+    }
+  }
+
+  test("PNG-decoded features equal the same independent pixel-formula re-derivation (r11)") {
+    // The PNG synthesis paints the identical pixel formula as the BMP
+    // one and the container is lossless, so the decoded luma must match
+    // the formula exactly — proving javax.imageio round-trips the
+    // pixels, not just that the file parses.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_decode_features")(spark, sf)
+      .filter(col("codec") === "png").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      assert(docId % 3 == 2 && docId % 2 == 1,
+        s"doc $docId on the PNG path without a PNG payload")
+      val src = docs(docId).getBytes("UTF-8")
+      val width = 8 + (math.abs(docId) % 24).toInt
+      val height = 8 + (src.length % 24)
+      val l = math.max(src.length, 1)
+      var acc = 0.0
+      for (y <- 0 until height; x <- 0 until width) {
+        val base = if (src.isEmpty) 0 else src((x * 31 + y * 7) % l) & 0xff
+        acc += 0.299 * ((base * 13 + x + y) % 256) + 0.587 * ((base * 11 + y) % 256) +
+          0.114 * ((base * 7 + x) % 256)
+      }
+      assert(r.getInt(8) == width && r.getInt(9) == height, s"doc $docId: parsed dimensions")
+      assert(r.getDouble(10) == math.rint(acc / (width * height) * 1000) / 1000,
+        s"doc $docId: mean luma from decoded PNG pixels")
       assert(r.getInt(4) == 0 && r.getDouble(6) == 0.0,
         s"doc $docId: audio fields must be zero on the image path")
     }

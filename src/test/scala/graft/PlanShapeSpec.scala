@@ -54,6 +54,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_bigram_novelty plans no static broadcast of the corpus bigram model") {
+    // The bigram model is the corpus's distinct-bigram table — strictly
+    // larger than the unigram vocabulary the tfidf ban covers, so a
+    // forced broadcast is a guaranteed OOM at web-corpus scale (r10
+    // verdict, What's wrong #1). No ResolvedHint is allowed anywhere in
+    // this plan.
+    val analyzed = SparkEntry.queries("text_bigram_novelty")(spark, sf)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"text_bigram_novelty carries a broadcast hint:\n$analyzed")
+  }
+
+  test("sim_jaccard_pairs / sim_containment_pairs never force-broadcast the vocabulary") {
+    // The tokenMasks dictionary (distinct words → bit) and the ranked
+    // rarest-first vocab are corpus-vocabulary-sized — unbounded at
+    // 100 TB — so neither may carry a static hint (r10 verdict, What's
+    // wrong #2). sim_containment_pairs keeps exactly one legitimate
+    // hint: the prefix PROBE relation, which is O(docs·(1−t)·n̄) by
+    // construction and carries the `alpha` column; any hint on a
+    // relation WITHOUT alpha is a vocabulary broadcast regression.
+    for (key <- Seq("sim_jaccard_pairs", "sim_containment_pairs")) {
+      val analyzed = SparkEntry.queries(key)(spark, sf).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.forall(_.child.output.exists(_.name == "alpha")),
+        s"$key carries a broadcast hint on a non-probe relation:\n$analyzed")
+    }
+  }
+
   test("agg_weighted_median sorts only the median bucket, not the price-NDV relation") {
     val df = SparkEntry.queries("agg_weighted_median")(spark, sf)
     val plan = finalPlan(df)
