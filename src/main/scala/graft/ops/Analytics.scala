@@ -1087,11 +1087,59 @@ object Analytics extends OpGroup {
     Some("""WITH gaps AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 60000000 AS gap_min FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) t WHERE prev IS NOT NULL), g AS (SELECT gap_min, COUNT(*) AS cnt FROM gaps GROUP BY 1), c AS (SELECT gap_min, SUM(cnt) OVER (ORDER BY gap_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS tot FROM g), picks AS (SELECT pct, MIN(gap_min) AS v FROM c, (SELECT unnest([50, 90, 99]) AS pct) p WHERE cum * 100 >= pct * tot GROUP BY 1), m AS (SELECT ROUND(1e-9 + CAST(SUM(gap_min * cnt) AS DOUBLE) / SUM(cnt), 6) AS mean_gap_min, CAST(SUM(cnt) AS BIGINT) AS n_gaps FROM g) SELECT n_gaps, mean_gap_min, (SELECT v FROM picks WHERE pct = 50) AS p50_min, (SELECT v FROM picks WHERE pct = 90) AS p90_min, (SELECT v FROM picks WHERE pct = 99) AS p99_min FROM m"""),
   )
 
+  /** SEASONALLY-ADJUSTED anomaly detection (r11) — what
+    * [[seasonalDecompose]]'s residual column exists FOR: a raw z-score
+    * on daily revenue ([[anomalyZscore]]) fires every weekend on a
+    * weekly-cyclic series, so the production detector scores the
+    * residual AFTER trend and weekday effects are removed. Same
+    * decomposition (centered 7-day trend, mean weekday seasonal), then
+    * residual z against the per-type residual σ (population), emitting
+    * only |z| > 2 days. All windows run over the (type × day) relation
+    * — calendar-bounded at any fact volume.
+    */
+  private val seasonalAnomaly = Op(
+    "ts_seasonal_anomaly",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.parity.{dec, r6}
+      val daily = Tables.events(s, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("ydec"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("y", col("ydec").cast("double"))
+        .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+          sum(col("ydec")).over(w7).cast("double") / lit(7.0)))
+        .withColumn("dow", dayofweek(col("day")))
+      val seasonal = t.filter(col("trend").isNotNull)
+        .groupBy("event_type", "dow")
+        .agg(r6(sum(dec(r6(col("y") - col("trend")))).cast("double") /
+          count(lit(1))).as("seasonal"))
+      val resid = t.join(seasonal, Seq("event_type", "dow"))
+        .filter(col("trend").isNotNull)
+        .withColumn("residual", r6(col("y") - col("trend") - col("seasonal")))
+      val sigma = resid.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("nr"),
+          sum(dec(col("residual"))).as("sr"),
+          sum(dec(r6(col("residual") * col("residual")))).as("srr"))
+        .withColumn("mu", col("sr").cast("double") / col("nr"))
+        .withColumn("sd", sqrt(col("srr").cast("double") / col("nr") - col("mu") * col("mu")))
+        .select(col("et"), col("mu"), col("sd"))
+      resid.join(sigma, col("event_type") === col("et"))
+        .withColumn("z", r6((col("residual") - col("mu")) / col("sd")))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("day"), col("y").as("daily_value"),
+          col("residual"), col("z"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), t AS (SELECT event_type, day, y, CASE WHEN COUNT(*) OVER w7 = 7 THEN CAST(SUM(ydec) OVER w7 AS DOUBLE) / 7 ELSE NULL END AS trend, dayofweek(day) + 1 AS dow FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), se AS (SELECT event_type, dow, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + y - trend, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS seasonal FROM t WHERE trend IS NOT NULL GROUP BY 1, 2), rs AS (SELECT t.event_type, t.day, t.y, ROUND(1e-9 + t.y - t.trend - se.seasonal, 6) AS residual FROM t JOIN se ON se.event_type = t.event_type AND se.dow = t.dow WHERE t.trend IS NOT NULL), sg AS (SELECT event_type AS et, COUNT(*) AS nr, CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu, sqrt(CAST(SUM(CAST(ROUND(1e-9 + residual * residual, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) - (CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * (CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS sd FROM rs GROUP BY 1) SELECT rs.event_type, rs.day, rs.y AS daily_value, rs.residual, ROUND(1e-9 + (rs.residual - sg.mu) / sg.sd, 6) AS z FROM rs JOIN sg ON sg.et = rs.event_type WHERE abs(ROUND(1e-9 + (rs.residual - sg.mu) / sg.sd, 6)) > 2.0 ORDER BY rs.event_type, rs.day"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
     survivalKm, holtLinear, smaCrossover, powerLawFit, pacfDurbin,
-    intereventGaps)
+    intereventGaps, seasonalAnomaly)
 }

@@ -704,7 +704,84 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared, SUM(CAST(ROUND(1e-9 + 1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6))) AS aa FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v JOIN deg ON deg.node = s1.u GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT a AS u, b AS v, CAST(shared AS BIGINT) AS shared, CAST(aa AS DOUBLE) AS adamic_adar FROM w ORDER BY u, v"""),
   )
 
+  /** ITEM-ITEM collaborative-filtering cosine (r11) — the recsys kernel
+    * on the order-incidence bipartite graph: items are vectors over
+    * orders (binary incidence), so sim(u,v) = co-occurrences /
+    * √(n_u·n_v) — the classic item-CF similarity (Sarwar et al., WWW
+    * 2001), which weights the co-purchase edges the other graph ops
+    * treat as unweighted. Scale shape: Σ per-order pairs (the order
+    * fan-out is basket-size-bounded), one hash-agg to pair counts, one
+    * bounded join to per-item counts — never item×item.
+    */
+  private val itemCfCosine = Op(
+    "graph_item_cf_cosine",
+    (s, sf) => Tables.withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.r6
+      val items = Tables.lineitem(s, sf)
+        .join(Tables.part(s, sf).filter(col("p_size") >= 40)
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val n = items.groupBy(col("l_partkey").as("node")).agg(count(lit(1)).as("n_orders"))
+      val out = co
+        .join(n.select(col("node").as("u"), col("n_orders").as("n_u")), "u")
+        .join(n.select(col("node").as("v"), col("n_orders").as("n_v")), "v")
+        .withColumn("cos_sim",
+          r6(col("w").cast("double") /
+            (sqrt(col("n_u").cast("double")) * sqrt(col("n_v").cast("double")))))
+        // 0.05 on this sparse fixture keeps the top few percent of
+        // pairs (max observed cosine ≈ 0.09 — baskets are wide and
+        // co-occurrence is thin); the production knob is the same
+        // filter at the deployment's own similarity floor.
+        .filter(col("cos_sim") >= 0.05)
+        .select("u", "v", "w", "n_u", "n_v", "cos_sim")
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      pinned.orderBy("u", "v")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), co AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), n AS (SELECT l_partkey AS node, COUNT(*) AS n_orders FROM items GROUP BY 1), s AS (SELECT co.u, co.v, co.w, nu.n_orders AS n_u, nv.n_orders AS n_v, ROUND(1e-9 + CAST(co.w AS DOUBLE) / (sqrt(CAST(nu.n_orders AS DOUBLE)) * sqrt(CAST(nv.n_orders AS DOUBLE))), 6) AS cos_sim FROM co JOIN n nu ON nu.node = co.u JOIN n nv ON nv.node = co.v) SELECT u, v, w, n_u, n_v, cos_sim FROM s WHERE cos_sim >= 0.05 ORDER BY u, v"""),
+  )
+
+  /** 2-HOP REACH (r11) — per-node friend-of-friend audience size: the
+    * count of DISTINCT nodes exactly ≤2 hops away (excluding self), the
+    * number a notification/recommendation fan-out planner reads. One
+    * wedge join on the symmetric edges (Σ deg² work, the
+    * neighbor_jaccard shape) + a distinct + a count — never an
+    * all-pairs BFS.
+    */
+  private val twoHopReach = Op(
+    "graph_2hop_reach",
+    (s, sf) => Tables.withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.r6
+      val edges = copurchaseEdges(s, sf)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("degree"))
+      // nodes ≤ 2 hops: direct neighbors ∪ neighbors-of-neighbors.
+      val reach2 = sym.select(col("u"), col("v").as("r"))
+        .union(sym.as("s1").join(sym.as("s2"), col("s1.v") === col("s2.u"))
+          .select(col("s1.u").as("u"), col("s2.v").as("r")))
+        .filter(col("u") =!= col("r"))
+        .distinct()
+        .groupBy("u").agg(count(lit(1)).as("n_reach2"))
+      val out = deg.join(reach2, Seq("u"))
+        .select(col("u").as("p_partkey"), col("degree"), col("n_reach2"),
+          r6(col("degree").cast("double") / col("n_reach2")).as("direct_share"))
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      pinned.orderBy("p_partkey")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1), r2 AS (SELECT u, COUNT(*) AS n_reach2 FROM (SELECT DISTINCT u, r FROM (SELECT u, v AS r FROM sym UNION ALL SELECT s1.u, s2.v AS r FROM sym s1 JOIN sym s2 ON s2.u = s1.v) z WHERE u <> r) d GROUP BY u) SELECT deg.u AS p_partkey, deg.degree, r2.n_reach2, ROUND(1e-9 + CAST(deg.degree AS DOUBLE) / r2.n_reach2, 6) AS direct_share FROM deg JOIN r2 ON r2.u = deg.u ORDER BY p_partkey"""),
+  )
+
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
-    bfsHops, adamicAdar)
+    bfsHops, adamicAdar, itemCfCosine, twoHopReach)
 }

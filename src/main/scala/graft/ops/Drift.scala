@@ -1041,10 +1041,118 @@ object Drift extends OpGroup {
     Some("""WITH b AS (SELECT CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket, COUNT(*) AS cnt FROM events GROUP BY 1), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k, CAST(MIN(cnt) AS BIGINT) AS mn, CAST(MAX(cnt) AS BIGINT) AS mx FROM b), c AS (SELECT SUM(CAST(ROUND(1e-9 + (cnt - n / 100.0) * (cnt - n / 100.0) / (n / 100.0), 6) AS DECIMAL(18,6))) AS chi2 FROM b, t) SELECT t.n AS n_rows, t.k AS n_buckets, t.mn AS min_bucket, t.mx AS max_bucket, CAST(c.chi2 AS DOUBLE) AS chi2_stat, CAST(c.chi2 AS DOUBLE) > 123.225221 AS reject_5pct FROM t, c"""),
   )
 
+  /** Kruskal-Wallis H test (r11) — the rank-based (distribution-free)
+    * dual of [[anovaOneway]], and Mann-Whitney's k-group
+    * generalization: does l_quantity's DISTRIBUTION differ across
+    * return flags, without assuming normality? Ranks never
+    * materialize per row: l_quantity's NDV is domain-bounded (integer
+    * quantities 1..50), so the op aggregates to (flag, q, count) cells
+    * — ONE linear hash-agg of the fact table — and average ranks come
+    * from a window over the ≤NDV-row value relation (midrank =
+    * cum-before + (t+1)/2, halves exact in binary). H with the
+    * standard tie correction; per-group rank sums r6'd then
+    * decimal-summed.
+    */
+  private val kruskalWallis = Op(
+    "stats_kruskal_wallis",
+    (s, sf) => {
+      val cells = Tables.lineitem(s, sf)
+        .groupBy(col("l_returnflag").as("f"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      val vals = cells.groupBy("q").agg(sum("cnt").as("t"))
+        .withColumn("cumb",
+          coalesce(sum("t").over(Window.orderBy("q")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("avgrank", col("cumb") + (col("t") + 1) / lit(2.0))
+      val wAll = Window.partitionBy()
+      val grp = cells.join(vals.select("q", "avgrank"), "q")
+        .groupBy("f")
+        .agg(sum("cnt").as("n_g"),
+          // dec38: the rank sum is ~N²/k per group and its square over
+          // n_g is ~N³/k² — both blow past DECIMAL(18,6)'s 1e12 integer
+          // capacity at even 60k rows (measured: crash at sf0.01).
+          sum(dec38(r6(col("cnt") * col("avgrank")))).as("r_g"))
+      val a = grp
+        .withColumn("nn", sum("n_g").over(wAll))
+        .withColumn("h_c",
+          r6(col("r_g").cast("double") * col("r_g").cast("double") / col("n_g")))
+        .agg(countDistinct(col("f")).as("k"),
+          max(col("nn")).cast("long").as("n"),
+          sum(dec38(col("h_c"))).cast("double").as("srr"))
+      // t³ in DOUBLE, not long: a hot value's tie count cubed overflows
+      // int64 around t ≈ 2M (quietly in non-ANSI Spark, loudly in
+      // DuckDB); the double product is exact to 2^53 and rounds
+      // identically on both engines past it.
+      val ties = vals.agg(
+        sum(dec38(r6(col("t").cast("double") * col("t") * col("t") - col("t"))))
+          .cast("double").as("tsum"))
+      val n = col("n").cast("double")
+      a.crossJoin(broadcast(ties))
+        .withColumn("h_raw",
+          lit(12.0) / (n * (n + 1)) * col("srr") - lit(3.0) * (n + 1))
+        .withColumn("c_tie", lit(1.0) - col("tsum") / (n * n * n - n))
+        .select(col("k"), col("n"), (col("k") - 1).cast("long").as("df"),
+          r6(col("h_raw")).as("h_stat"),
+          r6(col("c_tie")).as("tie_correction"),
+          r6(col("h_raw") / col("c_tie")).as("h_adjusted"))
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS f, l_quantity AS q, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2), vals AS (SELECT q, CAST(SUM(cnt) AS BIGINT) AS t FROM cells GROUP BY 1), vr AS (SELECT q, t, COALESCE(CAST(SUM(t) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + (t + 1) / 2.0 AS avgrank FROM vals), grp AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS n_g, SUM(CAST(ROUND(1e-9 + cnt * avgrank, 6) AS DECIMAL(38,6))) AS r_g FROM cells JOIN vr ON vr.q = cells.q GROUP BY 1), a AS (SELECT COUNT(DISTINCT f) AS k, CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(CAST(h_c AS DECIMAL(38,6))) AS DOUBLE) AS srr FROM (SELECT f, SUM(n_g) OVER () AS nn, ROUND(1e-9 + CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE) / n_g, 6) AS h_c FROM grp) z), ties AS (SELECT CAST(SUM(CAST(ROUND(1e-9 + (CAST(t AS DOUBLE) * t * t - t), 6) AS DECIMAL(38,6))) AS DOUBLE) AS tsum FROM vals), x AS (SELECT k, n, 12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srr - 3.0 * (n + 1) AS h_raw, 1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n) AS c_tie FROM a, ties) SELECT k, n, CAST(k - 1 AS BIGINT) AS df, ROUND(1e-9 + h_raw, 6) AS h_stat, ROUND(1e-9 + c_tie, 6) AS tie_correction, ROUND(1e-9 + h_raw / c_tie, 6) AS h_adjusted FROM x"""),
+  )
+
+  /** Brown-Forsythe test (r11) — variance-homogeneity screen on
+    * |x − group median| (Levene's statistic with the MEDIAN center,
+    * the robust variant): do the event types have equal SPREAD, the
+    * precondition classical ANOVA assumes and [[anovaOneway]] never
+    * checks. Group medians via the lower-median rank pick on the
+    * value-NDV-bounded (type, value, count) relation (the
+    * weighted-median discipline); the deviations then feed exactly the
+    * one-way F machinery on r6'd |x − med| terms. Scale shape: two
+    * linear passes of the fact table (one to cells, one to deviation
+    * moments), windows only over NDV-bounded relations.
+    */
+  private val brownForsythe = Op(
+    "stats_brown_forsythe",
+    (s, sf) => {
+      val cells = Tables.events(s, sf)
+        .groupBy(col("event_type").as("g"), col("value").as("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("g").orderBy("x")
+      val med = cells
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy("g")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("g").agg(min("x").as("med"))
+      val dev = cells.join(med, "g")
+        .withColumn("z", r6(abs(col("x") - col("med"))))
+        .groupBy("g")
+        .agg(sum("cnt").as("n"),
+          sum(dec(r6(col("z") * col("cnt")))).as("sz"),
+          sum(dec(r6(col("z") * col("z") * col("cnt")))).as("szz"))
+      val wAll = Window.partitionBy()
+      val x = dev
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("sza", sum("sz").over(wAll))
+        .withColumn("gm", col("sza").cast("double") / col("nn"))
+        .withColumn("m", col("sz").cast("double") / col("n"))
+        .withColumn("ssb_c", r6(col("n") * (col("m") - col("gm")) * (col("m") - col("gm"))))
+        .withColumn("ssw_c", r6(col("szz").cast("double") - col("n") * col("m") * col("m")))
+      val a = x.agg(
+        countDistinct(col("g")).as("k"),
+        max(col("nn")).cast("long").as("n"),
+        sum(dec(col("ssb_c"))).cast("double").as("ssb"),
+        sum(dec(col("ssw_c"))).cast("double").as("ssw"))
+      a.select(col("k"), col("n"),
+          (col("k") - 1).cast("long").as("df1"),
+          (col("n") - col("k")).cast("long").as("df2"),
+          r6((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n") - col("k")))).as("f_stat"))
+    },
+    Some("""WITH cells AS (SELECT event_type AS g, value AS x, COUNT(*) AS cnt FROM events GROUP BY 1, 2), med AS (SELECT g, MIN(x) AS med FROM (SELECT g, x, SUM(cnt) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY g) AS tot FROM cells) z WHERE cum * 2 >= tot GROUP BY g), dev AS (SELECT cells.g, CAST(SUM(cnt) AS BIGINT) AS n, SUM(CAST(ROUND(1e-9 + ROUND(1e-9 + abs(x - med), 6) * cnt, 6) AS DECIMAL(18,6))) AS sz, SUM(CAST(ROUND(1e-9 + ROUND(1e-9 + abs(x - med), 6) * ROUND(1e-9 + abs(x - med), 6) * cnt, 6) AS DECIMAL(18,6))) AS szz FROM cells JOIN med ON med.g = cells.g GROUP BY 1), x AS (SELECT g, n, sz, szz, CAST(SUM(n) OVER () AS BIGINT) AS nn, CAST(SUM(sz) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS gm, CAST(sz AS DOUBLE) / n AS m FROM dev), y AS (SELECT g, nn, ROUND(1e-9 + n * (m - gm) * (m - gm), 6) AS ssb_c, ROUND(1e-9 + CAST(szz AS DOUBLE) - n * m * m, 6) AS ssw_c FROM x), a AS (SELECT COUNT(DISTINCT g) AS k, CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(CAST(ssb_c AS DECIMAL(18,6))) AS DOUBLE) AS ssb, CAST(SUM(CAST(ssw_c AS DECIMAL(18,6))) AS DOUBLE) AS ssw FROM y) SELECT k, n, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2, ROUND(1e-9 + (ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat FROM a"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
     spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
     poissonDispersion, ljungBox, captureRecapture, propZtest,
-    hashUniformity)
+    hashUniformity, kruskalWallis, brownForsythe)
 }

@@ -447,6 +447,59 @@ object Multimodal extends OpGroup {
     Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded, CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined FROM documents WHERE doc_id % 3 = 2 GROUP BY 1 ORDER BY format"""),
   )
 
+  /** FRAME-LEVEL ACTIVITY DETECTION (r11) — the energy-gate VAD shape
+    * every speech pipeline runs before transcription: WAV docs frame
+    * into 160-sample (20 ms @ 8 kHz) non-overlapping windows, each
+    * frame's RMS compares against 0.5× the clip RMS, and the clip
+    * reports active-frame count/fraction plus the longest active run
+    * (the "is there a continuous utterance" number; clips that are all
+    * gate-noise or all silence get dropped upstream of the expensive
+    * model). Per-row compute-over-samples behind the same
+    * mapPartitions seam as the spectral op — scales as the scan does.
+    * No oracle (container decode); MultimodalSpec re-derives frames
+    * and runs independently.
+    */
+  private val audioVad = Op(
+    "mm_audio_vad",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.spread(s, Tables.documents(s, sf))
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          Wav.decode(Wav.synthesize(docId, bytes)).map { p =>
+            val frame = 160
+            val x = p.samples
+            val nFrames = x.length / frame // trailing partial frame dropped
+            val rmsAll = math.sqrt(x.foldLeft(0.0)((a, v) => a + v.toDouble * v) /
+              math.max(x.length, 1))
+            val thr = 0.5 * rmsAll
+            var active = 0; var run = 0; var maxRun = 0
+            var f = 0
+            while (f < nFrames) {
+              var ss = 0.0
+              var i = f * frame
+              val end = i + frame
+              while (i < end) { ss += x(i).toDouble * x(i); i += 1 }
+              if (math.sqrt(ss / frame) > thr) {
+                active += 1; run += 1; if (run > maxRun) maxRun = run
+              } else run = 0
+              f += 1
+            }
+            def r3(v: Double): Double = math.rint(v * 1000) / 1000
+            (docId, nFrames, active, maxRun,
+              r3(if (nFrames == 0) 0.0 else active.toDouble / nFrames))
+          }
+        }
+      }.toDF("doc_id", "n_frames", "n_active", "longest_run", "active_ratio")
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
-    imageFeatures, byteStats, chunkDedup, phashHamming, imageQuarantine)
+    imageFeatures, byteStats, chunkDedup, phashHamming, imageQuarantine,
+    audioVad)
 }

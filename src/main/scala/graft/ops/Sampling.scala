@@ -306,7 +306,56 @@ object Sampling extends OpGroup {
     Some("""SELECT doc_id, CAST((start - 1) // 40 AS INT) AS chunk_id, CAST(start AS INT) AS start_tok, CAST(len(list_slice(toks, start, start + 49)) AS INT) AS chunk_len, md5(array_to_string(list_slice(toks, start, start + 49), ' ')) AS chunk_hash FROM (SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n_tok FROM documents) d, LATERAL (SELECT unnest(generate_series(1, GREATEST(n_tok, 1), 40)) AS start) g ORDER BY doc_id, chunk_id"""),
   )
 
+  /** BALANCED TOKEN SHARDING (r11) — assign docs to 8 training shards
+    * with near-equal token mass, the job that splits a curated corpus
+    * into worker files: docs rank by token count (descending, doc_id
+    * tiebreak) and take shards in SNAKE order (longest-processing-time
+    * heuristic: row k of each 8-row wave reverses direction, so no
+    * shard accumulates only heads or only tails). The global rank uses
+    * range-partition + sortWithinPartitions + zipWithIndex (the
+    * tokenMasks numbering discipline) — a deterministic total order
+    * with NO single-partition window over the corpus. Output is the
+    * 8-row shard audit: doc count, token mass, and each shard's ratio
+    * to the mean mass (the imbalance number the job alerts on).
+    */
+  private val shardBalance = Op(
+    "pack_shard_balance",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val nShards = 8
+      val sized = Tables.documents(s, sf)
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), w -> w != ''))").cast("long").as("n_tok"))
+      val ranked = {
+        val sorted = sized
+          .repartitionByRange(col("n_tok").desc, col("doc_id"))
+          .sortWithinPartitions(col("n_tok").desc, col("doc_id"))
+        val schema = sorted.schema.add("rk", org.apache.spark.sql.types.LongType)
+        s.createDataFrame(
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+          },
+          schema)
+      }
+      val assigned = ranked
+        .withColumn("wave", (col("rk") / nShards).cast("long"))
+        .withColumn("pos", pmod(col("rk"), lit(nShards)))
+        .withColumn("shard",
+          when(pmod(col("wave"), lit(2)) === 0, col("pos"))
+            .otherwise(lit(nShards - 1) - col("pos")).cast("int"))
+      val shards = assigned.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      shards
+        .withColumn("mean_mass",
+          avg(col("total_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          r6(col("total_tokens") / col("mean_mass")).as("mass_ratio"))
+        .orderBy("shard")
+    },
+    Some("""WITH sized AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok FROM documents), ranked AS (SELECT doc_id, n_tok, ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rk FROM sized), assigned AS (SELECT n_tok, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS shard FROM ranked), shards AS (SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM assigned GROUP BY 1) SELECT shard, n_docs, total_tokens, ROUND(1e-9 + total_tokens / AVG(total_tokens) OVER (), 6) AS mass_ratio FROM shards ORDER BY shard"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
     curationPipeline, weightedHash, temperatureMixture, balancedClasses,
-    chunkOverlap)
+    chunkOverlap, shardBalance)
 }

@@ -273,7 +273,42 @@ object Scalars extends OpGroup {
     Some("""SELECT c_custkey, CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_digit_runs, CAST(strpos(c_name, regexp_extract(c_name, '[0-9]+')) AS INT) AS first_digit_pos, regexp_extract(c_name, '[0-9]+') AS first_run, regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '\2#\1') AS swapped FROM customer ORDER BY c_custkey"""),
   )
 
+  /** BUSINESS-DAY arithmetic (r11) — the shipping-SLA audit: weekdays
+    * elapsed from order date to each line's ship date, summarized per
+    * order priority. Engines disagree on day-of-week NUMBERING (Spark
+    * 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat), so the op never touches a
+    * dow function: W(d) = weekdays from the Monday epoch (1970-01-05)
+    * through d = 5·(m div 7) + least(m mod 7 + 1, 5) with
+    * m = datediff(d, epoch) — pure integer arithmetic, identical in
+    * any engine; business days in (d1, d2] = W(d2) − W(d1). The
+    * closed form is the 100 TB answer (the per-row calendar-sequence
+    * explode the naive version runs is rows × days).
+    */
+  private val businessDays = Op(
+    "date_business_days",
+    (s, sf) => {
+      import graft.ops.parity.{dec, r6}
+      def wdays(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val m = datediff(d, to_date(lit("1970-01-05")))
+        lit(5) * (m / 7).cast("long") + least(pmod(m, lit(7)) + 1, lit(5))
+      }
+      Tables.lineitem(s, sf)
+        .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (wdays(to_date(col("l_shipdate"))) - wdays(to_date(col("o_orderdate"))))
+            .as("bdays"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          r6(sum(dec(col("bdays"))).cast("double") / count(lit(1))).as("avg_business_days"),
+          max(col("bdays")).as("max_business_days"),
+          min(col("bdays")).as("min_business_days"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH x AS (SELECT o_orderpriority, (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7) + LEAST(date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7 + 1, 5)) - (5 * (date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7) + LEAST(date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1, 5)) AS bdays FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(1e-9 + CAST(SUM(CAST(bdays AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_business_days, CAST(MAX(bdays) AS BIGINT) AS max_business_days, CAST(MIN(bdays) AS BIGINT) AS min_business_days FROM x GROUP BY 1 ORDER BY o_orderpriority"""),
+  )
+
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
     mathScalarExpr, jsonExtractTyped, jsonStructDecode, arrayHofNorm,
-    mapEntriesBuild, strFunctions, dateFunctions, tryArithmetic, regexSuite)
+    mapEntriesBuild, strFunctions, dateFunctions, tryArithmetic, regexSuite,
+    businessDays)
 }

@@ -536,8 +536,60 @@ object Scans extends OpGroup {
     Some("""SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows FROM documents"""),
   )
 
+  /** CSV malformed-row quarantine (r11) — the CSV sibling of
+    * [[jsonlCorruptQuarantine]] (the two text formats corrupt
+    * differently: JSON truncation breaks the PARSE, CSV truncation
+    * breaks the COLUMN COUNT, and Spark's CSV PERMISSIVE mode handles
+    * the latter through a different code path — missing trailing
+    * columns become NULLs). Staged once per fingerprint: documents as
+    * headerless CSV where every 13th row is cut after the second
+    * field, so lang/n_chars never arrive. The audit is the same
+    * survivors-aggregate + quarantined-count shape, and the corruption
+    * rule is doc_id arithmetic the oracle reproduces from the clean
+    * table. Quoting pins the parse: text fields are md5'd BEFORE
+    * staging, so no delimiter/newline ambiguity can leak between
+    * engines — this op witnesses the PERMISSIVE machinery, not quote
+    * handling.
+    */
+  private val csvCorruptQuarantine = Op(
+    "src_csv_corrupt_quarantine",
+    (s, sf) => {
+      import org.apache.spark.sql.types._
+      val dir = graft.Tables.cachedDir("/tmp/graft_csv_bad",
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+        graft.Tables.fingerprint(sf, "documents")) + "/documents"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.documents(s, sf)
+          .select(concat_ws(",", col("doc_id"), md5(col("text")),
+            col("lang"), col("n_chars")).as("full"), col("doc_id"),
+            concat_ws(",", col("doc_id"), md5(col("text"))).as("cut"))
+          .select(when(pmod(col("doc_id"), lit(13)) === 0, col("cut"))
+            .otherwise(col("full")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text_md5", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE").option("header", "false")
+        .csv(dir)
+      // A cut row parses doc_id + text_md5 and NULLs the missing tail —
+      // lang IS NULL ⟺ quarantined, same flag convention as the JSONL op.
+      val flagged = read.withColumn("is_bad", col("lang").isNull)
+      val good = flagged.filter(!col("is_bad"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"))
+      val bad = flagged.filter(col("is_bad")).agg(count(lit(1)).as("n_quarantined"))
+      good.crossJoin(broadcast(bad))
+        .select(col("lang"), col("n_docs"), col("sum_n_chars").cast("long").as("sum_n_chars"),
+          col("n_quarantined"))
+        .orderBy("lang")
+    },
+    Some("""WITH good AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang), bad AS (SELECT COUNT(*) AS n_quarantined FROM documents WHERE doc_id % 13 = 0) SELECT lang, n_docs, sum_n_chars, n_quarantined FROM good, bad ORDER BY lang"""),
+  )
+
   val ops: Seq[Op] = Seq(scanProject, jsonDecode, csvScan,
     partitionedMultifile, partitionedSink, orcRoundtrip, compactSmallFiles,
     dppRuntime, backfillIdempotent, schemaEvolution, zorderLayout, textLines,
-    jsonlRoundtrip, jsonlCorruptQuarantine, fileMetadata)
+    jsonlRoundtrip, jsonlCorruptQuarantine, fileMetadata, csvCorruptQuarantine)
 }

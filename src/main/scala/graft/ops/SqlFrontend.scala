@@ -830,9 +830,66 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT l_returnflag, metric, metric_value FROM (SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price, CAST(COUNT(*) AS DOUBLE) AS n_rows FROM lineitem GROUP BY l_returnflag) UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price, n_rows)) ORDER BY l_returnflag, metric"""),
   )
 
+  /** GROUPING() / GROUPING_ID() introspection over GROUPING SETS (r11):
+    * the flags BI layers read to tell a subtotal row from a detail row
+    * whose key is genuinely NULL — the one part of the grouping-sets
+    * surface `agg_cube_grouping_sets` / `agg_grouping_sets_explicit`
+    * didn't expose. Keys are COALESCE'd to '(all)' in the output so no
+    * NULL ever reaches the ORDER BY (Spark sorts NULLS FIRST, DuckDB
+    * NULLS LAST — the flags carry the subtotal semantics instead).
+    * Both engines use the same MSB-first bit convention for
+    * GROUPING_ID over the listed columns.
+    */
+  private val groupingId = Op(
+    "sql_grouping_id",
+    (s, sf) => {
+      withViews(s, sf, "lineitem")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, '(all)') AS flag,
+               COALESCE(l_linestatus, '(all)') AS status,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, flag, status
+      """)
+    },
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS flag, COALESCE(l_linestatus, '(all)') AS status, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status, CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) ORDER BY gid, flag, status"""),
+  )
+
+  /** The SQL:2003 aggregate FILTER clause (r11) — per-aggregate
+    * predicates in ONE scan instead of a self-join per condition (the
+    * conditional-aggregation idiom every funnel/audit query uses; the
+    * DataFrame dual is sum(when(...)), this key pins the SQL door).
+    * Decimal-cast sums per the parity rulebook; count columns are exact.
+    */
+  private val filterClause = Op(
+    "agg_filter_clause",
+    (s, sf) => {
+      withViews(s, sf, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F')
+                 AS DOUBLE) AS rev_finished,
+               CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                 FILTER (WHERE l_quantity >= 30), 0) AS DOUBLE) AS qty_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_all, COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS rev_finished, CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_quantity >= 30), 0) AS DOUBLE) AS qty_bulk FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
-    unpivotClause)
+    unpivotClause, groupingId, filterClause)
 }

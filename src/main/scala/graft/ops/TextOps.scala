@@ -548,8 +548,73 @@ object TextOps extends OpGroup {
     None,
   )
 
+  /** SENTENCE-SEGMENTATION profile (r11) — the structural text stats a
+    * curation pass reads next to the token-level ones: sentences split
+    * on [.!?]+ runs, per-doc sentence count, mean words per sentence,
+    * and the longest sentence's char length (run-on detector; a doc of
+    * one enormous "sentence" is boilerplate/code, a doc of 2-word
+    * fragments is a listing). Pure per-row HOF compute over the scan —
+    * no shuffle before the output sort; the sentence arrays never
+    * explode into rows.
+    */
+  private val sentenceStats = Op(
+    "text_sentence_stats",
+    (s, sf) => {
+      Tables.documents(s, sf)
+        .withColumn("sents", expr(
+          "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x != '')"))
+        .filter(size(col("sents")) > 0)
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sentences"),
+          r6(expr("aggregate(sents, 0, (acc, x) -> acc + size(filter(split(x, ' '), w -> w != '')))")
+            .cast("double") / size(col("sents"))).as("avg_words_per_sentence"),
+          expr("aggregate(sents, 0, (acc, x) -> greatest(acc, length(x)))").as("max_sentence_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (SELECT doc_id, list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> x <> '') AS sents FROM documents) SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences, ROUND(1e-9 + CAST(list_reduce(list_transform(sents, x -> len(list_filter(string_split(x, ' '), w -> w <> ''))), (a, b) -> a + b) AS DOUBLE) / len(sents), 6) AS avg_words_per_sentence, CAST(list_reduce(list_transform(sents, x -> length(x)), (a, b) -> greatest(a, b)) AS INT) AS max_sentence_chars FROM s WHERE len(sents) > 0 ORDER BY doc_id"""),
+  )
+
+  /** VOCABULARY COVERAGE CURVE points (r11) — the corpus statistic a
+    * tokenizer-budget decision reads: what fraction of all bigram
+    * OCCURRENCES do the top-{100, 500, 1000} distinct bigrams cover?
+    * (Near-1 at small k = templated/boilerplate corpus; slow growth =
+    * diverse text; the same curve decides BPE vocab size.) One bigram
+    * count agg (linear, map-side combined), then the top-1000 counts
+    * come from the BOUNDED-HEAP vec_topk partial aggregate — NOT a
+    * global rank window, which would single-partition the
+    * vocabulary-sized relation (the weak-plan class the r10 verdict
+    * banned for broadcasts; same reasoning for sorts). The coverage
+    * sums are tie-invariant — the top-k C-MULTISET is unique however
+    * equal counts break — so the heap's id tiebreak cannot diverge
+    * from the oracle's (c desc, g asc) ranking.
+    */
+  private val ngramCoverage = Op(
+    "text_ngram_coverage",
+    (s, sf) => {
+      graft.functions.VecTopK.register(s)
+      val grams = Tables.spread(s, Tables.documents(s, sf))
+        .select(split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      def covOf(k: Int) = r6(expr(
+        s"aggregate(transform(slice(top, 1, $k), e -> e.sim), 0D, (a, b) -> a + b)")
+        / col("n_occurrences"))
+      grams.agg(
+          count(lit(1)).as("n_distinct_bigrams"),
+          sum("c").cast("long").as("n_occurrences"),
+          expr("vec_topk(xxhash64(g), cast(c as double), 1000)").as("top"))
+        .select(col("n_distinct_bigrams"), col("n_occurrences"),
+          covOf(100).as("cov_top100"),
+          covOf(500).as("cov_top500"),
+          covOf(1000).as("cov_top1000"))
+    },
+    Some("""WITH grams AS (SELECT concat(ws[i], ' ', ws[i + 1]) AS g FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents) d, unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2), cnt AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g), rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, g ASC) AS rk FROM cnt) SELECT COUNT(*) AS n_distinct_bigrams, CAST(SUM(c) AS BIGINT) AS n_occurrences, ROUND(1e-9 + CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS cov_top100, ROUND(1e-9 + CAST(SUM(CASE WHEN rk <= 500 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS cov_top500, ROUND(1e-9 + CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) AS cov_top1000 FROM rk"""),
+  )
+
   val ops: Seq[Op] = Seq(langid, qualityScore, tokenCount, fingerprint,
     piiRedact, ngramTopk, hashedTfidf, keywords, bigramNovelty, docfreqZipf,
     contaminationCheck, repetitionGopher, charlmScore, lexicalDiversity,
-    compressionRatio)
+    compressionRatio, sentenceStats, ngramCoverage)
 }

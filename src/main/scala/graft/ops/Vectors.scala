@@ -1341,12 +1341,56 @@ object Vectors extends OpGroup {
           r6(coalesce(col("n_overlap"), lit(0L)).cast("double") / k).as("recall_at_10"))
         .orderBy("q_vec_id")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 20), ex AS (SELECT q_vec_id, vec_id FROM (SELECT q.q_vec_id, v.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_vec_id ORDER BY list_reduce(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (q.q_nrm * v.nrm) DESC, v.vec_id) AS rk FROM q JOIN v ON v.vec_id <> q.q_vec_id) z WHERE rk <= 10), sig AS (SELECT vec_id, list_reduce(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig0, list_reduce(list_transform(generate_series(32, 63), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig1 FROM embeddings), qs AS (SELECT vec_id AS q_vec_id, sig0 AS q_sig0, sig1 AS q_sig1 FROM sig WHERE vec_id < 20), ap AS (SELECT q_vec_id, vec_id FROM (SELECT qs.q_vec_id, s.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.q_vec_id ORDER BY bit_count(xor(s.sig0, qs.q_sig0)) + bit_count(xor(s.sig1, qs.q_sig1)) ASC, s.vec_id) AS rk FROM qs JOIN sig s ON s.vec_id <> qs.q_vec_id) z WHERE rk <= 10), ov AS (SELECT ex.q_vec_id, COUNT(*) AS n_overlap FROM ex JOIN ap ON ap.q_vec_id = ex.q_vec_id AND ap.vec_id = ex.vec_id GROUP BY 1) SELECT q.q_vec_id, COALESCE(ov.n_overlap, 0) AS n_overlap, ROUND(1e-9 + COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10 FROM q LEFT JOIN ov ON ov.q_vec_id = q.q_vec_id ORDER BY q_vec_id"""),
+    Some("""WITH v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 20), ex AS (SELECT q_vec_id, vec_id FROM (SELECT q.q_vec_id, v.vec_id, ROW_NUMBER() OVER (PARTITION BY q.q_vec_id ORDER BY list_reduce(list_transform(generate_series(1, len(q.q_emb)), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (q.q_nrm * v.nrm) DESC, v.vec_id) AS rk FROM q JOIN v ON v.vec_id <> q.q_vec_id) z WHERE rk <= 10), sig AS (SELECT vec_id, list_reduce(list_transform(generate_series(0, 31), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig0, list_reduce(list_transform(generate_series(32, 63), i -> CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b) AS sig1 FROM embeddings), qs AS (SELECT vec_id AS q_vec_id, sig0 AS q_sig0, sig1 AS q_sig1 FROM sig WHERE vec_id < 20), ap AS (SELECT q_vec_id, vec_id FROM (SELECT qs.q_vec_id, s.vec_id, ROW_NUMBER() OVER (PARTITION BY qs.q_vec_id ORDER BY bit_count(xor(s.sig0, qs.q_sig0)) + bit_count(xor(s.sig1, qs.q_sig1)) ASC, s.vec_id) AS rk FROM qs JOIN sig s ON s.vec_id <> qs.q_vec_id) z WHERE rk <= 10), ov AS (SELECT ex.q_vec_id, COUNT(*) AS n_overlap FROM ex JOIN ap ON ap.q_vec_id = ex.q_vec_id AND ap.vec_id = ex.vec_id GROUP BY 1) SELECT q.q_vec_id AS q_vec_id, COALESCE(ov.n_overlap, 0) AS n_overlap, ROUND(1e-9 + COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10 FROM q LEFT JOIN ov ON ov.q_vec_id = q.q_vec_id ORDER BY q.q_vec_id"""),
+  )
+
+  /** EMBEDDING HEALTH AUDIT (r11) — the data-quality gate an embedding
+    * pipeline runs before indexing: NaN/overflow elements (a broken
+    * encoder emits them in bursts), zero-norm vectors (dead inputs —
+    * they NaN every cosine downstream), and the norm distribution
+    * (collapsed norms = encoder regression; un-normalized mix = two
+    * model versions in one corpus). Norms round to 3 decimals for the
+    * quartile pick so the rank window runs over a DOMAIN-bounded value
+    * relation (norms live in a few units' range), never n rows — the
+    * daily-percentile-bands discipline. Nonfinite = isnan OR |x| > 1e38
+    * (the float-overflow proxy both engines evaluate identically).
+    */
+  private val normAudit = Op(
+    "vec_norm_audit",
+    (s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      FloatVecDot.register(s)
+      val v = Tables.spread(s, Tables.embeddings(s, sf))
+        .withColumn("bad", expr(
+          "exists(embedding, x -> isnan(x) OR abs(x) > cast(1e38 as float))"))
+        .withColumn("nrm", when(col("bad"), lit(null))
+          .otherwise(sqrt(expr("vec_dot(embedding, embedding)"))))
+        .withColumn("nrm3", round(col("nrm") + lit(1e-9), 3))
+      val cells = v.filter(!col("bad")).groupBy("nrm3").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy("nrm3")
+      val ranked = cells
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("tot", sum("cnt").over(Window.partitionBy()))
+      def q(num: Int, den: Int) = ranked.filter(col("cum") * den >= col("tot") * num)
+        .agg(min("nrm3").as(s"p$num$den"))
+      val quart = q(1, 4).crossJoin(q(1, 2)).crossJoin(q(3, 4))
+        .select(col("p14").as("p25"), col("p12").as("p50"), col("p34").as("p75"))
+      v.agg(
+          count(lit(1)).as("n_vectors"),
+          sum(col("bad").cast("long")).as("n_nonfinite"),
+          sum((!col("bad") && col("nrm") < 1e-12).cast("long")).as("n_zero_norm"),
+          r6(min(col("nrm"))).as("min_norm"),
+          r6(max(col("nrm"))).as("max_norm"),
+          r6(sum(dec(r6(col("nrm")))).cast("double") /
+            sum((!col("bad")).cast("long"))).as("mean_norm"))
+        .crossJoin(broadcast(quart))
+    },
+    Some("""WITH v AS (SELECT list_bool_or(list_transform(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e38)) AS bad, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm0 FROM embeddings), w AS (SELECT bad, CASE WHEN bad THEN NULL ELSE nrm0 END AS nrm, CASE WHEN bad THEN NULL ELSE ROUND(1e-9 + nrm0, 3) END AS nrm3 FROM v), cells AS (SELECT nrm3, COUNT(*) AS cnt FROM w WHERE NOT bad GROUP BY 1), rk AS (SELECT nrm3, SUM(cnt) OVER (ORDER BY nrm3 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS tot FROM cells), quart AS (SELECT (SELECT MIN(nrm3) FROM rk WHERE cum * 4 >= tot) AS p25, (SELECT MIN(nrm3) FROM rk WHERE cum * 2 >= tot) AS p50, (SELECT MIN(nrm3) FROM rk WHERE cum * 4 >= tot * 3) AS p75), agg AS (SELECT COUNT(*) AS n_vectors, CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite, CAST(SUM(CASE WHEN NOT bad AND nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm, ROUND(1e-9 + MIN(nrm), 6) AS min_norm, ROUND(1e-9 + MAX(nrm), 6) AS max_norm, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END), 6) AS mean_norm FROM w) SELECT agg.*, quart.* FROM agg, quart"""),
   )
 
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
     pqIndexReload, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
-    recallSignVsExact)
+    recallSignVsExact, normAudit)
 }

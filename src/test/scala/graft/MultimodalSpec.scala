@@ -263,6 +263,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_vad equals an independent frame-energy re-derivation (r11)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("mm_audio_vad")(spark, sf).collect()
+    assert(out.length == docs.keys.count(_ % 3 == 1), "one row per WAV doc")
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val src = docs(docId).getBytes("UTF-8")
+      val n = 200 + (math.abs(docId) % 56).toInt + (src.length % 256)
+      val l = math.max(src.length, 1)
+      val x = (0 until n).map { i =>
+        val base = if (src.isEmpty) 0 else src(i % l) & 0xff
+        ((((base * 131 + i * 7 + docId % 251) % 65536) + 65536) % 65536 - 32768).toDouble
+      }
+      val frame = 160
+      val nFrames = n / frame
+      val thr = 0.5 * math.sqrt(x.map(v => v * v).sum / n)
+      val frames = (0 until nFrames).map { f =>
+        math.sqrt(x.slice(f * frame, (f + 1) * frame).map(v => v * v).sum / frame) > thr
+      }
+      val active = frames.count(identity)
+      val runs = frames.foldLeft((0, 0)) { case ((cur, best), a) =>
+        if (a) (cur + 1, math.max(best, cur + 1)) else (0, best)
+      }._2
+      assert(r.getInt(1) == nFrames, s"doc $docId: frame count")
+      assert(r.getInt(2) == active, s"doc $docId: active frames")
+      assert(r.getInt(3) == runs, s"doc $docId: longest run")
+      assert(r.getDouble(4) ==
+        (if (nFrames == 0) 0.0 else math.rint(active.toDouble / nFrames * 1000) / 1000),
+        s"doc $docId: active ratio")
+    }
+  }
+
   test("the WAV parser is a real one: foreign chunks, padding, and rejects") {
     import graft.ops.Wav
     // A hand-built file with an extra LIST chunk of ODD size before fmt/data
