@@ -1149,10 +1149,47 @@ object Drift extends OpGroup {
     Some("""WITH cells AS (SELECT event_type AS g, value AS x, COUNT(*) AS cnt FROM events GROUP BY 1, 2), med AS (SELECT g, MIN(x) AS med FROM (SELECT g, x, SUM(cnt) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER (PARTITION BY g) AS tot FROM cells) z WHERE cum * 2 >= tot GROUP BY g), dev AS (SELECT cells.g, CAST(SUM(cnt) AS BIGINT) AS n, SUM(CAST(ROUND(1e-9 + ROUND(1e-9 + abs(x - med), 6) * cnt, 6) AS DECIMAL(18,6))) AS sz, SUM(CAST(ROUND(1e-9 + ROUND(1e-9 + abs(x - med), 6) * ROUND(1e-9 + abs(x - med), 6) * cnt, 6) AS DECIMAL(18,6))) AS szz FROM cells JOIN med ON med.g = cells.g GROUP BY 1), x AS (SELECT g, n, sz, szz, CAST(SUM(n) OVER () AS BIGINT) AS nn, CAST(SUM(sz) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS gm, CAST(sz AS DOUBLE) / n AS m FROM dev), y AS (SELECT g, nn, ROUND(1e-9 + n * (m - gm) * (m - gm), 6) AS ssb_c, ROUND(1e-9 + CAST(szz AS DOUBLE) - n * m * m, 6) AS ssw_c FROM x), a AS (SELECT COUNT(DISTINCT g) AS k, CAST(MAX(nn) AS BIGINT) AS n, CAST(SUM(CAST(ssb_c AS DECIMAL(18,6))) AS DOUBLE) AS ssb, CAST(SUM(CAST(ssw_c AS DECIMAL(18,6))) AS DOUBLE) AS ssw FROM y) SELECT k, n, CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2, ROUND(1e-9 + (ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat FROM a"""),
   )
 
+  /** ROC AUC by the rank statistic (r11) — the model-evaluation number
+    * an LLM-data quality-classifier pipeline reports: does `value`
+    * separate purchases (positives) from clicks (negatives)? AUC equals
+    * the normalized Mann-Whitney U computed from MIDRANKS, so the whole
+    * measurement is one linear hash-agg to (value, n_pos, n_neg) cells
+    * (value-NDV-bounded), a cumulative window over the cell relation,
+    * and one roll-up — no per-row ranks ever materialize, the same
+    * scale shape as [[kruskalWallis]]. Rank sums in DECIMAL(38,6) (the
+    * N²-class magnitude), the tie-handling exact (midranks are the
+    * textbook ties correction).
+    */
+  private val aucRoc = Op(
+    "stats_auc_roc",
+    (s, sf) => {
+      val cells = Tables.events(s, sf)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("value").as("x"))
+        .agg(sum((col("event_type") === "purchase").cast("long")).as("np"),
+          sum((col("event_type") === "click").cast("long")).as("nn"))
+      val ranked = cells
+        .withColumn("t", col("np") + col("nn"))
+        .withColumn("cumb",
+          coalesce(sum(col("np") + col("nn")).over(Window.orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("midrank", col("cumb") + (col("t") + 1) / lit(2.0))
+      val a = ranked.agg(
+        sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        sum(dec38(r6(col("np") * col("midrank")))).cast("double").as("r_pos"))
+      val np = col("n_pos").cast("double")
+      a.select(col("n_pos"), col("n_neg"),
+        r6((col("r_pos") - np * (np + 1) / 2) /
+          (np * col("n_neg").cast("double"))).as("auc"))
+    },
+    Some("""WITH cells AS (SELECT value AS x, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1), rk AS (SELECT np, COALESCE(CAST(SUM(np + nn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + (np + nn + 1) / 2.0 AS midrank FROM cells), a AS (SELECT CAST((SELECT SUM(np) FROM cells) AS BIGINT) AS n_pos, CAST((SELECT SUM(nn) FROM cells) AS BIGINT) AS n_neg, CAST(SUM(CAST(ROUND(1e-9 + np * midrank, 6) AS DECIMAL(38,6))) AS DOUBLE) AS r_pos FROM rk) SELECT n_pos, n_neg, ROUND(1e-9 + (r_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc FROM a"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
     spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
     poissonDispersion, ljungBox, captureRecapture, propZtest,
-    hashUniformity, kruskalWallis, brownForsythe)
+    hashUniformity, kruskalWallis, brownForsythe, aucRoc)
 }

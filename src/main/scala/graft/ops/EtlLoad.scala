@@ -446,7 +446,47 @@ object EtlLoad extends OpGroup {
     Some("""WITH before AS (SELECT user_id, event_type <> 'error' AS alive1, value AS v1 FROM (SELECT user_id, event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events WHERE ts < TIMESTAMP '2024-01-08') t WHERE rn = 1), after AS (SELECT user_id, event_type <> 'error' AS alive2, value AS v2, ts AS last_ts FROM (SELECT user_id, event_type, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1), w AS (SELECT user_id, COUNT(*) AS n_ops_window FROM events WHERE ts >= TIMESTAMP '2024-01-08' GROUP BY 1), j AS (SELECT w.user_id, COALESCE(before.alive1, false) AS b_alive, before.v1, after.alive2, after.v2, after.last_ts, w.n_ops_window FROM w LEFT JOIN before ON before.user_id = w.user_id JOIN after ON after.user_id = w.user_id) SELECT user_id, CASE WHEN NOT b_alive AND alive2 THEN 'insert' WHEN b_alive AND NOT alive2 THEN 'delete' WHEN b_alive AND alive2 THEN 'update' END AS net_op, CASE WHEN b_alive THEN ROUND(1e-9 + v1, 6) END AS before_value, CASE WHEN alive2 THEN ROUND(1e-9 + v2, 6) END AS after_value, last_ts, n_ops_window FROM j WHERE (CASE WHEN NOT b_alive AND alive2 THEN 'insert' WHEN b_alive AND NOT alive2 THEN 'delete' WHEN b_alive AND alive2 THEN 'update' END) IS NOT NULL ORDER BY user_id"""),
   )
 
+  /** PARTITION RETENTION VACUUM (r11) — the lifecycle job every
+    * date-partitioned lake table runs: land events partitioned by day,
+    * DROP partitions older than the 20-day retention horizon
+    * (directory-level deletes — the whole point of date partitioning
+    * is that retention never reads data), and audit what remains. The
+    * audit re-reads the vacuumed table, so the oracle (pure date
+    * arithmetic over the source) also proves the deletes removed
+    * exactly the expired partitions and nothing else.
+    */
+  private val vacuumRunId = new java.util.concurrent.atomic.AtomicInteger
+  private val vacuumRetention = Op(
+    "etl_vacuum_retention",
+    (s, sf) => {
+      val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_vacuum/" +
+        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${vacuumRunId.incrementAndGet()}"
+      Tables.rmTree(new java.io.File(dir))
+      val ev = Tables.events(s, sf)
+      ev.withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").parquet(dir)
+      val maxDay = ev.agg(max(to_date(col("ts"))).as("d")).collect()(0).getDate(0)
+      val cutoff = maxDay.toLocalDate.minusDays(20)
+      val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      val nBefore = parts.length
+      val expired = parts.filter(f =>
+        java.time.LocalDate.parse(f.getName.stripPrefix("event_date=")).isBefore(cutoff))
+      expired.foreach(Tables.rmTree) // directory-level retention delete
+      val back = s.read.parquet(dir)
+      back.agg(
+          countDistinct(col("event_date")).as("n_retained"),
+          count(lit(1)).as("n_rows_retained"),
+          min(col("event_date")).cast("date").as("min_retained_date"))
+        .select(
+          lit(nBefore.toLong).as("n_partitions_before"),
+          lit(expired.length.toLong).as("n_vacuumed"),
+          col("n_retained"), col("n_rows_retained"), col("min_retained_date"))
+    },
+    Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day FROM events), horizon AS (SELECT MAX(day) - INTERVAL 20 DAY AS cutoff FROM d) SELECT (SELECT COUNT(DISTINCT day) FROM d) AS n_partitions_before, CAST((SELECT COUNT(DISTINCT day) FROM d, horizon WHERE day < cutoff) AS BIGINT) AS n_vacuumed, (SELECT COUNT(DISTINCT day) FROM d, horizon WHERE day >= cutoff) AS n_retained, (SELECT COUNT(*) FROM d, horizon WHERE day >= cutoff) AS n_rows_retained, (SELECT MIN(day) FROM d, horizon WHERE day >= cutoff) AS min_retained_date"""),
+  )
+
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
     snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint,
-    partitionSkewAudit, cdcNetChanges)
+    partitionSkewAudit, cdcNetChanges, vacuumRetention)
 }

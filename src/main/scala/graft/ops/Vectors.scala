@@ -1388,9 +1388,36 @@ object Vectors extends OpGroup {
     Some("""WITH v AS (SELECT list_bool_or(list_transform(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e38)) AS bad, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm0 FROM embeddings), w AS (SELECT bad, CASE WHEN bad THEN NULL ELSE nrm0 END AS nrm, CASE WHEN bad THEN NULL ELSE ROUND(1e-9 + nrm0, 3) END AS nrm3 FROM v), cells AS (SELECT nrm3, COUNT(*) AS cnt FROM w WHERE NOT bad GROUP BY 1), rk AS (SELECT nrm3, SUM(cnt) OVER (ORDER BY nrm3 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS tot FROM cells), quart AS (SELECT (SELECT MIN(nrm3) FROM rk WHERE cum * 4 >= tot) AS p25, (SELECT MIN(nrm3) FROM rk WHERE cum * 2 >= tot) AS p50, (SELECT MIN(nrm3) FROM rk WHERE cum * 4 >= tot * 3) AS p75), agg AS (SELECT COUNT(*) AS n_vectors, CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite, CAST(SUM(CASE WHEN NOT bad AND nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm, ROUND(1e-9 + MIN(nrm), 6) AS min_norm, ROUND(1e-9 + MAX(nrm), 6) AS max_norm, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END), 6) AS mean_norm FROM w) SELECT agg.*, quart.* FROM agg, quart"""),
   )
 
+  /** EXACT-duplicate embeddings (r11) — the exact tier of the vector
+    * dedup ladder (cosine near-dup and SemDeDup are the approximate
+    * members; this one catches byte-identical re-encodings of repeated
+    * inputs, the most common corpus pathology). Each vector collapses
+    * to md5 over its 6-decimal canonical rendering (the
+    * etl_table_fingerprint discipline — fixed decimal strings dodge
+    * engine float-formatting skew), one hash-agg groups, min vec_id is
+    * canonical — the dedup_exact_hash semantics on the embeddings
+    * table, linear at any scale.
+    */
+  private val dupExact = Op(
+    "vec_dup_exact",
+    (s, sf) => {
+      val hashed = Tables.embeddings(s, sf)
+        .withColumn("vhash", md5(concat_ws(",", expr(
+          "transform(embedding, x -> cast(cast(round(x + 1e-9, 6) as decimal(18,6)) as string))"))))
+      val groups = hashed.groupBy("vhash")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("canonical_vec_id"))
+      hashed.join(groups, "vhash")
+        .select(col("vec_id"), col("vhash"), col("n_members"),
+          col("canonical_vec_id"),
+          (col("n_members") > 1 && col("vec_id") =!= col("canonical_vec_id")).as("is_dup"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH h AS (SELECT vec_id, md5(array_to_string(list_transform(embedding, x -> CAST(CAST(ROUND(1e-9 + x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',')) AS vhash FROM embeddings), g AS (SELECT vhash, COUNT(*) AS n_members, MIN(vec_id) AS canonical_vec_id FROM h GROUP BY 1) SELECT h.vec_id, h.vhash, g.n_members, g.canonical_vec_id, g.n_members > 1 AND h.vec_id <> g.canonical_vec_id AS is_dup FROM h JOIN g ON g.vhash = h.vhash ORDER BY h.vec_id"""),
+  )
+
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
     pqIndexReload, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
-    recallSignVsExact, normAudit)
+    recallSignVsExact, normAudit, dupExact)
 }
