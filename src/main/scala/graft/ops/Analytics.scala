@@ -1135,11 +1135,41 @@ object Analytics extends OpGroup {
     Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y, SUM(CAST(value AS DECIMAL(18,6))) AS ydec FROM events GROUP BY 1, 2), t AS (SELECT event_type, day, y, CASE WHEN COUNT(*) OVER w7 = 7 THEN CAST(SUM(ydec) OVER w7 AS DOUBLE) / 7 ELSE NULL END AS trend, dayofweek(day) + 1 AS dow FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), se AS (SELECT event_type, dow, ROUND(1e-9 + CAST(SUM(CAST(ROUND(1e-9 + y - trend, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS seasonal FROM t WHERE trend IS NOT NULL GROUP BY 1, 2), rs AS (SELECT t.event_type, t.day, t.y, ROUND(1e-9 + t.y - t.trend - se.seasonal, 6) AS residual FROM t JOIN se ON se.event_type = t.event_type AND se.dow = t.dow WHERE t.trend IS NOT NULL), sg AS (SELECT event_type AS et, COUNT(*) AS nr, CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu, sqrt(CAST(SUM(CAST(ROUND(1e-9 + residual * residual, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) - (CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * (CAST(SUM(CAST(residual AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS sd FROM rs GROUP BY 1) SELECT rs.event_type, rs.day, rs.y AS daily_value, rs.residual, ROUND(1e-9 + (rs.residual - sg.mu) / sg.sd, 6) AS z FROM rs JOIN sg ON sg.et = rs.event_type WHERE abs(ROUND(1e-9 + (rs.residual - sg.mu) / sg.sd, 6)) > 2.0 ORDER BY rs.event_type, rs.day"""),
   )
 
+  /** TIME-DECAYED engagement score (r11) — the recency-weighted user
+    * score every ranking/retention system keeps: Σ over the user's
+    * events of 2^(−Δdays/7) (7-day half-life), horizon = the corpus's
+    * last day. One linear pass: the decay term is a per-row scalar
+    * (r6'd then decimal-summed — order-free), the horizon folds in as
+    * a 1-row broadcast, and the result is one hash-agg per user. At
+    * refresh time the score recomputes incrementally: yesterday's
+    * score × the one-day decay constant + today's events — which is
+    * WHY the exponential kernel is the production choice (no other
+    * kernel composes that way); the oracle checks the full-recompute
+    * form.
+    */
+  private val decayScore = Op(
+    "analytics_decay_score",
+    (s, sf) => {
+      import graft.ops.parity.r6
+      val ev = Tables.events(s, sf)
+      val horizon = ev.agg(max(to_date(col("ts"))).as("h"))
+      ev.crossJoin(broadcast(horizon))
+        .withColumn("dd", datediff(col("h"), to_date(col("ts"))))
+        .withColumn("term", expr(
+          "cast(round(exp(-ln(2) / 7 * dd) + 1e-9, 6) as decimal(18,6))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          r6(sum(col("term")).cast("double")).as("decay_score"))
+        .orderBy("user_id")
+    },
+    Some("""WITH h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events) SELECT user_id, COUNT(*) AS n_events, ROUND(1e-9 + CAST(SUM(CAST(ROUND(exp(-ln(2) / 7 * date_diff('day', CAST(ts AS DATE), hd)) + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS decay_score FROM events, h GROUP BY user_id ORDER BY user_id"""),
+  )
+
   val ops: Seq[Op] = Seq(funnelStages, gapfillDaily, retentionCohort,
     anomalyZscore, markovTransitions, userOverlapWeeks, resampleInterpolate,
     periodOverPeriod, sessionPaths, rfmSegments, ewmaSmooth, basketAffinity,
     attributionTouch, activeUsersRolling, seasonalDecompose, autocorrLags,
     newVsReturning, theilsenSlope, crosscorrLeadlag, cohortLtv, stickiness,
     survivalKm, holtLinear, smaCrossover, powerLawFit, pacfDurbin,
-    intereventGaps, seasonalAnomaly)
+    intereventGaps, seasonalAnomaly, decayScore)
 }

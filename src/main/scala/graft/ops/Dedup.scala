@@ -878,8 +878,56 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS base_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.base_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.base_doc_id) SELECT batch_doc_id, base_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, base_doc_id"""),
   )
 
+  /** SHINGLE-set MinHash LSH (r11) — the ORDER-SENSITIVE member of the
+    * near-dup family: the token-set ops (dedup_minhash_lsh,
+    * sim_jaccard_pairs) are bag-of-words and score a word-order
+    * scramble as a perfect duplicate; 3-word shingles (Broder's
+    * original w-shingling) make locality part of the set, so only
+    * documents sharing actual PHRASING collide. 12 MinHash rows → 4
+    * bands of 3 → band-bucket candidates → exact shingle-Jaccard ≥ 0.8
+    * verify via a hash-join on the shingle relation (no bitmasks — the
+    * shingle universe is corpus-sized, so the verify joins candidates'
+    * exploded shingles instead, Σ overlap work per candidate).
+    */
+  private val shingleMinhash = Op(
+    "dedup_shingle_minhash",
+    (s, sf) => {
+      val K = 12; val R = 3; val B = K / R
+      val sh = Tables.spread(s, Tables.documents(s, sf))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(ws) - 3), j -> concat(element_at(ws, j + 1), ' ', element_at(ws, j + 2), ' ', element_at(ws, j + 3))))")).as("sh"))
+      val sigCols = (0 until K).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"s$i"))
+      val bands = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until B).map(b =>
+            md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*))): _*))
+            .as(Seq("band_idx", "bkey")))
+      val cand = bands.select(col("doc_id").as("a_doc_id"), col("band_idx"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b_doc_id"), col("band_idx"), col("bkey")),
+          Seq("band_idx", "bkey"))
+        .filter(col("a_doc_id") < col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id").distinct()
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a_doc_id"), col("sh")), "a_doc_id")
+        .join(sh.select(col("doc_id").as("b_doc_id"), col("sh")), Seq("b_doc_id", "sh"))
+        .groupBy("a_doc_id", "b_doc_id").agg(count(lit(1)).as("i"))
+      inter
+        .join(n.select(col("doc_id").as("a_doc_id"), col("n").as("a_n")), "a_doc_id")
+        .join(n.select(col("doc_id").as("b_doc_id"), col("n").as("b_n")), "b_doc_id")
+        .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.8)
+        .select(col("a_doc_id"), col("b_doc_id"), col("i").as("n_shared_shingles"),
+          r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))).as("jaccard"))
+        .orderBy("a_doc_id", "b_doc_id")
+    },
+    Some("""WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d, unnest(generate_series(1, len(ws) - 2)) t(i) WHERE len(ws) >= 3) z), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || sh)) AS sig FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS band) b GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 3 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 3), cand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), nn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), iv AS (SELECT c.a_doc_id, c.b_doc_id, COUNT(*) AS i FROM cand c JOIN sh sa ON sa.doc_id = c.a_doc_id JOIN sh sb ON sb.doc_id = c.b_doc_id AND sb.sh = sa.sh GROUP BY 1, 2) SELECT iv.a_doc_id, iv.b_doc_id, iv.i AS n_shared_shingles, ROUND(1e-9 + CAST(iv.i AS DOUBLE) / (na.n + nb.n - iv.i), 6) AS jaccard FROM iv JOIN nn na ON na.doc_id = iv.a_doc_id JOIN nn nb ON nb.doc_id = iv.b_doc_id WHERE CAST(iv.i AS DOUBLE) / (na.n + nb.n - iv.i) >= 0.8 ORDER BY a_doc_id, b_doc_id"""),
+  )
+
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
     ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
-    bloomPrefilter, minhashIndexReload)
+    bloomPrefilter, minhashIndexReload, shingleMinhash)
 }

@@ -887,9 +887,37 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT l_returnflag, COUNT(*) AS n_all, COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS rev_finished, CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_quantity >= 30), 0) AS DOUBLE) AS qty_bulk FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
   )
 
+  /** NAMED PARAMETER MARKERS (r11) — `spark.sql(text, args)` with
+    * `:name` placeholders, the SQL-injection-safe templating surface a
+    * service layer uses instead of string interpolation (parameters
+    * bind as typed literals in the ANALYZED plan — they constant-fold
+    * and push down exactly like hand-written literals, which the
+    * pushed filter on p_size witnesses). Oracle = the same statement
+    * with the values spelled inline.
+    */
+  private val namedParameters = Op(
+    "sql_named_parameters",
+    (s, sf) => {
+      withViews(s, sf, "part")
+      s.sql(
+        """
+        SELECT p_brand,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+               MAX(p_size) AS max_size
+        FROM part
+        WHERE p_size >= :minSize AND p_retailprice < :maxPrice
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+        Map("minSize" -> 25, "maxPrice" -> 1500.0))
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price, MAX(p_size) AS max_size FROM part WHERE p_size >= 25 AND p_retailprice < 1500.0 GROUP BY p_brand ORDER BY p_brand"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
-    unpivotClause, groupingId, filterClause)
+    unpivotClause, groupingId, filterClause, namedParameters)
 }

@@ -72,6 +72,8 @@ class Sf1WitnessSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     "dedup_paragraph",       // r10b: hash-partitioned first-occurrence, linear in paragraphs
     "dedup_bloom_prefilter", // r10d: bloom probe + verify join, linear in paragraphs
     "graph_adamic_adar",     // r10c: same wedge shape as neighbor_jaccard
+    "dedup_minhash_index_reload", // r11: persisted-index probe, Σ bucket² (build lands in the warm pass)
+    "graph_2hop_reach",      // r11: wedge join + distinct, Σ deg²
   )
 
   for (key <- tenXKeys) test(s"$key stays sub-quadratic across the 10x sf0.1 -> sf1 step") {
