@@ -87,6 +87,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sql_named_parameters binds as pushdown-able literals (both filters reach the scan)") {
+    // The surface's value claim: a :name parameter is a typed literal in
+    // the analyzed plan, so it constant-folds and pushes down exactly
+    // like hand-written SQL — no dynamic-filter penalty for templating.
+    // explainString(FormattedMode) — the node toString truncates the
+    // PushedFilters list at 100 chars, hiding the second filter.
+    val plan = SparkEntry.queries("sql_named_parameters")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("GreaterThanOrEqual(p_size,25)"),
+      s"p_size parameter filter not pushed to the scan:\n$plan")
+    assert(plan.contains("LessThan(p_retailprice,1500.0)"),
+      s"p_retailprice parameter filter not pushed to the scan:\n$plan")
+  }
+
+  test("dedup_minhash_index_reload serves from the persisted index with no forced broadcast") {
+    val q = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
+    val analyzed = q.queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"index probe carries a static broadcast hint:\n$analyzed")
+    // The serve path must READ the fingerprint-keyed artifacts, not
+    // recompute the base corpus: the executed plan scans graft_lsh_index
+    // parquet for bands, masks, and the dictionary.
+    val plan = finalPlan(q)
+    assert(plan.contains("graft_lsh_index"),
+      s"probe plan does not scan the persisted index:\n$plan")
+  }
+
   test("agg_weighted_median sorts only the median bucket, not the price-NDV relation") {
     val df = SparkEntry.queries("agg_weighted_median")(spark, sf)
     val plan = finalPlan(df)
