@@ -741,10 +741,43 @@ object Aggs extends OpGroup {
     Some("""SELECT o_orderstatus, string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities, COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
   )
 
+  /** The `Observation` side-metrics API (r11) — data-quality counters
+    * that RIDE an existing query instead of costing a second scan: the
+    * op runs a normal per-flag aggregate and observes three global
+    * audit metrics (row count, tax-free count, exact quantity mass) in
+    * the SAME pass; the observed map then materializes as the 1-row
+    * audit record a pipeline writes next to its output. At 100 TB this
+    * is the difference between auditing for free and re-reading the
+    * table. Oracle = the same three aggregates stated directly; the
+    * main aggregate's rows>0 is asserted in-op (the observation only
+    * fires when the host query actually ran).
+    */
+  private val observeMetrics = Op(
+    "agg_observe_metrics",
+    (s, sf) => {
+      val obs = org.apache.spark.sql.Observation()
+      val host = Tables.lineitem(s, sf)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum((col("l_tax") === 0).cast("long")).as("n_taxfree"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      require(host.count() > 0, "host aggregate returned no rows")
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("n_taxfree").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double]))
+        .toDF("n_rows", "n_taxfree", "sum_qty")
+        .select(col("n_rows"), col("n_taxfree"), r6(col("sum_qty")).as("sum_qty"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows, CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree, ROUND(1e-9 + CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty FROM lineitem"""),
+  )
+
   val ops: Seq[Op] = Seq(groupSummary, entityCounts, countDistinctOp, rollupOp,
     cubeOp, groupingSetsExplicit, approxHll, collectSortedList, pivotMatrix,
     percentileExact, approxQuantile, saltedTwoPhase, unpivotStack, corrPairs,
     modePerGroup, histogramEquiwidth, paretoCumShare, linregTrend, iqrOutliers,
     benfordDigits, giniCoefficient, weightedMedian, pythagoreanMeans,
-    minmaxBy, theilIndex, listaggOrdered)
+    minmaxBy, theilIndex, listaggOrdered, observeMetrics)
 }
