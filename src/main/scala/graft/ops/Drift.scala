@@ -1186,10 +1186,38 @@ object Drift extends OpGroup {
     Some("""WITH cells AS (SELECT value AS x, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1), rk AS (SELECT np, COALESCE(CAST(SUM(np + nn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + (np + nn + 1) / 2.0 AS midrank FROM cells), a AS (SELECT CAST((SELECT SUM(np) FROM cells) AS BIGINT) AS n_pos, CAST((SELECT SUM(nn) FROM cells) AS BIGINT) AS n_neg, CAST(SUM(CAST(ROUND(1e-9 + np * midrank, 6) AS DECIMAL(38,6))) AS DOUBLE) AS r_pos FROM rk) SELECT n_pos, n_neg, ROUND(1e-9 + (r_pos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc FROM a"""),
   )
 
+  /** CALIBRATION CURVE (r11) — [[aucRoc]]'s companion: AUC measures
+    * whether the score RANKS positives above negatives; calibration
+    * measures whether the score's VALUE means what it says (a model
+    * can discriminate perfectly and still be useless as a
+    * probability). Ten fixed-width score bins over the observed range
+    * (the max folds in as a 1-row broadcast — no rank window over fact
+    * rows, unlike the tempting ntile formulation), per bin the
+    * positive rate vs the mean score — one linear pass.
+    */
+  private val calibrationBins = Op(
+    "stats_calibration_bins",
+    (s, sf) => {
+      val ev = Tables.events(s, sf)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      val mx = ev.agg(max(col("value")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("bin", least(floor(col("value") / (col("mx") / 10)), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum("pos").as("n_pos"),
+          r6(sum("pos").cast("double") / count(lit(1))).as("pos_rate"),
+          r6(sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean_score"))
+        .orderBy("bin")
+    },
+    Some("""WITH ev AS (SELECT value, CAST(event_type = 'purchase' AS BIGINT) AS pos FROM events WHERE event_type IN ('purchase', 'click')), m AS (SELECT MAX(value) AS mx FROM ev) SELECT CAST(LEAST(floor(value / (mx / 10)), 9) AS INT) AS bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos, ROUND(1e-9 + CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_score FROM ev, m GROUP BY 1 ORDER BY bin"""),
+  )
+
   override def ops: Seq[Op] = Seq(ksDrift, psiDrift, chisq, mannWhitney,
     entropyDaily, welchTtest, bootstrapCi, madOutliers, skewKurtosis,
     dailyPercentiles, anovaOneway, cohensD, cramersV, jsDivergence,
     spearmanRank, runsTest, gTest, bhFdr, kendallTau, jarqueBera,
     poissonDispersion, ljungBox, captureRecapture, propZtest,
-    hashUniformity, kruskalWallis, brownForsythe, aucRoc)
+    hashUniformity, kruskalWallis, brownForsythe, aucRoc, calibrationBins)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, OpGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's WRITE path as one composite dataflow
@@ -344,26 +345,58 @@ object EtlLoad extends OpGroup {
     * the accumulator holds to ~1e29 rows, and the reported value always
     * fits BIGINT (the output-type rulebook bans DECIMAL columns).
     */
+  /** The canonical per-row rendering + 28-bit hash shared by the whole-
+    * table and per-partition fingerprints (one definition so the
+    * composition law is by construction, not by convention).
+    */
+  private def lineitemHashed(s: SparkSession, sf: String): DataFrame = {
+    import parity.Dec
+    val canon = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast(Dec).cast("string"),
+      col("l_extendedprice").cast(Dec).cast("string"),
+      col("l_discount").cast(Dec).cast("string"),
+      col("l_tax").cast(Dec).cast("string"),
+      col("l_returnflag"), col("l_linestatus"),
+      to_date(col("l_shipdate")).cast("string"))
+    Tables.lineitem(s, sf)
+      .select(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+        conv(substring(md5(canon), 1, 7), 16, 10).cast("long").as("h"))
+  }
+
   private val tableFingerprint = Op(
     "etl_table_fingerprint",
     (s, sf) => {
-      import parity.Dec
-      val canon = concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity").cast(Dec).cast("string"),
-        col("l_extendedprice").cast(Dec).cast("string"),
-        col("l_discount").cast(Dec).cast("string"),
-        col("l_tax").cast(Dec).cast("string"),
-        col("l_returnflag"), col("l_linestatus"),
-        to_date(col("l_shipdate")).cast("string"))
-      Tables.lineitem(s, sf)
-        .select(conv(substring(md5(canon), 1, 7), 16, 10).cast("long").as("h"))
+      lineitemHashed(s, sf)
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             % lit(4611686018427387904L)).cast("long").as("hash_sum"),
           min("h").as("hash_min"), max("h").as("hash_max"))
     },
     Some("""WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT COUNT(*) AS n_rows, CAST(SUM(CAST(h AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h"""),
+  )
+
+  /** PER-PARTITION fingerprint composition (r11) — the subset form of
+    * [[tableFingerprint]]'s composability claim, executed: each
+    * ship-month partition reports its own (n_rows, mod-2^62 hash sum,
+    * min, max) from the SAME canonical rendering, so replica
+    * reconciliation can localize a mismatch to the partition instead of
+    * re-checking 100 TB ((Σ partition sums) mod m = table sum —
+    * FingerprintComposeSpec asserts the law against the whole-table
+    * op's output). One linear hash-agg keyed by the partition column.
+    */
+  private val fingerprintByPartition = Op(
+    "etl_fingerprint_by_partition",
+    (s, sf) => {
+      lineitemHashed(s, sf)
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(4611686018427387904L)).cast("long").as("hash_sum"),
+          min("h").as("hash_min"), max("h").as("hash_max"))
+        .orderBy("ship_month")
+    },
+    Some("""WITH h AS (SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month, CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))), 1, 7)) AS BIGINT) AS h FROM lineitem) SELECT ship_month, COUNT(*) AS n_rows, CAST(SUM(CAST(h AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS hash_sum, MIN(h) AS hash_min, MAX(h) AS hash_max FROM h GROUP BY 1 ORDER BY ship_month"""),
   )
 
   /** Partition-skew audit (r10c): would `orders` partitioned by
@@ -488,5 +521,5 @@ object EtlLoad extends OpGroup {
 
   val ops: Seq[Op] = Seq(dedupLoad, incrementalMerge, scd2Build, dqChecks,
     snapshotDiff, scd2PointInTime, fkIntegrity, dateDim, tableFingerprint,
-    partitionSkewAudit, cdcNetChanges, vacuumRetention)
+    partitionSkewAudit, cdcNetChanges, vacuumRetention, fingerprintByPartition)
 }
