@@ -355,7 +355,42 @@ object Sampling extends OpGroup {
     Some("""WITH sized AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok FROM documents), ranked AS (SELECT doc_id, n_tok, ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rk FROM sized), assigned AS (SELECT n_tok, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS shard FROM ranked), shards AS (SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM assigned GROUP BY 1) SELECT shard, n_docs, total_tokens, ROUND(1e-9 + total_tokens / AVG(total_tokens) OVER (), 6) AS mass_ratio FROM shards ORDER BY shard"""),
   )
 
+  /** SPLIT-LEAKAGE audit (r11) — the check a training pipeline runs ON
+    * ITS OWN SPLITTER: `sample_hash_split` buckets by doc_id, so two
+    * docs with IDENTICAL content (different ids) can land in train AND
+    * test — exact-content leakage that inflates eval. Entities are the
+    * canonical content hashes (the dedup_exact canon); an entity whose
+    * split set has size > 1 leaks. Per split: doc count, entity count,
+    * and how many of its entities/docs are leaked. Distinct from
+    * text_contamination_check (benchmark 8-gram overlap): this audits
+    * the SPLIT, not the corpus. Two hash-aggs on the content key —
+    * linear at any scale.
+    */
+  private val splitLeakage = Op(
+    "sample_split_leakage",
+    (s, sf) => {
+      val docs = Tables.documents(s, sf)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(split(lower(col("text")), " ")))).as("canon_hash"))
+        .withColumn("bucket", pmod(hash28(col("doc_id")), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+      val entSplits = docs.groupBy("canon_hash")
+        .agg(countDistinct(col("split")).as("ns"))
+      docs.join(entSplits, "canon_hash")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon_hash")).as("n_entities"),
+          countDistinct(when(col("ns") > 1, col("canon_hash"))).as("n_leaked_entities"),
+          sum((col("ns") > 1).cast("long")).as("n_leaked_docs"))
+        .orderBy("split")
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS canon_hash, CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 80 THEN 'train' WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents), ent AS (SELECT canon_hash, COUNT(DISTINCT split) AS ns FROM docs GROUP BY 1) SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT d.canon_hash) AS n_entities, COUNT(DISTINCT CASE WHEN ns > 1 THEN d.canon_hash END) AS n_leaked_entities, CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs FROM docs d JOIN ent ON ent.canon_hash = d.canon_hash GROUP BY split ORDER BY split"""),
+  )
+
   val ops: Seq[Op] = Seq(hashSplit, stratified, packSequences, columnProfile,
     curationPipeline, weightedHash, temperatureMixture, balancedClasses,
-    chunkOverlap, shardBalance)
+    chunkOverlap, shardBalance, splitLeakage)
 }
