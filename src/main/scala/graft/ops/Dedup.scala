@@ -257,7 +257,10 @@ object Dedup extends OpGroup {
       .withColumn("mask", maskExpr)
     // Probe = each doc's (n−α+1)-token PREFIX only (rarest-first order);
     // build = the full positional token index. The probe relation is
-    // O(docs·(1−t)·n̄) — broadcast it, stream the index.
+    // O(docs·(1−t)·n̄) — smaller than the index but still corpus-LINEAR,
+    // so it carries no broadcast hint (r11 verdict): the join is a plain
+    // equi-join on the token key that shuffles fine, and the cost model
+    // elects broadcast on its own while the probe is measured-small.
     val probe = docs.select(col("doc_id").as("a_doc_id"), col("n").as("a_n"),
       col("alpha"), col("mask").as("a_mask"),
       explode(expr("slice(rs, 1, n - alpha + 1)")).as("r"))
@@ -271,7 +274,7 @@ object Dedup extends OpGroup {
     val roleOrder = col("a_n") < col("b_n") ||
       (col("a_n") === col("b_n") && col("a_doc_id") < col("b_doc_id"))
     val positional = col("b_pos") <= col("b_n") - col("alpha")
-    broadcast(probe).join(build, Seq("r"))
+    probe.join(build, Seq("r"))
       .filter(roleOrder && positional && firstCommon === col("r"))
       .withColumn("i", interCol)
       .filter(col("i").cast("double") / col("a_n") >= t)

@@ -492,9 +492,14 @@ object EtlLoad extends OpGroup {
   private val vacuumRetention = Op(
     "etl_vacuum_retention",
     (s, sf) => {
-      val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_vacuum/" +
-        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}/${vacuumRunId.incrementAndGet()}"
-      Tables.rmTree(new java.io.File(dir))
+      val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_vacuum/" +
+        sf.replaceAll("[^a-zA-Z0-9.]", "_")
+      // Pre-clean ALL prior runIds at this sf (invocations are
+      // sequential within a harness), not just the one about to be
+      // used — otherwise bench (min-of-2) + verify + test runs
+      // accumulate full partitioned copies of events in /tmp.
+      Tables.rmTree(new java.io.File(base))
+      val dir = s"$base/${vacuumRunId.incrementAndGet()}"
       val ev = Tables.events(s, sf)
       ev.withColumn("event_date", to_date(col("ts")))
         .write.partitionBy("event_date").parquet(dir)

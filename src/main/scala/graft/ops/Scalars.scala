@@ -290,7 +290,10 @@ object Scalars extends OpGroup {
       import graft.ops.parity.{dec, r6}
       def wdays(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
         val m = datediff(d, to_date(lit("1970-01-05")))
-        lit(5) * (m / 7).cast("long") + least(pmod(m, lit(7)) + 1, lit(5))
+        // floor + pmod (not truncate + sign-following %) so the closed
+        // form is engine-identical for pre-epoch dates too — the oracle
+        // mirrors with // (floor) and ((m % 7) + 7) % 7.
+        lit(5) * floor(m.cast("double") / 7).cast("long") + least(pmod(m, lit(7)) + 1, lit(5))
       }
       Tables.lineitem(s, sf)
         .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
@@ -304,7 +307,7 @@ object Scalars extends OpGroup {
           min(col("bdays")).as("min_business_days"))
         .orderBy("o_orderpriority")
     },
-    Some("""WITH x AS (SELECT o_orderpriority, (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7) + LEAST(date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7 + 1, 5)) - (5 * (date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7) + LEAST(date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7 + 1, 5)) AS bdays FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(1e-9 + CAST(SUM(CAST(bdays AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_business_days, CAST(MAX(bdays) AS BIGINT) AS max_business_days, CAST(MIN(bdays) AS BIGINT) AS min_business_days FROM x GROUP BY 1 ORDER BY o_orderpriority"""),
+    Some("""WITH x AS (SELECT o_orderpriority, (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7) + 7) % 7 + 1, 5)) - (5 * (date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7) + 7) % 7 + 1, 5)) AS bdays FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(1e-9 + CAST(SUM(CAST(bdays AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_business_days, CAST(MAX(bdays) AS BIGINT) AS max_business_days, CAST(MIN(bdays) AS BIGINT) AS min_business_days FROM x GROUP BY 1 ORDER BY o_orderpriority"""),
   )
 
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,

@@ -559,11 +559,19 @@ object Scans extends OpGroup {
         sf.replaceAll("[^a-zA-Z0-9.]", "_"),
         graft.Tables.fingerprint(sf, "documents")) + "/documents"
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        // concat_ws silently DROPS null fields, which would shift the
+        // rendered row and miscount it as quarantined (lang IS NULL
+        // flag) instead of failing loudly — so a null lang/n_chars in
+        // the fixture raises here, pinning the corruption count to the
+        // deliberate doc_id % 13 rule and nothing else.
         Tables.documents(s, sf)
           .select(concat_ws(",", col("doc_id"), md5(col("text")),
             col("lang"), col("n_chars")).as("full"), col("doc_id"),
-            concat_ws(",", col("doc_id"), md5(col("text"))).as("cut"))
-          .select(when(pmod(col("doc_id"), lit(13)) === 0, col("cut"))
+            concat_ws(",", col("doc_id"), md5(col("text"))).as("cut"),
+            col("lang"), col("n_chars"))
+          .select(when(col("lang").isNull || col("n_chars").isNull,
+              raise_error(lit("src_csv_corrupt_quarantine: NULL lang/n_chars in documents — concat_ws staging would drop the field")))
+            .when(pmod(col("doc_id"), lit(13)) === 0, col("cut"))
             .otherwise(col("full")).as("value"))
           .coalesce(1).write.mode("overwrite").text(dir)
       }

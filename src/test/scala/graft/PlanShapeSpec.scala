@@ -69,21 +69,22 @@ class PlanShapeSpec extends SparkSpec {
       s"text_bigram_novelty carries a broadcast hint:\n$analyzed")
   }
 
-  test("sim_jaccard_pairs / sim_containment_pairs never force-broadcast the vocabulary") {
-    // The tokenMasks dictionary (distinct words → bit) and the ranked
-    // rarest-first vocab are corpus-vocabulary-sized — unbounded at
-    // 100 TB — so neither may carry a static hint (r10 verdict, What's
-    // wrong #2). sim_containment_pairs keeps exactly one legitimate
-    // hint: the prefix PROBE relation, which is O(docs·(1−t)·n̄) by
-    // construction and carries the `alpha` column; any hint on a
-    // relation WITHOUT alpha is a vocabulary broadcast regression.
+  test("sim_jaccard_pairs / sim_containment_pairs plan no static broadcast hints at all") {
+    // The tokenMasks dictionary, the ranked rarest-first vocab, AND the
+    // prefix-probe relation are all corpus-growing — the probe is
+    // O(docs·(1−t)·n̄), ~10% of the token relation, which is LINEAR in
+    // the corpus, not bounded (r11 verdict, What's wrong #1). A forced
+    // broadcast of any of them OOMs at 100 TB. No ResolvedHint is
+    // allowed anywhere in either plan; the cost model elects broadcast
+    // from measured statistics while relations are small, and that
+    // decision flips on its own at scale.
     for (key <- Seq("sim_jaccard_pairs", "sim_containment_pairs")) {
       val analyzed = SparkEntry.queries(key)(spark, sf).queryExecution.analyzed
       val hints = analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }
-      assert(hints.forall(_.child.output.exists(_.name == "alpha")),
-        s"$key carries a broadcast hint on a non-probe relation:\n$analyzed")
+      assert(hints.isEmpty,
+        s"$key carries a broadcast hint:\n$analyzed")
     }
   }
 

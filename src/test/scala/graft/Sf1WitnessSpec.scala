@@ -36,14 +36,41 @@ class Sf1WitnessSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     */
   private val ledger = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, Double)]
 
+  /** Anchor the ledger at the repo root (where build.sbt lives), not the
+    * CWD — a forked test JVM's working directory is not guaranteed. */
+  private def repoRoot: java.io.File = {
+    var d = new java.io.File(System.getProperty("user.dir")).getAbsoluteFile
+    while (d != null && !new java.io.File(d, "build.sbt").exists()) d = d.getParentFile
+    if (d == null) new java.io.File(".") else d
+  }
+
   override def afterAll(): Unit = {
     if (ledger.nonEmpty) {
-      new java.io.File("artifacts").mkdirs()
-      val rows = ledger.map { case (key, step, t01, t1) =>
-        f"""{"key":"$key","step":"$step","t_sf01_sec":$t01%.3f,"t_sf1_sec":$t1%.3f,"growth":${t1 / math.max(t01, 0.2)}%.2f}"""
-      }.mkString("[", ",", "]")
-      val w = new java.io.PrintWriter("artifacts/sf1_witness.json")
-      w.println(s"""{"note":"min-of-2 warm reps per tier; growth = t_sf1/max(t_sf01,0.2)","rows":$rows}""")
+      val file = new java.io.File(repoRoot, "artifacts/sf1_witness.json")
+      file.getParentFile.mkdirs()
+      // MERGE into the committed ledger by (key, step): a partial run
+      // (testOnly filter, canceled witnesses) must never silently
+      // replace rows it didn't measure.
+      val fresh = ledger.map { case (key, step, t01, t1) =>
+        (key, step) ->
+          f"""{"key":"$key","step":"$step","t_sf01_sec":$t01%.3f,"t_sf1_sec":$t1%.3f,"growth":${t1 / math.max(t01, 0.2)}%.2f}"""
+      }.toMap
+      val keyRe = """"key":"([^"]+)"""".r
+      val stepRe = """"step":"([^"]+)"""".r
+      val kept = if (file.exists()) {
+        val txt = scala.io.Source.fromFile(file)
+        val body = try txt.mkString finally txt.close()
+        """\{[^{}]*\}""".r.findAllIn(body).toSeq.filter(_.contains("\"key\"")).flatMap { obj =>
+          for {
+            k <- keyRe.findFirstMatchIn(obj).map(_.group(1))
+            st <- stepRe.findFirstMatchIn(obj).map(_.group(1))
+            if !fresh.contains((k, st))
+          } yield (k, st) -> obj
+        }
+      } else Seq.empty
+      val rows = (kept ++ fresh.toSeq).sortBy(_._1).map(_._2).mkString("[", ",", "]")
+      val w = new java.io.PrintWriter(file)
+      w.println(s"""{"note":"min-of-2 warm reps per tier; growth = t_sf1/max(t_sf01,0.2); rows merged by (key,step) across runs","rows":$rows}""")
       w.close()
     }
     super.afterAll()
