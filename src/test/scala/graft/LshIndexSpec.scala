@@ -41,6 +41,20 @@ class LshIndexSpec extends SparkSpec {
     assert(r2 == r1, "warm-serve probe diverged from the first result")
   }
 
+  test("persisted-index probe prunes band directories (PartitionFilters on band_idx, r12)") {
+    // The bands relation is persisted partitionBy(band_idx); the probe
+    // joins per band, so each index scan must read exactly its own
+    // band directory — the src_partitioned_multifile discipline
+    // applied to the serve path (r11 verdict item 3).
+    SparkEntry.queries("dedup_minhash_index_reload")(spark, sf).count() // ensure artifacts
+    val plan = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    val bandPruned = pf.filter(l => l.contains("band_idx") && l.contains("="))
+    assert(bandPruned.size >= 4,
+      s"expected >=4 band-pruned index scans, got ${bandPruned.size}:\n${pf.mkString("\n")}")
+  }
+
   test("a regenerated base corpus invalidates the persisted LSH index (fingerprint key)") {
     // The cachedDir contract: the directory NAME carries the source
     // fingerprint, so a different fingerprint can never read these files.

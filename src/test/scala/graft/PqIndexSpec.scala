@@ -35,4 +35,17 @@ class PqIndexSpec extends SparkSpec {
       "cold reload re-entered the training loop")
     assert(r2 == r1, "cold-reload probe diverged from the warm result")
   }
+
+  test("reload probe scans the codes relation with cell-directory pruning (r12)") {
+    // The codes relation is the only corpus-scale artifact; it is
+    // persisted partitionBy(ccid), so the nprobe-pruned search must
+    // show up as PartitionFilters on the scan — reading ~nprobe/Kc of
+    // the index directories, not a full scan followed by a join filter.
+    SparkEntry.queries("vec_pq_index_reload")(spark, sf).count() // ensure artifacts exist
+    val plan = SparkEntry.queries("vec_pq_index_reload")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("ccid") && l.contains("dynamicpruning")),
+      s"codes scan carries no ccid partition pruning:\n${pf.mkString("\n")}\n$plan")
+  }
 }
