@@ -68,10 +68,52 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
-  test("merge table is deterministic across runs") {
+  test("merge table is deterministic across runs (memo cleared between them)") {
+    Bpe.bpeReset()
     val a = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
+    Bpe.bpeReset()
     val b = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
     assert(a == b)
+  }
+
+  test("text_bpe_apply agrees with the independent reference tokenizer per (doc, token)") {
+    val merges = referenceBpe(corpusVocab(), 8).map { case (l, r, _) => (l, r) }
+    // Reference: encode every doc word-by-word with the reference merge
+    // table, count tokens per doc, and number the emergent vocabulary
+    // in UTF-8 byte order (the op's documented id ordering).
+    val ref = scala.collection.mutable.Map.empty[(Long, String), Long]
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { row =>
+      val id = row.getLong(0)
+      row.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+        var syms = Bpe.initSyms(w)
+        merges.foreach { case (l, r) => syms = Bpe.mergePair(syms, l, r) }
+        syms.foreach(t => ref((id, t)) = ref.getOrElse((id, t), 0L) + 1L)
+      }
+    }
+    val ids = ref.keys.map(_._2).toSet.toSeq.sortWith(utf8Lt)
+      .zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val got = SparkEntry.queries("text_bpe_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got.size == ref.size,
+      s"row count: got ${got.size}, reference ${ref.size}")
+    ref.foreach { case (k, c) =>
+      assert(got(k) == ((ids(k._2), c)), s"mismatch at $k: got ${got(k)}, want (${ids(k._2)}, $c)")
+    }
+  }
+
+  test("text_bpe_apply encode(word) round-trips to the original word and never retrains warm") {
+    val merges = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    corpusVocab().keys.take(50).foreach { w =>
+      assert(Bpe.encodeWord(w, merges).mkString == w + Bpe.Eow,
+        s"encode round-trip broke for '$w'")
+    }
+    // Serve-many contract: a second apply answers from the memoized
+    // merge table — zero extra training-loop entries.
+    SparkEntry.queries("text_bpe_apply")(spark, sf).count(): Unit
+    val before = Bpe.trainCounter.get()
+    SparkEntry.queries("text_bpe_apply")(spark, sf).count(): Unit
+    assert(Bpe.trainCounter.get() == before, "warm apply re-entered the training loop")
   }
 
   test("mergePair is a greedy non-overlapping left scan") {
