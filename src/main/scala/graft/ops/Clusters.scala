@@ -677,6 +677,74 @@ object Clusters extends OpGroup {
     * never 0). Candidate set gated at ≥ 3 shared neighbors — the same
     * support floor the Jaccard key uses, keeping output O(strong pairs).
     */
+  /** HYBRID HUB-SALTED wedge enumeration (r12, the r11 verdict's item
+    * 6) — the EXACTNESS-PRESERVING skew mechanism for the Σ deg² wedge
+    * family: a power-law 100× graph concentrates the wedge work on hub
+    * centers (one task owns a celebrity's whole deg² fan-out under the
+    * plain self-join, because every adjacency row of center u hashes to
+    * the same partition). Split the symmetric adjacency by CENTER
+    * degree: low-degree centers take the plain equi-join on u; hub
+    * centers join on (u, salt) with the left side salted by hash(v) and
+    * the right side replicated across all `salts` buckets — each hub's
+    * deg² pairs spread over `salts` tasks at the cost of replicating
+    * only the HUB rows (degree > hubDeg, a vanishing fraction of a
+    * power-law edge list) `salts`×. Every unordered wedge (a, b, ctr)
+    * still appears exactly once (a wedge's center has one degree, so it
+    * lands in exactly one regime; in the hub regime the left row owns
+    * one salt and the right side matches it exactly once) — so the
+    * output is IDENTICAL to the plain plan, row for row, and the
+    * salted twin key shares graph_adamic_adar's DuckDB oracle
+    * unchanged. WedgeSkewSpec pins both halves: result equality and the
+    * bounded per-task row maximum on a synthetic star graph.
+    */
+  private[graft] def saltedWedges(sym: DataFrame, hubDeg: Int, salts: Int): DataFrame = {
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val symD = sym.join(deg.select(col("node").as("u"), col("deg").as("deg_ctr")), "u")
+    val low = symD.filter(col("deg_ctr") <= hubDeg)
+    val hub = symD.filter(col("deg_ctr") > hubDeg)
+    val wLow = low.as("s1").join(low.as("s2"),
+        col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
+      .select(col("s1.v").as("a"), col("s2.v").as("b"),
+        col("s1.u").as("ctr"), col("s1.deg_ctr").as("deg_ctr"))
+    val hubL = hub.withColumn("salt", pmod(hash(col("v")), lit(salts)))
+    val hubR = hub.withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    val wHub = hubL.as("s1").join(hubR.as("s2"),
+        col("s1.u") === col("s2.u") && col("s1.salt") === col("s2.salt") &&
+          col("s1.v") < col("s2.v"))
+      .select(col("s1.v").as("a"), col("s2.v").as("b"),
+        col("s1.u").as("ctr"), col("s1.deg_ctr").as("deg_ctr"))
+    wLow.union(wHub)
+  }
+
+  /** The salted TWIN of [[adamicAdar]] (documented twin-key form of the
+    * r11 verdict's item 6): same output, same oracle, skew-immune plan.
+    * hubDeg = 64 on the fixture exercises BOTH regimes (the co-purchase
+    * graph has centers above and below it); at a production power-law
+    * graph the threshold is set from the degree histogram so the
+    * replicated fraction stays small.
+    */
+  private val adamicAdarSalted = Op(
+    "graph_adamic_adar_salted",
+    (s, sf) => Tables.withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8")) {
+      import graft.ops.parity.{dec, r6}
+      val edges = copurchaseEdges(s, sf)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val out = saltedWedges(sym, hubDeg = 64, salts = 8)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"),
+          sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
+        .filter(col("shared") >= 3)
+        .select(col("a").as("u"), col("b").as("v"), col("shared"),
+          col("aa").cast("double").as("adamic_adar"))
+      val rdd = out.rdd
+      rdd.persist(); rdd.count(): Unit
+      val pinned = s.createDataFrame(rdd, out.schema)
+      pinned.orderBy("u", "v")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared, SUM(CAST(ROUND(1e-9 + 1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6))) AS aa FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v JOIN deg ON deg.node = s1.u GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT a AS u, b AS v, CAST(shared AS BIGINT) AS shared, CAST(aa AS DOUBLE) AS adamic_adar FROM w ORDER BY u, v"""),
+  )
+
   private val adamicAdar = Op(
     "graph_adamic_adar",
     (s, sf) => Tables.withConfs(s, Seq(
@@ -783,5 +851,5 @@ object Clusters extends OpGroup {
 
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
-    bfsHops, adamicAdar, itemCfCosine, twoHopReach)
+    bfsHops, adamicAdar, adamicAdarSalted, itemCfCosine, twoHopReach)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The hub-salted wedge mechanism (r12, the r11 verdict's item 6): the
+  * Σ deg² wedge family is fine on the fixture graph but a power-law
+  * 100× graph concentrates the work on hub centers — one task owns a
+  * celebrity's entire deg² fan-out under the plain self-join. The
+  * hybrid salted plan must (a) produce EXACTLY the same wedges, and
+  * (b) bound the per-task row maximum on a skewed graph.
+  */
+class WedgeSkewSpec extends SparkSpec {
+
+  /** Synthetic skewed graph: one hub (node 0) adjacent to 1..600 — a
+    * degree-600 star — plus a low-degree background (a ring over
+    * 1..200, degree 2 each before symmetrization). Symmetric edge
+    * list, the shape the wedge ops consume.
+    */
+  private def skewedSym = {
+    import spark.implicits._
+    val star = (1 to 600).map(i => (0L, i.toLong))
+    val ring = (1 to 200).map(i => (i.toLong, (if (i == 200) 1 else i + 1).toLong))
+    val e = (star ++ ring).toDF("u", "v")
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).repartition(8)
+  }
+
+  private def plainWedges(sym: org.apache.spark.sql.DataFrame) = {
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    sym.as("s1").join(sym.as("s2"),
+        col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
+      .select(col("s1.v").as("a"), col("s2.v").as("b"), col("s1.u").as("ctr"))
+      .join(deg.select(col("node").as("ctr"), col("deg").as("deg_ctr")), "ctr")
+      .select("a", "b", "ctr", "deg_ctr")
+  }
+
+  private def maxTaskRows(df: org.apache.spark.sql.DataFrame): Long =
+    df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+
+  test("salted wedges ≡ plain wedges, row for row, on the skewed graph") {
+    val sym = skewedSym.localCheckpoint()
+    val plain = plainWedges(sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val salted = ops.Clusters.saltedWedges(sym, hubDeg = 32, salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain,
+      s"salted plan changed the wedge multiset: ${salted.size} vs ${plain.size} distinct rows")
+    // The star alone contributes 600·599/2 ≈ 180k wedges — the skew is real.
+    assert(plain.values.sum > 150000, "fixture lost its hub — the spec is vacuous")
+  }
+
+  test("salting bounds the per-task wedge maximum on the hub (the 100 TB skew claim)") {
+    val sym = skewedSym.localCheckpoint()
+    // The 100 TB regime: the adjacency does NOT fit a broadcast, so the
+    // wedge join is a shuffle join partitioned by its equi-keys — that
+    // is where the hub's deg² fan-out lands in one task. AQE off so its
+    // skew-split doesn't mask the mechanism under test (at scale AQE
+    // helps AFTER the fact; the salted plan never creates the skewed
+    // partition in the first place).
+    val (maxPlain, maxSalted) = Tables.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")) {
+      // salts ≫ shuffle partitions: with only ~partition-count salt
+      // keys, two salts colliding into one reducer re-concentrates the
+      // hub (measured: salts=8 into 32 partitions gave 3.7 keys in the
+      // max bucket). Production sizes salts from deg_max/target-task
+      // rows, which is exactly this ≫ regime.
+      (maxTaskRows(plainWedges(sym)),
+        maxTaskRows(ops.Clusters.saltedWedges(sym, hubDeg = 32, salts = 64)))
+    }
+    // The hub's ~180k wedges sit in ONE task under the plain join and
+    // spread across 8 salt buckets under the salted one. Host hash
+    // imbalance keeps this from being exactly 8×; 3× is the loud-failure
+    // floor (a regression to unsalted shows 1×).
+    assert(maxSalted * 3 < maxPlain,
+      s"salting did not bound the hub task: maxSalted=$maxSalted maxPlain=$maxPlain")
+  }
+
+  test("graph_adamic_adar_salted equals graph_adamic_adar on the fixture (twin-key contract)") {
+    val a = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("graph_adamic_adar_salted")(spark, sf).collect().map(_.toSeq).toSet
+    assert(a == b, "salted twin diverged from the plain key")
+  }
+}
