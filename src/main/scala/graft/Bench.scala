@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
+  /** Shared bench environment: tmpfs scratch, the session, and the two
+    * warm passes — used by both the one-shot sweep ([[main]]) and the
+    * key-at-a-time [[BenchServer]] the interleaved paired ledger
+    * drives. Returns (session, sfDir, warm-failure count).
+    */
+  private[graft] def warmedSession(): (SparkSession, String, Int) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Temp files (streaming checkpoints, foreachBatch sink, csv snapshot)
@@ -51,6 +56,35 @@ object Bench {
         System.err.println(s"warmup($sfDir) FAILED $name: ${t.getClass.getSimpleName}")
       }
     }
+    (spark, sfDir, warmFails)
+  }
+
+  /** Min-of-2 timing of one key (crash = loud failure, never a time). */
+  private[graft] def timeKey(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    // Collect garbage OUTSIDE the timed region: with a 48g heap the
+    // warm passes leave enough floating garbage that a collection
+    // otherwise lands inside a random timed query (observed as 5x
+    // one-off spikes on otherwise-steady queries).
+    def rep(): (Double, Option[String]) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val (t1, e1) = rep()
+    if (e1.isDefined) (t1, e1) // crashed: no second rep, loud-fail
+    else {
+      val (t2, e2) = rep()
+      // A second-rep crash after a clean first rep is flakiness, not
+      // throughput — surface it as a failure, never average it away.
+      if (e2.isDefined) (t1, e2) else (math.min(t1, t2), None)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir, warmFails) = warmedSession()
     // A crashed query is NOT a timing: record its error class instead of
     // letting time-to-crash masquerade as throughput (r8 benched 48
     // analysis-crashing queries at fail-fast cost and nothing in the
@@ -69,27 +103,8 @@ object Bench {
     // the session is the production shape, not residue.)
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        // Collect garbage OUTSIDE the timed region: with a 48g heap the
-        // warm passes leave enough floating garbage that a collection
-        // otherwise lands inside a random timed query (observed as 5x
-        // one-off spikes on otherwise-steady queries).
-        def rep(): (Double, Option[String]) = {
-          System.gc()
-          val t0 = System.nanoTime()
-          val err = try { fn(spark, sfDir).count(); None }
-                    catch { case t: Throwable => Some(t.getClass.getSimpleName) }
-          ((System.nanoTime() - t0) / 1e9, err)
-        }
-        val (t1, e1) = rep()
-        if (e1.isDefined) (name, t1, e1) // crashed: no second rep, loud-fail as before
-        else {
-          val (t2, e2) = rep()
-          // A second-rep crash after a clean first rep is flakiness, not
-          // throughput — surface it as a failure (the loud-fail rule),
-          // never average it away.
-          if (e2.isDefined) (name, t1, e2)
-          else (name, math.min(t1, t2), None)
-        }
+        val (t, e) = timeKey(spark, sfDir, fn)
+        (name, t, e)
       }
     val failed = results.collect { case (name, _, Some(e)) => name -> e }
     // Driver capture is a bounded TAIL of stdout: one giant line loses its

@@ -1,0 +1,67 @@
+package graft
+
+/** The MemCatalog v2 row-level-operation contract (r12, the r11
+  * verdict's item 8): MERGE INTO is oracled end-to-end by
+  * `sql_merge_into`; this spec pins the catalog surfaces the oracle
+  * can't see — append/overwrite writes, the UPDATE and DELETE SQL
+  * doors (the other two RewriteRowLevelCommand paths through the same
+  * ReplaceData machinery), and that the merge's DELETE branch really
+  * fired on the fixture (a merge whose delete clause never matches
+  * would pass the hash gate vacuously).
+  */
+class MergeIntoSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("MemCatalog: create, append, overwrite, drop") {
+    spark.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    val t = "graft_mem.staging.spec_t"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    sql(s"INSERT INTO $t VALUES (3, 'c')") // append, not replace
+    assert(sql(s"SELECT * FROM $t ORDER BY k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    sql(s"INSERT OVERWRITE $t VALUES (9, 'z')") // TRUNCATE capability
+    assert(sql(s"SELECT * FROM $t").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((9L, "z")))
+    sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+  }
+
+  test("UPDATE and DELETE route through the same row-level rewrite") {
+    spark.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    val t = "graft_mem.staging.spec_u"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+    sql(s"UPDATE $t SET n = n + 5 WHERE k >= 2")
+    assert(sql(s"SELECT * FROM $t ORDER BY k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 25L), (3L, 35L)))
+    sql(s"DELETE FROM $t WHERE n > 30")
+    assert(sql(s"SELECT * FROM $t ORDER BY k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 25L)))
+    sql(s"DROP TABLE $t")
+  }
+
+  test("sql_merge_into's DELETE branch fires on the fixture (not vacuous)") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("sql_merge_into")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // Keys present in BOTH the staged target and the incremental batch
+    // whose combined count exceeds the delete threshold must be ABSENT
+    // from the post-merge state — and there must be at least one.
+    val orders = Tables.orders(spark, sf)
+    val tgt = orders.filter(to_date(col("o_orderdate")) < lit("1998-01-01")
+        && pmod(col("o_custkey"), lit(3)) =!= 0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val src = orders.filter(to_date(col("o_orderdate")) >= lit("1998-01-01"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_new"))
+    val deleted = tgt.join(src, "o_custkey")
+      .filter(col("n") + col("n_new") > 14)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "fixture never exercises the WHEN MATCHED ... DELETE branch")
+    assert(deleted.intersect(merged).isEmpty,
+      s"${deleted.intersect(merged).size} rows survived the merge's delete clause")
+  }
+}
