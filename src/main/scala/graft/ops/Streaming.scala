@@ -528,7 +528,72 @@ object Streaming extends OpGroup {
     Some("""WITH m AS (SELECT (epoch_ms(MAX(ts)) - 3600000) * 1000 AS wm_us FROM events) SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n, ROUND(1e-9 + CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value FROM events, m WHERE epoch_us(to_timestamp(floor(epoch(ts) / 1800) * 1800) + INTERVAL 30 MINUTE) <= wm_us GROUP BY 1, 2 ORDER BY win_start, event_type"""),
   )
 
+  /** STREAMING UPSERT through MERGE INTO (r12) — the production CDC
+    * sink pattern the warehouse engines call "streaming merge": each
+    * micro-batch aggregates its delta and MERGEs it into a persistent
+    * v2 table ([[graft.sources.MemCatalog]] — the same
+    * SupportsRowLevelOperations door `sql_merge_into` witnesses),
+    * composing state ACROSS batches in the TABLE rather than in the
+    * state store — the idiom for upserts too large or too long-lived
+    * for watermark-bounded streaming state. The events table is staged
+    * in two parity-split files and read with maxFilesPerTrigger=1, so
+    * the merge genuinely composes over 2 micro-batches: a user seen in
+    * both halves takes the MATCHED += path in batch 2 (count addition
+    * and greatest(ts) commute, so batch order cannot matter). The
+    * target is pre-seeded with the even-custkey half of the customer
+    * dimension — seeded users exercise MATCHED from batch 1, unseeded
+    * ones NOT MATCHED; seeded users with no events prove the merge
+    * never touches unaffected rows. Oracle: the final state is a FULL
+    * OUTER of the seed against the batch-independent per-user event
+    * aggregate.
+    */
+  private val mergeUpsert = Op(
+    "stream_merge_upsert",
+    (s, sf) => withStateParts(s, 8) {
+      s.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+      val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream_merge/" +
+        s"${sf.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      Tables.rmTree(new java.io.File(base)) // all prior runs at this sf
+      val dir = s"$base/${runId.incrementAndGet()}"
+      val inDir = s"$dir/in"
+      val ev = Tables.events(s, sf)
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(s"$inDir/p1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(s"$inDir/p2")
+      val schema = s.read.parquet(s"$inDir/p1").schema
+      val tgt = "graft_mem.staging.stream_user_state"
+      s.sql(s"DROP TABLE IF EXISTS $tgt")
+      s.sql(s"CREATE TABLE $tgt (k BIGINT, n_events BIGINT, last_ts TIMESTAMP)")
+      Tables.customer(s, sf).filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey").as("k"), lit(0L).as("n_events"),
+          lit(null).cast("timestamp").as("last_ts"))
+        .createOrReplaceTempView("graft_merge_seed")
+      s.sql(s"INSERT INTO $tgt SELECT k, n_events, last_ts FROM graft_merge_seed")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // 2 staged files → 2 micro-batches
+        .option("pathGlobFilter", "*.parquet").parquet(s"$inDir/*")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          batch.groupBy(col("user_id").as("k"))
+            .agg(count(lit(1)).as("n"), max(col("ts")).as("mx"))
+            .createOrReplaceTempView("graft_merge_batch")
+          ss.sql(s"""
+            MERGE INTO $tgt t USING graft_merge_batch b ON t.k = b.k
+            WHEN MATCHED THEN UPDATE
+              SET n_events = t.n_events + b.n, last_ts = greatest(t.last_ts, b.mx)
+            WHEN NOT MATCHED THEN INSERT (k, n_events, last_ts) VALUES (b.k, b.n, b.mx)
+          """): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.sql(s"SELECT k, n_events, last_ts FROM $tgt ORDER BY k")
+    },
+    Some("""WITH agg AS (SELECT user_id AS k, COUNT(*) AS n, MAX(ts) AS mx FROM events GROUP BY 1), seed AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0) SELECT COALESCE(seed.k, agg.k) AS k, COALESCE(agg.n, 0) AS n_events, agg.mx AS last_ts FROM seed FULL OUTER JOIN agg ON seed.k = agg.k ORDER BY k"""),
+  )
+
   val ops: Seq[Op] = Seq(tumblingCounts, slidingAvg, sessionWindow,
     appendWindowed, dedupWatermark, statefulAgg, foreachBatchSink, staticJoin,
-    streamStreamJoin, cdcApply, transformWithStateOp, restartRecovery)
+    streamStreamJoin, cdcApply, transformWithStateOp, restartRecovery,
+    mergeUpsert)
 }

@@ -44,6 +44,23 @@ class MergeIntoSpec extends SparkSpec {
     sql(s"DROP TABLE $t")
   }
 
+  test("stream_merge_upsert really composes over 2 micro-batches (checkpoint commit log)") {
+    SparkEntry.queries("stream_merge_upsert")(spark, sf).count(): Unit
+    // The op rmTree's its sf-level base before staging, so the only run
+    // on disk is the one just executed; maxFilesPerTrigger=1 over the 2
+    // staged files must have committed exactly 2 micro-batches — if the
+    // option were silently ignored, the MERGE's cross-batch += path
+    // would be untested (one batch would equal the plain full-outer).
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream_merge/" +
+        sf.replaceAll("[^a-zA-Z0-9.]", "_"))
+    val commits = Option(base.listFiles()).getOrElse(Array.empty)
+      .flatMap(run => Option(new java.io.File(run, "ckpt/commits").listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.forall(_.isDigit))
+    assert(commits.length == 2,
+      s"expected 2 committed micro-batches, found ${commits.map(_.getName).sorted.mkString(",")}")
+  }
+
   test("sql_merge_into's DELETE branch fires on the fixture (not vacuous)") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("sql_merge_into")(spark, sf)

@@ -115,6 +115,41 @@ class Sf1WitnessSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         "— quadratic-class growth, the blocked plan is not holding at the sf1 tier")
   }
 
+  /** Build vs warm-serve, witnessed SEPARATELY (r12, the r11 verdict's
+    * item 7): the r11 ledger's 6.66× growth for the reload key folded
+    * the first-demand index BUILD into the number, but the exponent
+    * that matters at 100 TB is the SERVE path's — the probe runs daily,
+    * the build once. Cold-build (wiped fingerprint dir, first call =
+    * build + probe) and warm-probe (min-of-2 against the persisted,
+    * band-partitioned index) land as separate ledger rows.
+    */
+  test("dedup_minhash_index_reload: build and warm-serve probe as separate sf1 rows") {
+    assume(ready.isDefined, "GRAFT_SF1_DIR not set or fixture incomplete — run graft.GenSf1 first")
+    val d1 = ready.get
+    val fn = SparkEntry.queries("dedup_minhash_index_reload")
+    def buildAndProbe(dir: String): (Double, Double) = {
+      Tables.rmTree(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index"))
+      val t0 = System.nanoTime(); fn(spark, dir).count()
+      val build = (System.nanoTime() - t0) / 1e9
+      val probe = (1 to 2).map { _ =>
+        val t = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t) / 1e9
+      }.min
+      (build, probe)
+    }
+    val (b01, p01) = buildAndProbe(sf01)
+    val (b1, p1) = buildAndProbe(d1)
+    ledger += (("dedup_minhash_index_reload", "10x_build", b01, b1))
+    ledger += (("dedup_minhash_index_reload", "10x_probe", p01, p1))
+    info(f"build: sf0.1 $b01%.2f s, sf1 $b1%.2f s (${b1 / math.max(b01, 0.2)}%.1fx); " +
+      f"warm probe: sf0.1 $p01%.2f s, sf1 $p1%.2f s (${p1 / math.max(p01, 0.2)}%.1fx)")
+    // The serve-path envelope: probe growth is batch-side work (batch
+    // signatures + Σ bucket² candidates + verify) — sub-quadratic like
+    // every blocked family, and strictly below the build+probe growth.
+    assert(p1 < 30 * math.max(p01, 0.2),
+      f"warm probe grew ${p1 / math.max(p01, 0.2)}%.1fx over the 10x step — the serve path is not holding")
+  }
+
   /** The COMPOSED embedding-side ops (r11, the r10 verdict's item 7):
     * their stages (SRP candidates, exact verify, CC / mutual top-k) are
     * witnessed individually above and in the srp test below; these two
