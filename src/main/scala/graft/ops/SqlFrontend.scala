@@ -960,9 +960,51 @@ object SqlFrontend extends OpGroup {
     Some("""WITH tgt AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01' AND o_custkey % 3 <> 0 GROUP BY o_custkey), src AS (SELECT o_custkey AS k, COUNT(*) AS n_new FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01' GROUP BY o_custkey), merged AS (SELECT t.k, t.n + s.n_new AS n FROM tgt t JOIN src s ON t.k = s.k WHERE t.n + s.n_new <= 14 UNION ALL SELECT t.k, t.n FROM tgt t LEFT JOIN src s ON t.k = s.k WHERE s.k IS NULL UNION ALL SELECT s.k, s.n_new AS n FROM src s LEFT JOIN tgt t ON t.k = s.k WHERE t.k IS NULL) SELECT k, CAST(n AS BIGINT) AS n FROM merged ORDER BY k"""),
   )
 
+  /** PARTITION-PRUNED MERGE (r12) — the 100 TB half of the MERGE story:
+    * the target is `PARTITIONED BY (mo)`, its row-level scan implements
+    * SupportsRuntimeV2Filtering on the partition column, and Spark's
+    * runtime group filtering narrows the copy-on-write rewrite to the
+    * partitions the source actually touches (the incremental batch is
+    * 1998-only, so ≤ 12 of the ~80 month partitions are rewritten —
+    * MergeIntoSpec pins the replaced-group count via
+    * [[graft.sources.MemCatalog.lastReplacedGroups]]; every other
+    * partition's rows carry over untouched, which the oracle's
+    * all-months hash would catch if violated). This is the
+    * Iceberg/Delta-shaped merge a lake table runs daily.
+    */
+  private val mergeIntoPartitioned = Op(
+    "sql_merge_into_partitioned",
+    (s, sf) => {
+      s.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+      withViews(s, sf, "orders")
+      val tgt = "graft_mem.staging.merge_part"
+      s.sql(s"DROP TABLE IF EXISTS $tgt")
+      s.sql(s"CREATE TABLE $tgt (k BIGINT, mo INT, n BIGINT) PARTITIONED BY (mo)")
+      s.sql(s"""INSERT INTO $tgt
+        SELECT o_custkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n
+        FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1, 2""")
+      s.sql(s"""
+        MERGE INTO $tgt t
+        USING (SELECT o_custkey AS k,
+                      CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo,
+                      COUNT(*) AS n2
+               FROM orders
+               WHERE o_custkey % 2 = 0 AND year(o_orderdate) = 1998
+               GROUP BY 1, 2) s
+        ON t.k = s.k AND t.mo = s.mo
+        WHEN MATCHED THEN UPDATE SET n = t.n + s.n2
+        WHEN NOT MATCHED THEN INSERT (k, mo, n) VALUES (s.k, s.mo, s.n2)
+      """)
+      s.sql(s"SELECT k, mo, n FROM $tgt ORDER BY k, mo")
+    },
+    Some("""WITH tgt AS (SELECT o_custkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo, COUNT(*) AS n FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1, 2), src AS (SELECT o_custkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo, COUNT(*) AS n2 FROM orders WHERE o_custkey % 2 = 0 AND year(o_orderdate) = 1998 GROUP BY 1, 2), merged AS (SELECT t.k, t.mo, t.n + COALESCE(s.n2, 0) AS n FROM tgt t LEFT JOIN src s ON t.k = s.k AND t.mo = s.mo UNION ALL SELECT s.k, s.mo, s.n2 AS n FROM src s LEFT JOIN tgt t ON t.k = s.k AND t.mo = s.mo WHERE t.k IS NULL) SELECT k, mo, CAST(n AS BIGINT) AS n FROM merged ORDER BY k, mo"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
-    unpivotClause, groupingId, filterClause, namedParameters, mergeInto)
+    unpivotClause, groupingId, filterClause, namedParameters, mergeInto,
+    mergeIntoPartitioned)
 }

@@ -61,6 +61,31 @@ class MergeIntoSpec extends SparkSpec {
       s"expected 2 committed micro-batches, found ${commits.map(_.getName).sorted.mkString(",")}")
   }
 
+  test("partitioned merge rewrites ONLY the affected month partitions (runtime group filter)") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("sql_merge_into_partitioned")(spark, sf).count(): Unit
+    val storeKey = "graft_mem staging merge_part"
+    val replaced = graft.sources.MemCatalog.lastReplacedGroups.get(storeKey)
+    // The incremental batch touches only 1998 months; the seed spans the
+    // whole ~7-year order range. A whole-table COW would report the full
+    // month-partition count — the runtime group filter must cap the
+    // rewrite at the matched 1998 partitions.
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int").as("mo"))
+    val totalMonths = orders.filter(pmod(col("k"), lit(3)) =!= 0)
+      .select("mo").distinct().count()
+    val matchedMonths = orders.filter(pmod(col("k"), lit(3)) =!= 0)
+      .join(orders.filter(pmod(col("k"), lit(2)) === 0 && (col("mo") / 100).cast("int") === 1998),
+        Seq("k", "mo"), "left_semi")
+      .select("mo").distinct().count()
+    assert(matchedMonths > 0 && matchedMonths < totalMonths,
+      s"fixture degenerate: matched $matchedMonths of $totalMonths months")
+    assert(replaced != null && replaced.toLong == matchedMonths,
+      s"COW replaced $replaced groups; expected exactly the $matchedMonths matched months " +
+        s"(whole-table would be $totalMonths) — runtime group filtering did not engage")
+  }
+
   test("sql_merge_into's DELETE branch fires on the fixture (not vacuous)") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("sql_merge_into")(spark, sf)
