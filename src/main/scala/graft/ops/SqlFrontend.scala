@@ -1001,10 +1001,38 @@ object SqlFrontend extends OpGroup {
     Some("""WITH tgt AS (SELECT o_custkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo, COUNT(*) AS n FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1, 2), src AS (SELECT o_custkey AS k, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mo, COUNT(*) AS n2 FROM orders WHERE o_custkey % 2 = 0 AND year(o_orderdate) = 1998 GROUP BY 1, 2), merged AS (SELECT t.k, t.mo, t.n + COALESCE(s.n2, 0) AS n FROM tgt t LEFT JOIN src s ON t.k = s.k AND t.mo = s.mo UNION ALL SELECT s.k, s.mo, s.n2 AS n FROM src s LEFT JOIN tgt t ON t.k = s.k AND t.mo = s.mo WHERE t.k IS NULL) SELECT k, mo, CAST(n AS BIGINT) AS n FROM merged ORDER BY k, mo"""),
   )
 
+  /** UPDATE + DELETE through the SQL door (r12) — the other two
+    * row-level statements, oracled (MergeIntoSpec proves they run; this
+    * key puts their RESULTS under the DuckDB hash gate): stage the
+    * customer snapshot with integer cents (no float mutation parity
+    * risk), UPDATE one segment's balances, DELETE the now-negative
+    * rows, read the final state back through the v2 scan. Both route
+    * through the same RewriteRowLevelCommand → ReplaceData machinery
+    * as MERGE; the oracle recomputes the final state as one
+    * CASE + filter over the source.
+    */
+  private val updateDelete = Op(
+    "sql_update_delete",
+    (s, sf) => {
+      s.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+      withViews(s, sf, "customer")
+      val tgt = "graft_mem.staging.upd_del"
+      s.sql(s"DROP TABLE IF EXISTS $tgt")
+      s.sql(s"CREATE TABLE $tgt (k BIGINT, seg STRING, bal_cents BIGINT)")
+      s.sql(s"""INSERT INTO $tgt
+        SELECT c_custkey, c_mktsegment, CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        FROM customer""")
+      s.sql(s"UPDATE $tgt SET bal_cents = bal_cents - 200000 WHERE seg = 'BUILDING'")
+      s.sql(s"DELETE FROM $tgt WHERE bal_cents < 0")
+      s.sql(s"SELECT k, seg, bal_cents FROM $tgt ORDER BY k")
+    },
+    Some("""WITH staged AS (SELECT c_custkey AS k, c_mktsegment AS seg, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer), updated AS (SELECT k, seg, CASE WHEN seg = 'BUILDING' THEN cents - 200000 ELSE cents END AS bal_cents FROM staged) SELECT k, seg, bal_cents FROM updated WHERE bal_cents >= 0 ORDER BY k"""),
+  )
+
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
     tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
     unpivotClause, groupingId, filterClause, namedParameters, mergeInto,
-    mergeIntoPartitioned)
+    mergeIntoPartitioned, updateDelete)
 }
