@@ -86,6 +86,34 @@ class MergeIntoSpec extends SparkSpec {
         s"(whole-table would be $totalMonths) — runtime group filtering did not engage")
   }
 
+  test("a failed write job never mutates the table (commit atomicity)") {
+    spark.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    val t = "graft_mem.staging.spec_abort"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT, n BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    // A mid-write task failure: raise_error fires on the second row, so
+    // some writers may have buffered rows — but content only swaps in
+    // BatchWrite.commit, which a failed job never reaches.
+    intercept[Exception] {
+      sql(s"""INSERT INTO $t
+        SELECT id, CASE WHEN id = 99 THEN raise_error('boom') ELSE id END
+        FROM range(97, 100)""").collect()
+    }
+    assert(sql(s"SELECT * FROM $t ORDER BY k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 20L)),
+      "a failed INSERT leaked rows into the table — the commit path is not atomic")
+    // Same for a failed row-level rewrite: the UPDATE's rewrite job dies
+    // mid-query, the pre-image must survive untouched.
+    intercept[Exception] {
+      sql(s"UPDATE $t SET n = CASE WHEN k = 2 THEN raise_error('boom') ELSE n END").collect()
+    }
+    assert(sql(s"SELECT * FROM $t ORDER BY k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 10L), (2L, 20L)),
+      "a failed UPDATE rewrite mutated the table — COW replace ran without a commit")
+    sql(s"DROP TABLE $t")
+  }
+
   test("sql_merge_into's DELETE branch fires on the fixture (not vacuous)") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("sql_merge_into")(spark, sf)
