@@ -51,7 +51,7 @@ object GenSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, out)
-    println(s"[gensf1] wrote documents/embeddings/lineitem/part under $out")
+    println(s"[gensf1] wrote documents/embeddings/lineitem/part/orders under $out")
   }
 
   def generate(s: SparkSession, src: String, out: String): Unit = {
@@ -90,6 +90,18 @@ object GenSf1 {
         (col("p_partkey") + col("rep").cast("long") * lit(10000000L)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     part.repartition(8).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // orders (r13, the r12 verdict's item 5): shard-offset keys, dates
+    // UNCHANGED — the month-partition domain stays fixed while rows grow
+    // 10×, which is exactly the partitioned-merge witness's claim (COW
+    // cost ∝ matched months, not table size).
+    val ord = Tables.orders(s, src).crossJoin(shards(FactShards))
+      .select(
+        (col("o_orderkey") + col("rep").cast("long") * lit(100000000L)).as("o_orderkey"),
+        (col("o_custkey") + col("rep").cast("long") * lit(10000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    ord.repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     val li = Tables.lineitem(s, src).crossJoin(shards(FactShards))
       .select(

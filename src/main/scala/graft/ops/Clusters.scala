@@ -296,7 +296,7 @@ object Clusters extends OpGroup {
     vs.foreach(Vectors.releaseCheckpoint)
   }
 
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession, sf: String): DataFrame = {
     val k = (s, sf)
     val hit = edgeCache.get(k)
     if (hit != null) hit
@@ -692,10 +692,10 @@ object Clusters extends OpGroup {
     * still appears exactly once (a wedge's center has one degree, so it
     * lands in exactly one regime; in the hub regime the left row owns
     * one salt and the right side matches it exactly once) — so the
-    * output is IDENTICAL to the plain plan, row for row, and the
-    * salted twin key shares graph_adamic_adar's DuckDB oracle
-    * unchanged. WedgeSkewSpec pins both halves: result equality and the
-    * bounded per-task row maximum on a synthetic star graph.
+    * output is IDENTICAL to the plain plan, row for row, so
+    * graph_adamic_adar keeps its plain-formulation DuckDB oracle.
+    * WedgeSkewSpec pins both halves: result equality and the bounded
+    * per-task row maximum on a synthetic star graph.
     */
   private[graft] def saltedWedges(sym: DataFrame, hubDeg: Int, salts: Int): DataFrame = {
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -716,35 +716,18 @@ object Clusters extends OpGroup {
     wLow.union(wHub)
   }
 
-  /** The salted TWIN of [[adamicAdar]] (documented twin-key form of the
-    * r11 verdict's item 6): same output, same oracle, skew-immune plan.
-    * hubDeg = 64 on the fixture exercises BOTH regimes (the co-purchase
-    * graph has centers above and below it); at a production power-law
-    * graph the threshold is set from the degree histogram so the
-    * replicated fraction stays small.
+  /** Since r13 the salted plan IS `graph_adamic_adar` (the r12
+    * verdict's item 4: the mechanism was proven as a twin key in r12 —
+    * WedgeSkewSpec pins both result equality and the bounded per-task
+    * maximum — so carrying a second timed full wedge computation was
+    * bench weight, not capability). hubDeg = 64 on the fixture
+    * exercises BOTH regimes (the co-purchase graph has centers above
+    * and below it); at a production power-law graph the threshold is
+    * set from the degree histogram so the replicated fraction stays
+    * small. Output is row-for-row identical to the plain self-join
+    * (wedge multiset unchanged), so the DuckDB oracle keeps the plain
+    * formulation.
     */
-  private val adamicAdarSalted = Op(
-    "graph_adamic_adar_salted",
-    (s, sf) => Tables.withConfs(s, Seq(
-      "spark.sql.shuffle.partitions" -> "8")) {
-      import graft.ops.parity.{dec, r6}
-      val edges = copurchaseEdges(s, sf)
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val out = saltedWedges(sym, hubDeg = 64, salts = 8)
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("shared"),
-          sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
-        .filter(col("shared") >= 3)
-        .select(col("a").as("u"), col("b").as("v"), col("shared"),
-          col("aa").cast("double").as("adamic_adar"))
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("u", "v")
-    },
-    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared, SUM(CAST(ROUND(1e-9 + 1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6))) AS aa FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v JOIN deg ON deg.node = s1.u GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT a AS u, b AS v, CAST(shared AS BIGINT) AS shared, CAST(aa AS DOUBLE) AS adamic_adar FROM w ORDER BY u, v"""),
-  )
-
   private val adamicAdar = Op(
     "graph_adamic_adar",
     (s, sf) => Tables.withConfs(s, Seq(
@@ -753,12 +736,8 @@ object Clusters extends OpGroup {
       import graft.ops.parity.{dec, r6}
       val edges = copurchaseEdges(s, sf)
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      val wedges = sym.as("s1").join(sym.as("s2"),
-          col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
-        .select(col("s1.v").as("a"), col("s2.v").as("b"), col("s1.u").as("ctr"))
-        .join(deg.select(col("node").as("ctr"), col("deg").as("deg_ctr")), "ctr")
-      val out = wedges.groupBy(col("a"), col("b"))
+      val out = saltedWedges(sym, hubDeg = 64, salts = 8)
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("shared"),
           sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
         .filter(col("shared") >= 3)
@@ -851,5 +830,5 @@ object Clusters extends OpGroup {
 
   val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
-    bfsHops, adamicAdar, adamicAdarSalted, itemCfCosine, twoHopReach)
+    bfsHops, adamicAdar, itemCfCosine, twoHopReach)
 }

@@ -184,6 +184,40 @@ object Scalars extends OpGroup {
     Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, json_extract_string(props, '$.tag') AS tag, CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INT) AS k_bucket, json_extract_string(props, '$.k') IS NULL AS k_missing FROM events ORDER BY event_id"""),
   )
 
+  /** §2.T (r13, r12 verdict #3) — the Spark 4 VARIANT surface: the
+    * semi-structured path a JSON-heavy 100 TB corpus actually uses at
+    * scale. `parse_json` decodes `events.props` ONCE into the binary
+    * variant encoding (shredded, no per-access re-parse — the whole
+    * point of VARIANT over repeated get_json_object), then typed
+    * `variant_get` extraction (present field, absent field → NULL — the
+    * forward-compatible read), canonical `to_json` round-trip, and an
+    * aggregate over the extracted value. Oracle: DuckDB's JSON duals
+    * (json_extract_string + json() canonicalization — both engines
+    * print minified JSON).
+    */
+  private val jsonVariantDecode = Op(
+    "json_variant_decode",
+    (s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"),
+          expr("to_json(v)").as("props_canonical"),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(col("tag")).as("n_tagged"),
+          min(length(col("props_canonical"))).as("min_canon_len"),
+        )
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(json_extract_string(props, '$.tag')) AS n_tagged, MIN(length(CAST(json(props) AS VARCHAR))) AS min_canon_len FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   /** String-function breadth: translate, lpad, reverse, levenshtein —
     * the remaining scalar string surface (edit distance is also the
     * primitive behind fuzzy synonym matching in the reference's Synonym
@@ -292,7 +326,9 @@ object Scalars extends OpGroup {
         val m = datediff(d, to_date(lit("1970-01-05")))
         // floor + pmod (not truncate + sign-following %) so the closed
         // form is engine-identical for pre-epoch dates too — the oracle
-        // mirrors with // (floor) and ((m % 7) + 7) % 7.
+        // mirrors with an EXPLICIT floor(x / 7.0) (DuckDB's // is
+        // integer division truncating toward zero: -8 // 7 = -1, not
+        // floor's -2 — r12 ADVICE) and ((m % 7) + 7) % 7.
         lit(5) * floor(m.cast("double") / 7).cast("long") + least(pmod(m, lit(7)) + 1, lit(5))
       }
       Tables.lineitem(s, sf)
@@ -307,11 +343,11 @@ object Scalars extends OpGroup {
           min(col("bdays")).as("min_business_days"))
         .orderBy("o_orderpriority")
     },
-    Some("""WITH x AS (SELECT o_orderpriority, (5 * (date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) // 7) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7) + 7) % 7 + 1, 5)) - (5 * (date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7) + 7) % 7 + 1, 5)) AS bdays FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(1e-9 + CAST(SUM(CAST(bdays AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_business_days, CAST(MAX(bdays) AS BIGINT) AS max_business_days, CAST(MIN(bdays) AS BIGINT) AS min_business_days FROM x GROUP BY 1 ORDER BY o_orderpriority"""),
+    Some("""WITH x AS (SELECT o_orderpriority, (5 * CAST(floor(date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) % 7) + 7) % 7 + 1, 5)) - (5 * CAST(floor(date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT) + LEAST(((date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) % 7) + 7) % 7 + 1, 5)) AS bdays FROM lineitem JOIN orders ON l_orderkey = o_orderkey) SELECT o_orderpriority, COUNT(*) AS n_lines, ROUND(1e-9 + CAST(SUM(CAST(bdays AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_business_days, CAST(MAX(bdays) AS BIGINT) AS max_business_days, CAST(MIN(bdays) AS BIGINT) AS min_business_days FROM x GROUP BY 1 ORDER BY o_orderpriority"""),
   )
 
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
-    mathScalarExpr, jsonExtractTyped, jsonStructDecode, arrayHofNorm,
+    mathScalarExpr, jsonExtractTyped, jsonStructDecode, jsonVariantDecode, arrayHofNorm,
     mapEntriesBuild, strFunctions, dateFunctions, tryArithmetic, regexSuite,
     businessDays)
 }

@@ -369,6 +369,42 @@ object SqlFrontend extends OpGroup {
     Some("""SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
   )
 
+  /** TPC-H Q12 shape (shipping modes & order priority, r13 — completes
+    * the deck at 22/22): mode-restricted fact join with a LATENESS
+    * predicate across date columns, then the CASE-split high/low
+    * priority counts per mode. The priority CASE tree is VERBATIM Q12
+    * (the fixture has o_orderpriority with the five literal values).
+    * Fixture adaptation (same discipline as Q19's container/shipmode
+    * and Q20's availqty notes): no l_shipmode / l_commitdate /
+    * l_receiptdate columns, so the mode IN-pair is l_returnflag IN
+    * ('A','R') and lateness is derived from the dates the fixture DOES
+    * carry — shipped more than 90 days after the order was placed
+    * (l_shipdate > o_orderdate + 90d), windowed to receipt-year 1997 on
+    * l_shipdate. Integer-only aggregates; l_returnflag is a total order.
+    */
+  private val tpchQ12 = Op(
+    "sql_tpch_q12",
+    (s, sf) => {
+      withViews(s, sf, "orders", "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('A', 'R')
+          AND l_shipdate > o_orderdate + INTERVAL '90' DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    },
+    Some("""SELECT l_returnflag, CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_returnflag IN ('A', 'R') AND l_shipdate > o_orderdate + INTERVAL 90 DAY AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+
   /** TPC-H Q11 shape (important stock identification, r9f): kept parts
     * are those whose supplier-value share exceeds one ten-thousandth of
     * the total. The ORACLE keeps the literal Q11 HAVING-vs-scalar-
@@ -1031,7 +1067,7 @@ object SqlFrontend extends OpGroup {
 
   val ops: Seq[Op] = Seq(correlatedScalar, tpchQ3, tpchQ5, recursiveHierarchy,
     lateralTopn, tpchQ18, tpchQ17, tpchQ22, tpchQ4, tpchQ21, tpchQ16,
-    tpchQ13, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
+    tpchQ13, tpchQ12, tpchQ11, tpchQ1, tpchQ2, tpchQ6, tpchQ7, tpchQ8, tpchQ9,
     tpchQ10, tpchQ14, tpchQ15, tpchQ19, tpchQ20, pivotClause, groupByAll,
     unpivotClause, groupingId, filterClause, namedParameters, mergeInto,
     mergeIntoPartitioned, updateDelete)

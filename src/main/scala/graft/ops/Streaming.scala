@@ -560,8 +560,11 @@ object Streaming extends OpGroup {
       val dir = s"$base/${runId.incrementAndGet()}"
       val inDir = s"$dir/in"
       val ev = Tables.events(s, sf)
-      ev.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(s"$inDir/p1")
-      ev.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(s"$inDir/p2")
+      // coalesce(1): the 2-file → 2-micro-batch contract under
+      // maxFilesPerTrigger=1 must be structural, not an accident of the
+      // events read planning one partition per half (r12 ADVICE).
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1).write.parquet(s"$inDir/p1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1).write.parquet(s"$inDir/p2")
       val schema = s.read.parquet(s"$inDir/p1").schema
       val tgt = "graft_mem.staging.stream_user_state"
       s.sql(s"DROP TABLE IF EXISTS $tgt")

@@ -3,15 +3,21 @@ package graft
 import graft.ops.Bpe
 
 /** text_bpe_merges: the distributed trainer must agree with an
-  * independent in-memory reference BPE on the same corpus, be
-  * deterministic, and produce merges that re-apply cleanly.
+  * independent in-memory reference BPE on the same corpus at the
+  * production-shaped K=64, be deterministic, produce merges that
+  * re-apply cleanly, and spend O(1) Spark jobs regardless of K (the
+  * r12 verdict's jobs-per-merge < 1 gate).
   */
 class BpeSpec extends SparkSpec {
 
+  private val K = 64
+
   /** Straight-line reference trainer (Sennrich alg. 1): greedy argmax
-    * over adjacent-pair counts weighted by word freq, same tie-break
-    * (count desc, pair in UTF-8 BYTE order — the op's documented
-    * ordering; Java's UTF-16 compareTo would disagree for
+    * over adjacent-pair counts weighted by word freq, FULL RESCAN per
+    * merge — deliberately the naive algorithm, so it checks the op's
+    * incremental-delta trainer from a different implementation shape.
+    * Same tie-break (count desc, pair in UTF-8 BYTE order — the op's
+    * documented ordering; Java's UTF-16 compareTo would disagree for
     * supplementary-plane symbols).
     */
   private def utf8Lt(a: String, b: String): Boolean = {
@@ -60,24 +66,62 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  test("trained merge table equals the independent reference trainer") {
+  test("trained merge table equals the independent reference trainer at K=64") {
     val got = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-    val want = referenceBpe(corpusVocab(), 8).zipWithIndex
+    val want = referenceBpe(corpusVocab(), K).zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
+    assert(got.length == want.length, s"merge count: got ${got.length}, want ${want.length}")
     assert(got.toSeq == want)
   }
 
-  test("merge table is deterministic across runs (memo cleared between them)") {
-    Bpe.bpeReset()
+  test("incremental trainer equals the rescan reference on crafted vocabularies") {
+    // Ties, merged-symbol/string collisions ("ab" emerging next to
+    // plain a,b sequences), overlapping runs, and an exhaustion case.
+    val vocabs: Seq[Map[String, Long]] = Seq(
+      Map("abab" -> 3L, "aabb" -> 3L, "ab" -> 5L, "ba" -> 5L),
+      Map("aaaa" -> 2L, "aaa" -> 2L, "aa" -> 2L),
+      Map("xy" -> 1L), // exhausts well before k
+      Map("lowlow" -> 7L, "lower" -> 4L, "newest" -> 6L, "widest" -> 3L),
+    )
+    vocabs.foreach { v =>
+      val words = v.toArray.sortBy(_._1)
+      val got = Bpe.sequentialMerges(words, 16).map(m => (m._2, m._3, m._5))
+      val want = referenceBpe(v, 16)
+      assert(got == want, s"divergence on $v: got $got, want $want")
+    }
+  }
+
+  test("training spends O(1) Spark jobs — never one per merge") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.trainMerges(spark, sf, K)
+      // Listener delivery is async: give the bus a beat to drain.
+      val deadline = System.nanoTime() + 3_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200)
+      assert(merges.size == K, s"expected $K merges, got ${merges.size}")
+      // AQE materializes the agg's shuffle stages as separate jobs, so
+      // one query is a few jobs — but a small constant, independent of
+      // K (the old design was >= 1 job PER merge = 64+ here).
+      assert(jobs.get() <= 8,
+        s"training launched ${jobs.get()} jobs for $K merges — the merge loop is leaking jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("merge table is deterministic across runs") {
     val a = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
-    Bpe.bpeReset()
     val b = SparkEntry.queries("text_bpe_merges")(spark, sf).collect().toSeq
     assert(a == b)
   }
 
   test("text_bpe_apply agrees with the independent reference tokenizer per (doc, token)") {
-    val merges = referenceBpe(corpusVocab(), 8).map { case (l, r, _) => (l, r) }
+    val merges = referenceBpe(corpusVocab(), K).map { case (l, r, _) => (l, r) }
     // Reference: encode every doc word-by-word with the reference merge
     // table, count tokens per doc, and number the emergent vocabulary
     // in UTF-8 byte order (the op's documented id ordering).
@@ -101,19 +145,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("text_bpe_apply encode(word) round-trips to the original word and never retrains warm") {
+  test("text_bpe_apply encode(word) round-trips to the original word") {
     val merges = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     corpusVocab().keys.take(50).foreach { w =>
       assert(Bpe.encodeWord(w, merges).mkString == w + Bpe.Eow,
         s"encode round-trip broke for '$w'")
     }
-    // Serve-many contract: a second apply answers from the memoized
-    // merge table — zero extra training-loop entries.
-    SparkEntry.queries("text_bpe_apply")(spark, sf).count(): Unit
-    val before = Bpe.trainCounter.get()
-    SparkEntry.queries("text_bpe_apply")(spark, sf).count(): Unit
-    assert(Bpe.trainCounter.get() == before, "warm apply re-entered the training loop")
   }
 
   test("mergePair is a greedy non-overlapping left scan") {

@@ -114,6 +114,38 @@ class MergeIntoSpec extends SparkSpec {
     sql(s"DROP TABLE $t")
   }
 
+  test("driver-residency cap: an over-cap commit fails loudly and atomically (r13)") {
+    spark.conf.set("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+    val t = "graft_mem.staging.spec_cap"
+    sql(s"DROP TABLE IF EXISTS $t")
+    sql(s"CREATE TABLE $t (k BIGINT)")
+    sql(s"INSERT INTO $t VALUES (1), (2)")
+    spark.conf.set("spark.graft.memcatalog.maxRows", "10")
+    try {
+      // 2 existing + 20 incoming > 10: the commit must refuse — with
+      // the boundary named in the error — and leave the pre-image.
+      val e = intercept[Exception] {
+        sql(s"INSERT INTO $t SELECT id FROM range(0, 20)").collect()
+      }
+      def causes(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: causes(x.getCause)
+      assert(causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("driver-residency cap")),
+        s"over-cap commit failed for the wrong reason: $e")
+      assert(sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+        == Seq(1L, 2L),
+        "an over-cap commit mutated the table — the guard is not atomic")
+      // Raising the cap back lets the same insert through (the guard is
+      // the session conf, not a hardcoded refusal).
+      spark.conf.set("spark.graft.memcatalog.maxRows", "1000")
+      sql(s"INSERT INTO $t SELECT id FROM range(0, 20)")
+      assert(sql(s"SELECT COUNT(*) FROM $t").collect()(0).getLong(0) == 22L)
+    } finally {
+      spark.conf.unset("spark.graft.memcatalog.maxRows")
+      sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("sql_merge_into's DELETE branch fires on the fixture (not vacuous)") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("sql_merge_into")(spark, sf)

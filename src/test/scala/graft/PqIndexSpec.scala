@@ -48,4 +48,54 @@ class PqIndexSpec extends SparkSpec {
     assert(pf.exists(l => l.contains("ccid") && l.contains("dynamicpruning")),
       s"codes scan carries no ccid partition pruning:\n${pf.mkString("\n")}\n$plan")
   }
+
+  test("vec_pq_probe_filtered: predicate holds on every hit, recall vs exact filtered L2, pruned plan (r13)") {
+    val lbl = 3
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val eligible = rows.filter(_._3 == lbl)
+    assert(eligible.length >= 10, "fixture lost its label-3 population — spec vacuous")
+
+    // Exact filtered baseline: per query (vec_id < 20, any label), the
+    // 5 nearest ELIGIBLE vectors by exact L2 (self excluded) — what a
+    // brute-force scan of the predicate's survivors would return.
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = rows.filter(_._1 < 20).flatMap { case (q, qv, _) =>
+      eligible.filter(_._1 != q)
+        .map { case (v, vv, _) => (v, d2(qv, vv)) }
+        .sortBy { case (v, d) => (d, v) }.take(5)
+        .map { case (v, _) => (q, v) }
+    }.toSet
+
+    val got = SparkEntry.queries("vec_pq_probe_filtered")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // (a) the predicate holds on every returned hit — post-hoc
+    // filtering could not have produced an ineligible row, but a
+    // broken gate would.
+    val eligibleIds = eligible.map(_._1).toSet
+    got.foreach { case (q, v) =>
+      assert(eligibleIds.contains(v), s"hit ($q, $v) violates the label=$lbl predicate")
+    }
+    // (b) recall@5 vs the exact filtered ranking: nprobe=4 of Kc=16
+    // cells reads a quarter of the index biased toward the query's
+    // neighborhood, so recall sits well above 4/16 but below full-ADC.
+    val recall = got.count(exact.contains).toDouble / exact.size
+    info(s"filtered-probe recall@5 over 20 queries: $recall")
+    assert(recall >= 0.2, s"filtered-probe recall $recall below the nprobe statistical floor")
+    // (c) the plan stacks the prunings: ccid directory pruning on the
+    // codes scan AND the label predicate pushed into the metadata scan.
+    val plan = ops.Vectors.pqProbeFiltered(spark, sf, lbl, 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("ccid") && l.contains("dynamicpruning")),
+      s"filtered probe lost the ccid directory pruning:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(label,3)")),
+      s"label predicate not pushed to the embeddings scan:\n$plan")
+  }
 }

@@ -150,6 +150,44 @@ class Sf1WitnessSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       f"warm probe grew ${p1 / math.max(p01, 0.2)}%.1fx over the 10x step — the serve path is not holding")
   }
 
+  /** Row-level-operation family at sf1 (r13, the r12 verdict's item 5):
+    * the partitioned MERGE's copy-on-write cost must scale with the
+    * MATCHED partitions, not the table — GenSf1 keeps order DATES
+    * unchanged while rows grow 10×, so the month-partition domain and
+    * the 1998 matched-month set are identical at both tiers, and the
+    * runtime group filter must replace exactly that many groups at
+    * each. The ledger rows record the wall-clock alongside.
+    */
+  test("sql_merge_into_partitioned: replaced groups == matched months at sf1 (COW ∝ matched partitions)") {
+    assume(ready.isDefined, "GRAFT_SF1_DIR not set or fixture incomplete — run graft.GenSf1 first")
+    val d1 = ready.get
+    assume(new java.io.File(s"$d1/orders.parquet").exists(),
+      "sf1 fixture predates the r13 orders table — re-run graft.GenSf1")
+    import org.apache.spark.sql.functions._
+    val storeKey = "graft_mem staging merge_part"
+    def matchedMonths(dir: String): Long = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(2)) === 0 && year(col("o_orderdate")) === 1998)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("mo"))
+      .distinct().count()
+    def runAndAudit(dir: String): (Double, Int) = {
+      val fn = SparkEntry.queries("sql_merge_into_partitioned")
+      fn(spark, dir).count() // warm
+      val t0 = System.nanoTime(); fn(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9,
+        graft.sources.MemCatalog.lastReplacedGroups.get(storeKey))
+    }
+    val (t01, g01) = runAndAudit(sf01)
+    val (t1, g1) = runAndAudit(d1)
+    val (m01, m1) = (matchedMonths(sf01), matchedMonths(d1))
+    ledger += (("sql_merge_into_partitioned", "10x", t01, t1))
+    info(f"sf0.1: $t01%.2f s, $g01 groups replaced ($m01 matched months); " +
+      f"sf1: $t1%.2f s, $g1 groups replaced ($m1 matched months)")
+    assert(m1 == m01, "GenSf1 changed the month domain — the witness premise broke")
+    assert(g01.toLong == m01 && g1.toLong == m1,
+      s"COW replaced ($g01, $g1) groups; expected the matched-month counts ($m01, $m1) " +
+        "at both tiers — group filtering is not holding at sf1")
+  }
+
   /** The COMPOSED embedding-side ops (r11, the r10 verdict's item 7):
     * their stages (SRP candidates, exact verify, CC / mutual top-k) are
     * witnessed individually above and in the srp test below; these two

@@ -77,9 +77,23 @@ class WedgeSkewSpec extends SparkSpec {
       s"salting did not bound the hub task: maxSalted=$maxSalted maxPlain=$maxPlain")
   }
 
-  test("graph_adamic_adar_salted equals graph_adamic_adar on the fixture (twin-key contract)") {
-    val a = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect().map(_.toSeq).toSet
-    val b = SparkEntry.queries("graph_adamic_adar_salted")(spark, sf).collect().map(_.toSeq).toSet
-    assert(a == b, "salted twin diverged from the plain key")
+  test("folded graph_adamic_adar (salted plan) equals the plain-wedge computation on the fixture") {
+    // r13 folded the salted plan into the key proper; this re-derives
+    // the score from the PLAIN self-join over the same fixture edges —
+    // the r12 twin-key contract, kept as a spec.
+    import graft.ops.parity.{dec, r6}
+    val edges = ops.Clusters.copurchaseEdges(spark, sf)
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val plain = plainWedges(sym)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"),
+        sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
+      .filter(col("shared") >= 3)
+      .select(col("a").as("u"), col("b").as("v"), col("shared"),
+        col("aa").cast("double").as("adamic_adar"))
+      .collect().map(_.toSeq).toSet
+    val key = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect().map(_.toSeq).toSet
+    assert(key == plain, "folded salted key diverged from the plain-wedge computation")
+    assert(key.nonEmpty, "fixture produced no candidate pairs — the spec is vacuous")
   }
 }
