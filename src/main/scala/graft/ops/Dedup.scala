@@ -773,31 +773,44 @@ object Dedup extends OpGroup {
     * Masks are ALWAYS array<long> (never the width-1 scalar shortcut):
     * the persisted schema must not depend on the vocabulary size.
     */
-  private[graft] def lshIndexFresh(s: SparkSession, sf: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** The 16-sig / 4-band md5 band-key relation of a (doc_id, word)
+    * token relation — shared by the base build, the probe's batch side,
+    * and the r13 ingest append (one signature definition, three
+    * consumers; the md5 form is the oracle-portable one).
+    */
+  private def bandKeys(tok: DataFrame): DataFrame = {
     val K = 16; val R = 4; val B = K / R
-    val baseTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 0)
     val sigCols = (0 until K).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
-    val sigs = baseTok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until B).map(b =>
-        md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*))): _*))
-        .as(Seq("band_idx", "bkey")))
-    // word→bit dictionary over the BASE vocabulary — deterministic global
-    // numbering via range-partition + sort + zipWithIndex (the tokenMasks
-    // stability discipline; no single-partition stage, no forced
-    // broadcast anywhere downstream).
-    val vocab = {
-      val distinctWords = baseTok.select("word").distinct()
-        .repartitionByRange(col("word")).sortWithinPartitions("word")
-      val schema = distinctWords.schema.add("bit", org.apache.spark.sql.types.LongType)
-      s.createDataFrame(
-        distinctWords.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-        },
-        schema)
-    }
+    tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until B).map(b =>
+          md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*))): _*))
+          .as(Seq("band_idx", "bkey")))
+  }
+
+  /** Deterministic word→bit numbering starting at `offset`: the
+    * tokenMasks stability discipline (range-partition + sort +
+    * zipWithIndex — no single-partition stage). offset > 0 is the r13
+    * append path extending a base dictionary append-only.
+    */
+  private def numberWords(s: SparkSession, words: DataFrame, offset: Long): DataFrame = {
+    val distinctWords = words.select("word").distinct()
+      .repartitionByRange(col("word")).sortWithinPartitions("word")
+    val schema = distinctWords.schema.add("bit", org.apache.spark.sql.types.LongType)
+    s.createDataFrame(
+      distinctWords.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (offset + i))
+      },
+      schema)
+  }
+
+  private[graft] def lshIndexFresh(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val baseTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 0)
+    val bands = bandKeys(baseTok)
+    // word→bit dictionary over the BASE vocabulary.
+    val vocab = numberWords(s, baseTok, 0L)
     (bands, lshMasks(baseTok, vocab), vocab)
   }
 
@@ -858,17 +871,12 @@ object Dedup extends OpGroup {
     * ≥ 0.9 verify runs on candidates only.
     */
   private[graft] def lshProbe(s: SparkSession, sf: String,
-      index: (DataFrame, DataFrame, DataFrame)): DataFrame = {
-    val K = 16; val R = 4; val B = K / R
+      index: (DataFrame, DataFrame, DataFrame),
+      excludeSelf: Boolean = false): DataFrame = {
+    val B = 4
     val (idxBands, idxMasks, vocab) = index
     val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
-    val sigCols = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
-    val batchBands = batchTok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until B).map(b =>
-          md5(concat_ws("|", (0 until R).map(r => col(s"s${b * R + r}")): _*))): _*))
-          .as(Seq("band_idx", "bkey")))
+    val batchBands = bandKeys(batchTok)
     // Candidates per band: the persisted index is PARTITIONED by
     // band_idx (lshPersistedIndex), so probing band b reads only its
     // directory — static PartitionFilters, not a full-index scan per
@@ -890,21 +898,30 @@ object Dedup extends OpGroup {
         else { Vectors.releaseCheckpoint(built); raced }
       }
     }
-    val cand = (0 until B).map { b =>
+    val candRaw = (0 until B).map { b =>
       batchB.filter(col("band_idx") === b)
         .select(col("doc_id").as("batch_doc_id"), col("bkey"))
         .join(idxBands.filter(col("band_idx") === b)
             .select(col("doc_id").as("base_doc_id"), col("bkey")),
           Seq("bkey"))
         .select("batch_doc_id", "base_doc_id")
-    }.reduce(_.union(_)).distinct()
+    }.reduce(_.union(_))
+    // excludeSelf: against the r13 APPEND-maintained index the batch's
+    // own docs are index members — a probe must not report a doc as its
+    // own duplicate.
+    val cand = (if (excludeSelf) candRaw.filter(col("batch_doc_id") =!= col("base_doc_id"))
+                else candRaw).distinct()
     val bm = lshMasks(batchTok, vocab)
       .select(col("doc_id").as("batch_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
     val im = idxMasks
       .select(col("doc_id").as("base_doc_id"), col("mask").as("b_mask"), col("n").as("b_n"))
+    // coalesce: mask widths can differ across index GENERATIONS (the
+    // r13 append extends the dictionary, so later masks may be wider);
+    // zip_with pads the shorter array with nulls, and a null word holds
+    // no bits.
     cand.join(bm, "batch_doc_id").join(im, "base_doc_id")
       .withColumn("i",
-        expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"))
+        expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(coalesce(x, 0L) & coalesce(y, 0L))), 0, (acc, v) -> acc + v)"))
       .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.9)
       .select(col("batch_doc_id"), col("base_doc_id"),
         r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))).as("jaccard"))
@@ -916,6 +933,97 @@ object Dedup extends OpGroup {
     * the candidate set engine-portable, and the verify is the exact
     * set-Jaccard DuckDB computes from the raw text.
     */
+  /** Fingerprint-keyed home of the APPEND-maintained index (r13) — a
+    * SEPARATE lineage from [[lshIndexDir]]'s build-once index: this one
+    * is mutated by ingest appends, so the reload key's artifacts stay
+    * pristine.
+    */
+  private[graft] def lshAppendDir(s: SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index_app",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "documents"))
+
+  /** INCREMENTAL INDEX MAINTENANCE (r13) — the third act of the
+    * build-once / serve-many lifecycle: a daily-ingest batch (the odd
+    * parity) is APPENDED into the persisted index instead of
+    * triggering a rebuild. Maintenance cost is O(batch), never
+    * O(index):
+    *  - the batch's band rows land as NEW FILES inside the existing
+    *    band_idx=b directories (mode append; the partition layout and
+    *    every base file survive byte-for-byte — LshIndexSpec asserts
+    *    the original file set is untouched);
+    *  - the word→bit dictionary EXTENDS append-only (new words numbered
+    *    after the base count via the same deterministic
+    *    range-partition + zipWithIndex discipline), so every base mask
+    *    stays valid bit-for-bit while batch-only words still get bits —
+    *    without this, two ingest docs sharing an out-of-base-vocab word
+    *    would undercount their intersection (the base-era "OOV is never
+    *    shared" invariant stops holding the moment ingested docs become
+    *    index members);
+    *  - batch masks are built against the extended dictionary and may
+    *    be WIDER than base-generation masks (width = ceil(|vocab|/64)
+    *    at write time); the probe popcount coalesces the zip_with tail.
+    * Idempotent via a marker file: re-invocations serve the appended
+    * artifacts without re-ingesting.
+    */
+  /** Generation 0 of the append-maintained index: the base
+    * (even-parity) build in the reload-key layout, written once.
+    * Returns the index dir (the seam LshIndexSpec uses to snapshot the
+    * base file set before an append).
+    */
+  private[graft] def lshAppendBase(s: SparkSession, sf: String): String = {
+    val dir = lshAppendDir(s, sf)
+    val parts = Seq("bands", "masks", "vocab")
+    if (!parts.forall(p => new java.io.File(s"$dir/$p", "_SUCCESS").exists())) {
+      val (bands, masks, vocab) = lshIndexFresh(s, sf)
+      bands.write.mode("overwrite").partitionBy("band_idx").parquet(s"$dir/bands")
+      masks.write.mode("overwrite").parquet(s"$dir/masks")
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    }
+    dir
+  }
+
+  private[graft] def lshAppendedIndex(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = lshAppendBase(s, sf)
+    val marker = new java.io.File(dir, "_APPENDED")
+    if (!marker.exists()) {
+      // Generation 1: ingest the odd-parity batch.
+      val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
+      val baseVocab = s.read.parquet(s"$dir/vocab")
+      val baseBits = baseVocab.count() // bounded: one scalar, the dictionary size
+      numberWords(s,
+        batchTok.join(baseVocab.select("word"), Seq("word"), "left_anti"),
+        baseBits)
+        .write.mode("append").parquet(s"$dir/vocab")
+      val vocabAll = s.read.parquet(s"$dir/vocab")
+      bandKeys(batchTok).write.mode("append").partitionBy("band_idx").parquet(s"$dir/bands")
+      lshMasks(batchTok, vocabAll).write.mode("append").parquet(s"$dir/masks")
+      marker.createNewFile(): Unit
+    }
+    (s.read.parquet(s"$dir/bands"),
+      s.read.parquet(s"$dir/masks"),
+      s.read.parquet(s"$dir/vocab"))
+  }
+
+  /** The keyed op: append the ingest batch into the persisted index,
+    * then probe that SAME batch against the appended index — each
+    * ingest doc's near-dups among EVERYTHING indexed so far, base and
+    * already-ingested peers alike (self excluded). This is the shape a
+    * rolling dedup pipeline actually runs: ingest, then ask "what did
+    * today's batch duplicate". ORACLED end-to-end like the reload key
+    * (portable md5 band keys; candidates = band-key collisions with the
+    * batch side odd and self excluded, verify = exact set-Jaccard).
+    */
+  private val minhashIndexAppend = Op(
+    "dedup_minhash_index_append",
+    (s, sf) => lshProbe(s, sf, lshAppendedIndex(s, sf), excludeSelf = true)
+      .withColumnRenamed("base_doc_id", "other_doc_id")
+      .orderBy("batch_doc_id", "other_doc_id"),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
+  )
+
   private val minhashIndexReload = Op(
     "dedup_minhash_index_reload",
     (s, sf) => lshProbe(s, sf, lshPersistedIndex(s, sf))
@@ -974,5 +1082,5 @@ object Dedup extends OpGroup {
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
     ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
-    bloomPrefilter, minhashIndexReload, shingleMinhash)
+    bloomPrefilter, minhashIndexReload, minhashIndexAppend, shingleMinhash)
 }

@@ -62,4 +62,72 @@ class LshIndexSpec extends SparkSpec {
     assert(dir.contains(Tables.fingerprint(sf, "documents")),
       "index dir is not fingerprint-keyed — a regenerated corpus would serve stale bands")
   }
+
+  test("append-maintained index: O(batch) ingest, base files untouched, OOV words get bits (r13)") {
+    import spark.implicits._
+    // Crafted corpus: evens are the base, odds the ingest batch.
+    // doc 1 duplicates base doc 0; docs 3 and 5 duplicate EACH OTHER
+    // through words absent from the whole base vocabulary — the pair
+    // only verifies if the append extends the word→bit dictionary
+    // (base-era masks would give them intersection 0).
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_app_fix").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // 70 ingest-only words: extended vocab = 16 + 70 = 86 bits, so
+      // batch masks are TWO longs wide against one-long base masks —
+      // the probe's coalesce'd popcount handles the generation gap.
+      (3L, (1 to 70).map("q" + _).mkString(" ")),
+      (5L, (1 to 70).map("q" + _).mkString(" ")),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("fix"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def files(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+
+    // Base generation, then snapshot its data files.
+    val idxDir = ops.Dedup.lshAppendBase(spark, dir)
+    val before = files(idxDir)
+    assert(before.nonEmpty, "base build produced no data files")
+
+    val got = SparkEntry.queries("dedup_minhash_index_append")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((1L, 0L, 1.0), (3L, 5L, 1.0), (5L, 3L, 1.0)),
+      s"appended-index probe returned ${got.mkString(",")} — expected the base dup " +
+        "(1,0) and the OOV-word ingest pair (3,5)/(5,3) at jaccard 1.0")
+
+    // O(batch) maintenance: every base file survives IDENTICALLY (the
+    // append only added files) and each band directory gained rows.
+    val after = files(idxDir)
+    before.foreach { case (p, len) =>
+      assert(after.get(p).contains(len), s"append rewrote base file $p")
+    }
+    assert(after.size > before.size, "append added no data files")
+    // Dictionary extension is append-only: base words keep their bits.
+    val vocab = spark.read.parquet(s"$idxDir/vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("q1") >= 16, "ingest-only word numbered inside the base bit range")
+    assert(vocab.size == 86, s"expected 16 base + 70 ingest words, got ${vocab.size}")
+    assert(vocab.values.toSeq.distinct.size == vocab.size, "bit collision after append")
+
+    // Idempotent serve: a second invocation answers from the marker,
+    // with the same result and no vocabulary growth.
+    val again = SparkEntry.queries("dedup_minhash_index_append")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSet == got.toSet, "re-invocation changed the appended-index answer")
+    assert(spark.read.parquet(s"$idxDir/vocab").count() == vocab.size.toLong,
+      "re-invocation re-ingested the batch (vocab grew)")
+    Tables.rmTree(new java.io.File(dir))
+  }
 }
