@@ -52,13 +52,13 @@ object ImageIoPng {
     * magic check, so the chain costs one byte-compare per miss.
     */
   def decodeAny(b: Array[Byte]): Option[Bmp.Image] =
-    Bmp.decode(b).orElse(decode(b))
+    Bmp.decode(b).orElse(decode(b)).orElse(decodeJpeg(b))
 
   /** Deterministic PNG from seed bytes — the SAME dimensions and pixel
     * formula as [[Bmp.synthesize]], losslessly encoded, so decoded
     * pixels are bit-identical across the two containers.
     */
-  def synthesize(seed: Long, src: Array[Byte]): Array[Byte] = {
+  private def paint(seed: Long, src: Array[Byte]): java.awt.image.BufferedImage = {
     val width = 8 + (math.abs(seed) % 24).toInt
     val height = 8 + (src.length % 24)
     val l = math.max(src.length, 1)
@@ -77,8 +77,56 @@ object ImageIoPng {
       }
       y += 1
     }
+    img
+  }
+
+  def synthesize(seed: Long, src: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(paint(seed, src), "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG signature: FF D8 FF (SOI + first marker byte). */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** JPEG via the SAME JDK codec (r13 — the dominant web-image format,
+    * previously listed as an absence): decode sniffs the SOI signature
+    * and rejects anything ImageIO cannot fully parse, the PNG
+    * discipline. JPEG is LOSSY, so unlike PNG/BMP the decoded pixels
+    * are NOT bit-identical to the painted formula — the cross-format
+    * invariant is statistical (JpegSpec: per-image luma mean within
+    * tolerance of the lossless twin), never exact, and downstream
+    * features are deterministic per payload bytes.
+    */
+  def decodeJpeg(b: Array[Byte]): Option[Bmp.Image] = {
+    if (!isJpeg(b)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = img.getRGB(x, y) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Bmp.Image(w, h, px))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic JPEG from seed bytes — the same painted pixels as
+    * [[synthesize]]/[[Bmp.synthesize]], lossy-encoded by the JDK codec.
+    */
+  def synthesizeJpeg(seed: Long, src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(paint(seed, src), "jpg", out)
     out.toByteArray
   }
 

@@ -217,48 +217,88 @@ object Multimodal extends OpGroup {
         .as[(Long, Array[Byte])]
       src.mapPartitions { it =>
         it.flatMap { case (docId, bytes) =>
-          // Both image containers flow through the one feature pipeline
-          // (PNG odd / BMP even, r11); the pixel formula is identical so
-          // features are format-invariant (PngSpec).
-          ImageIoPng.decodeAny(ImageIoPng.imagePayload(docId, bytes)).map { img =>
-            val w = img.width; val h = img.height
-            val luma = new Array[Double](w * h)
-            var i = 0
-            while (i < luma.length) {
-              val p = img.pixels(i)
-              luma(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-                0.114 * (p & 0xff)
-              i += 1
-            }
-            val n = luma.length
-            val mean = luma.sum / n
-            val varr = luma.iterator.map(v => (v - mean) * (v - mean)).sum / n
-            var grad = 0.0; var edges = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = luma(y * w + x)
-                if (x + 1 < w) { grad += math.abs(luma(y * w + x + 1) - v); edges += 1 }
-                if (y + 1 < h) { grad += math.abs(luma((y + 1) * w + x) - v); edges += 1 }
-                x += 1
-              }
-              y += 1
-            }
-            val hist = new Array[Long](16)
-            i = 0
-            while (i < n) {
-              hist(math.min((luma(i) / 16).toInt, 15)) += 1
-              i += 1
-            }
-            val ent = -hist.iterator.filter(_ > 0).map { c =>
-              val q = c.toDouble / n
-              q * math.log(q)
-            }.sum
-            def r3(v: Double): Double = math.rint(v * 1000) / 1000
-            (docId, w, h, r3(mean), r3(varr),
-              r3(if (edges == 0) 0.0 else grad / edges), r3(ent))
-          }
+          // Both lossless image containers flow through the one feature
+          // pipeline (PNG odd / BMP even, r11); the pixel formula is
+          // identical so features are format-invariant (PngSpec).
+          ImageIoPng.decodeAny(ImageIoPng.imagePayload(docId, bytes))
+            .map(img => lumaFeatureRow(docId, img))
+        }
+      }.toDF("doc_id", "width", "height", "mean_luma", "luma_var",
+          "edge_energy", "luma_entropy")
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
+  /** BT.601 luma screening features of one decoded image — shared by
+    * the lossless (PNG/BMP) feature op and the lossy JPEG one (r13):
+    * luma variance, mean absolute neighbor gradient, 16-bin histogram
+    * entropy (nats), 3-decimal rounded.
+    */
+  private def lumaFeatureRow(docId: Long, img: Bmp.Image)
+      : (Long, Int, Int, Double, Double, Double, Double) = {
+    val w = img.width; val h = img.height
+    val luma = new Array[Double](w * h)
+    var i = 0
+    while (i < luma.length) {
+      val p = img.pixels(i)
+      luma(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+      i += 1
+    }
+    val n = luma.length
+    val mean = luma.sum / n
+    val varr = luma.iterator.map(v => (v - mean) * (v - mean)).sum / n
+    var grad = 0.0; var edges = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = luma(y * w + x)
+        if (x + 1 < w) { grad += math.abs(luma(y * w + x + 1) - v); edges += 1 }
+        if (y + 1 < h) { grad += math.abs(luma((y + 1) * w + x) - v); edges += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val hist = new Array[Long](16)
+    i = 0
+    while (i < n) {
+      hist(math.min((luma(i) / 16).toInt, 15)) += 1
+      i += 1
+    }
+    val ent = -hist.iterator.filter(_ > 0).map { c =>
+      val q = c.toDouble / n
+      q * math.log(q)
+    }.sum
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    (docId, w, h, r3(mean), r3(varr),
+      r3(if (edges == 0) 0.0 else grad / edges), r3(ent))
+  }
+
+  /** JPEG FEATURES (r13) — the dominant web-image format joins the
+    * family as a REAL codec path (the JDK's own javax.imageio JPEG
+    * coder, offline; previously a documented absence): the same image
+    * docs synthesize deterministic JPEG payloads, decode through the
+    * SOI-sniffing parser, and reduce to the shared luma screening
+    * features. JPEG is lossy, so the features are close-but-not-equal
+    * to the lossless twins — JpegSpec pins the statistical invariant
+    * (per-image luma mean within tolerance of the PNG/BMP decode of the
+    * same painted pixels), byte-determinism, and the quarantine path
+    * (truncated payloads reject, never throw).
+    */
+  private val jpegFeatures = Op(
+    "mm_jpeg_features",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.spread(s, Tables.documents(s, sf))
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          ImageIoPng.decodeJpeg(ImageIoPng.synthesizeJpeg(docId, bytes))
+            .map(img => lumaFeatureRow(docId, img))
         }
       }.toDF("doc_id", "width", "height", "mean_luma", "luma_var",
           "edge_energy", "luma_entropy")
@@ -500,6 +540,6 @@ object Multimodal extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
-    imageFeatures, byteStats, chunkDedup, phashHamming, imageQuarantine,
-    audioVad)
+    imageFeatures, jpegFeatures, byteStats, chunkDedup, phashHamming,
+    imageQuarantine, audioVad)
 }
