@@ -765,6 +765,86 @@ object Vectors extends OpGroup {
     None,
   )
 
+  /** Fingerprint-keyed home of the APPEND-maintained IVFADC index (r13)
+    * — the vector dual of the text index's `dedup_minhash_index_append`
+    * lineage, separate from [[pqIndexDir]] so the reload key's
+    * artifacts stay pristine.
+    */
+  private[graft] def pqAppendDir(s: SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "embeddings"))
+
+  /** FROZEN-MODEL INDEX GROWTH (r13): production vector indexes retrain
+    * the quantizer rarely and ENCODE daily — the model (coarse cells +
+    * residual codebooks) is a fixed artifact, the codes relation is the
+    * thing that grows. Generation 0 persists the trained model plus the
+    * EVEN-parity vectors' codes (cell-partitioned, the serve layout);
+    * the append encodes the ODD-parity batch with the RELOADED model —
+    * never a training pass — and appends its codes as new files inside
+    * the existing ccid=… directories. Growth cost is O(batch) encode +
+    * append; the model files and every base code file survive untouched
+    * (PqIndexSpec asserts the file set). Because the model is the same
+    * deterministic artifact the reload key persists, the appended
+    * index's membership converges to ALL vectors and the probe must
+    * equal `vec_pq_index_reload`'s answer ROW-FOR-ROW — the spec's
+    * append ≡ rebuild contract, for free from determinism.
+    */
+  /** Generation 0: the frozen model + even-parity codes (the seam
+    * PqIndexSpec snapshots before asserting the append leaves it
+    * untouched).
+    */
+  private[graft] def pqAppendBase(s: SparkSession, sf: String): String = {
+    val dir = pqAppendDir(s, sf)
+    val parts = Seq("coarse", "codebook", "codes")
+    if (!parts.forall(p => new java.io.File(s"$dir/$p", "_SUCCESS").exists())) {
+      val (coarse, sub, cb) = pqModel(s, sf)
+      coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+      cb.write.mode("overwrite").parquet(s"$dir/codebook")
+      pqNearest(sub, cb)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+        .write.mode("overwrite").partitionBy("ccid").parquet(s"$dir/codes")
+    }
+    dir
+  }
+
+  private[graft] def pqAppendedIndex(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = pqAppendBase(s, sf)
+    val marker = new java.io.File(dir, "_APPENDED")
+    if (!marker.exists()) {
+      // Encode the ingest batch with the PERSISTED model — the frozen
+      // artifact, not the in-session memo (a cold session appends from
+      // files alone; no training counter movement, spec-pinned).
+      val coarseR = s.read.parquet(s"$dir/coarse")
+      val cbR = s.read.parquet(s"$dir/codebook")
+      pqNearest(pqSubvectors(s, sf, coarseR), cbR)
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+        .write.mode("append").partitionBy("ccid").parquet(s"$dir/codes")
+      marker.createNewFile(): Unit
+    }
+    (s.read.parquet(s"$dir/coarse"),
+      s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/codes"))
+  }
+
+  /** The keyed op: serve `vec_pq_adc_probe`'s nprobe=4 query path from
+    * the append-grown index. No oracle (trained quantizer); PqIndexSpec
+    * pins probe ≡ the reload key's full-index answer row-for-row, the
+    * untouched base file set, and the zero-training cold append.
+    */
+  private val pqIndexAppend = Op(
+    "vec_pq_index_append",
+    (s, sf) => {
+      val (coarse, cb, codes) = pqAppendedIndex(s, sf)
+      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+    },
+    None,
+  )
+
   /** PQ ADC with a FIXED codebook (r7) — the same encode → code →
     * table-lookup → top-k arithmetic as vec_pq_adc_topk, but over a
     * deterministic integer-arithmetic codebook (cv(m, cid, pos) =
@@ -1463,6 +1543,6 @@ object Vectors extends OpGroup {
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload, pqProbeFilteredOp, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
+    pqIndexReload, pqProbeFilteredOp, pqIndexAppend, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
     recallSignVsExact, normAudit, dupExact)
 }

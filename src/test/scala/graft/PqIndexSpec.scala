@@ -98,4 +98,45 @@ class PqIndexSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("EqualTo(label,3)")),
       s"label predicate not pushed to the embeddings scan:\n$plan")
   }
+
+  test("vec_pq_index_append: frozen-model growth ≡ the full-index reload answer, base files untouched (r13)") {
+    // The full-index reference (builds the reload artifacts if needed).
+    val full = SparkEntry.queries("vec_pq_index_reload")(spark, sf).collect().toSet
+
+    // Clean append lineage: generation 0 (model + even codes), snapshot.
+    Tables.rmTree(new java.io.File(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app"))
+    val dir = ops.Vectors.pqAppendBase(spark, sf)
+    def files(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = files(dir)
+    val evenCodes = spark.read.parquet(s"$dir/codes").count()
+
+    // The append must not train: the model is the frozen artifact.
+    val trainsBefore = ops.Vectors.pqTrainCounter.get()
+    val got = SparkEntry.queries("vec_pq_index_append")(spark, sf).collect().toSet
+    assert(ops.Vectors.pqTrainCounter.get() == trainsBefore,
+      "appending the batch re-entered the training loop — the model is not frozen")
+
+    // append ≡ rebuild: membership converges to all vectors encoded by
+    // the same deterministic model, so the probe answers must be
+    // row-identical to the reload key's.
+    assert(got == full, "append-grown index diverged from the full-index reload answer")
+
+    // O(batch) growth: base model + code files byte-stable, codes grew.
+    val after = files(dir)
+    before.foreach { case (p, len) =>
+      assert(after.get(p).contains(len), s"append rewrote base file $p")
+    }
+    assert(spark.read.parquet(s"$dir/codes").count() > evenCodes,
+      "append added no code rows")
+    // Idempotent serve via the marker.
+    val again = SparkEntry.queries("vec_pq_index_append")(spark, sf).collect().toSet
+    assert(again == got, "re-invocation changed the appended-index answer")
+  }
 }
