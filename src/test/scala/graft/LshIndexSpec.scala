@@ -115,7 +115,9 @@ class LshIndexSpec extends SparkSpec {
     }
     assert(after.size > before.size, "append added no data files")
     // Dictionary extension is append-only: base words keep their bits.
-    val vocab = spark.read.parquet(s"$idxDir/vocab").collect()
+    // (r14: the ingest generation lives in its own committed gen1 dir;
+    // the serve path unions the two generation roots.)
+    val vocab = ops.Dedup.lshAppendedPart(spark, idxDir, "vocab").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(vocab("q1") >= 16, "ingest-only word numbered inside the base bit range")
     assert(vocab.size == 86, s"expected 16 base + 70 ingest words, got ${vocab.size}")
@@ -126,8 +128,37 @@ class LshIndexSpec extends SparkSpec {
     val again = SparkEntry.queries("dedup_minhash_index_append")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSet == got.toSet, "re-invocation changed the appended-index answer")
-    assert(spark.read.parquet(s"$idxDir/vocab").count() == vocab.size.toLong,
+    assert(ops.Dedup.lshAppendedPart(spark, idxDir, "vocab").count() == vocab.size.toLong,
       "re-invocation re-ingested the batch (vocab grew)")
+
+    // CRASH-RETRY NEGATIVE TEST (r14, the r13 verdict's item 1): kill
+    // the ingest "between the write and the commit" — i.e. leave a
+    // fully-staged-but-uncommitted (and here: poisoned) staging dir —
+    // and prove the retry does NOT double-append. Under the r13
+    // mode("append")+marker protocol this exact state re-appended the
+    // batch into the live dirs; under the staged-rename protocol the
+    // retry must (a) leave every base file untouched, (b) discard the
+    // orphaned staging wholesale, (c) restage exactly once.
+    Tables.rmTree(new java.io.File(idxDir, "gen1"))
+    import spark.implicits._
+    val staging = new java.io.File(idxDir, ".gen1.staging")
+    Seq(("POISON", 16L), ("POISON2", 16L)) // duplicate bit = the corruption double-append causes
+      .toDF("word", "bit").write.mode("overwrite").parquet(s"$staging/vocab")
+    val afterCrash = files(idxDir).filter(!_._1.contains(".gen1.staging"))
+    before.foreach { case (p, len) =>
+      assert(afterCrash.get(p).contains(len),
+        s"the interrupted ingest mutated base file $p — the live tree must never be written mid-flight")
+    }
+    val recovered = SparkEntry.queries("dedup_minhash_index_append")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(recovered.toSet == got.toSet, "retry after the simulated crash changed the answer")
+    assert(!staging.exists(), "retry left the crashed staging dir behind")
+    val vocab2 = ops.Dedup.lshAppendedPart(spark, idxDir, "vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(!vocab2.exists(_._1.startsWith("POISON")),
+      "retry resumed the crashed staging instead of discarding it")
+    assert(vocab2.length == 86 && vocab2.map(_._2).distinct.length == 86,
+      s"retry double-appended: ${vocab2.length} vocab rows / ${vocab2.map(_._2).distinct.length} distinct bits (want 86/86)")
     Tables.rmTree(new java.io.File(dir))
   }
 }

@@ -105,7 +105,7 @@ class PqIndexSpec extends SparkSpec {
 
     // Clean append lineage: generation 0 (model + even codes), snapshot.
     Tables.rmTree(new java.io.File(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app"))
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app_g"))
     val dir = ops.Vectors.pqAppendBase(spark, sf)
     def files(root: String): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -133,10 +133,34 @@ class PqIndexSpec extends SparkSpec {
     before.foreach { case (p, len) =>
       assert(after.get(p).contains(len), s"append rewrote base file $p")
     }
-    assert(spark.read.parquet(s"$dir/codes").count() > evenCodes,
+    assert(ops.Vectors.pqAppendedCodes(spark, dir).count() > evenCodes,
       "append added no code rows")
-    // Idempotent serve via the marker.
+    // Idempotent serve via the committed gen1 directory.
     val again = SparkEntry.queries("vec_pq_index_append")(spark, sf).collect().toSet
     assert(again == got, "re-invocation changed the appended-index answer")
+
+    // CRASH-RETRY NEGATIVE TEST (r14, the r13 verdict's item 1): leave
+    // a staged-but-uncommitted POISONED generation (a full copy of the
+    // base codes — exactly what a resumed/double append would inject:
+    // duplicate (vec_id,ccid,m,cid) rows that double adc_d2 in the
+    // probe's sum) and prove the retry discards it and restages
+    // exactly-once membership.
+    Tables.rmTree(new java.io.File(dir, "gen1"))
+    val staging = new java.io.File(dir, ".gen1.staging")
+    spark.read.parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("ccid").parquet(s"$staging/codes")
+    val recovered = SparkEntry.queries("vec_pq_index_append")(spark, sf).collect().toSet
+    assert(recovered == got, "retry after the simulated crash changed the probe answer")
+    assert(!staging.exists(), "retry left the crashed staging dir behind")
+    val codes = ops.Vectors.pqAppendedCodes(spark, dir)
+    val dups = codes.groupBy("vec_id", "m").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dups == 0, s"retry double-appended: $dups duplicate (vec_id, m) code rows")
+    // And the base generation is still byte-identical.
+    val afterCrash = files(dir).filter(!_._1.contains(".gen1.staging"))
+    before.foreach { case (p, len) =>
+      assert(afterCrash.get(p).contains(len),
+        s"the interrupted ingest mutated base file $p")
+    }
   }
 }
