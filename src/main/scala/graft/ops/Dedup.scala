@@ -1054,6 +1054,54 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
+  /** INDEX COMPACTION (r14, the r13 verdict's item 2) — the FOURTH
+    * lifecycle act (build → serve → append → compact): each ingest
+    * generation adds small files per band_idx directory, and after ~365
+    * daily appends a probe would read thousands of tiny files per
+    * partition. Compaction rewrites the appended index into right-sized
+    * files — ONE file per band_idx partition here (repartition on the
+    * partition column routes each band wholly to one writer task; the
+    * production knob is files-per-partition targeted at a byte size via
+    * repartition(N, col) or maxRecordsPerFile) — and is CONTENT-NEUTRAL:
+    * the probe's answer over the compacted index is row-identical to
+    * the appended one (LshCompactSpec pins equality, the file-count
+    * drop, and that compaction is itself crash-safe: staged whole,
+    * committed by one atomic rename, generations it read left intact
+    * for the vacuum step to retire).
+    */
+  private[graft] def lshCompactedIndex(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    lshAppendedIndex(s, sf) // ensure gen1 is committed first
+    val dir = lshAppendDir(s, sf)
+    Tables.commitStaged(dir, "compact") { tmp =>
+      lshAppendedPart(s, dir, "bands").repartition(col("band_idx"))
+        .write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
+      // Masks/vocab are unpartitioned; the fixture-right size is one
+      // file (at scale: bytes-targeted file count, same knob as above).
+      lshAppendedPart(s, dir, "masks").repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/masks")
+      lshAppendedPart(s, dir, "vocab").repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/vocab")
+    }
+    (s.read.parquet(s"$dir/compact/bands"),
+      s.read.parquet(s"$dir/compact/masks"),
+      s.read.parquet(s"$dir/compact/vocab"))
+  }
+
+  /** The keyed op: compact the append-aged index, then run the append
+    * key's exact probe against the compacted artifacts — same answer
+    * (content-neutral compaction), same DuckDB oracle, and the probe now
+    * scans one right-sized file per band directory with single-root
+    * partition pruning restored.
+    */
+  private val minhashIndexCompact = Op(
+    "dedup_minhash_index_compact",
+    (s, sf) => lshProbe(s, sf, lshCompactedIndex(s, sf), excludeSelf = true)
+      .withColumnRenamed("base_doc_id", "other_doc_id")
+      .orderBy("batch_doc_id", "other_doc_id"),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
+  )
+
   private val minhashIndexReload = Op(
     "dedup_minhash_index_reload",
     (s, sf) => lshProbe(s, sf, lshPersistedIndex(s, sf))
@@ -1112,5 +1160,6 @@ object Dedup extends OpGroup {
   val ops: Seq[Op] = Seq(exactHash, canonicalHashSorted, jaccardPairs,
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
     ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
-    bloomPrefilter, minhashIndexReload, minhashIndexAppend, shingleMinhash)
+    bloomPrefilter, minhashIndexReload, minhashIndexAppend,
+    minhashIndexCompact, shingleMinhash)
 }

@@ -860,6 +860,46 @@ object Vectors extends OpGroup {
     None,
   )
 
+  /** INDEX COMPACTION (r14, the r13 verdict's item 2) — the vector dual
+    * of `dedup_minhash_index_compact`, closing the build → serve →
+    * append → compact lifecycle: the append-grown codes relation
+    * (generation roots, each contributing files per ccid directory) is
+    * rewritten into ONE right-sized file per coarse cell (repartition on
+    * ccid routes each cell wholly to one writer; the production knob is
+    * bytes-per-file). Content-neutral — the probe over the compacted
+    * index must equal `vec_pq_index_reload` row-for-row, like the append
+    * key — and it RESTORES the single-root layout, so the nprobe search
+    * regains plain dynamic directory pruning instead of per-generation
+    * scans (PqCompactSpec asserts PartitionFilters on the compacted
+    * scan, the per-cell file count, and crash-safe staging).
+    */
+  private[graft] def pqCompactedIndex(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    pqAppendedIndex(s, sf) // ensure gen1 is committed first
+    val dir = pqAppendDir(s, sf)
+    Tables.commitStaged(dir, "compact") { tmp =>
+      pqAppendedCodes(s, dir).repartition(col("ccid"))
+        .write.mode("overwrite").partitionBy("ccid").parquet(s"$tmp/codes")
+    }
+    (s.read.parquet(s"$dir/coarse"),
+      s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/compact/codes"))
+  }
+
+  /** The keyed op: compact the append-grown index, then serve the
+    * nprobe=4 probe from the compacted codes. No oracle (trained
+    * quantizer); PqCompactSpec pins probe ≡ reload, one file per ccid
+    * dir, restored directory pruning, and content-neutrality.
+    */
+  private val pqIndexCompact = Op(
+    "vec_pq_index_compact",
+    (s, sf) => {
+      val (coarse, cb, codes) = pqCompactedIndex(s, sf)
+      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+    },
+    None,
+  )
+
   /** PQ ADC with a FIXED codebook (r7) — the same encode → code →
     * table-lookup → top-k arithmetic as vec_pq_adc_topk, but over a
     * deterministic integer-arithmetic codebook (cv(m, cid, pos) =
@@ -1558,6 +1598,7 @@ object Vectors extends OpGroup {
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    pqIndexReload, pqProbeFilteredOp, pqIndexAppend, mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
+    pqIndexReload, pqProbeFilteredOp, pqIndexAppend, pqIndexCompact,
+    mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
     recallSignVsExact, normAudit, dupExact)
 }
