@@ -1092,6 +1092,108 @@ object Vectors extends OpGroup {
     Some("""WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""),
   )
 
+  /** Fingerprint-keyed home of the persisted semantic-cluster
+    * assignment (r14) — the component-maintenance dual of the r13
+    * index-append lineages.
+    */
+  private[graft] def semCcDir(s: SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_semcc_app",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "embeddings"))
+
+  /** Generation 0: the semantic-cluster assignment over the even-parity
+    * base corpus — SRP candidates restricted to the base (band keys
+    * depend only on each vector, so base-subset candidates = all-corpus
+    * candidates with both sides even), exact-cosine verify at 0.4, CC,
+    * persisted once ( _SUCCESS-gated like the index bases).
+    */
+  private[graft] def semClustersBase(s: SparkSession, sf: String): String = {
+    val dir = semCcDir(s, sf)
+    if (!new java.io.File(s"$dir/assign", "_SUCCESS").exists()) {
+      val even = normed(s, sf).filter(pmod(col("vec_id"), lit(2)) === 0)
+      val edges = cosineOfPairsOf(even, srpCandidatesOf(s, even))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+      Clusters.connectedComponents(even.select(col("vec_id").as("node")), edges)
+        .write.mode("overwrite").parquet(s"$dir/assign")
+    }
+    dir
+  }
+
+  /** INCREMENTAL CLUSTER MAINTENANCE (r14, the r13 verdict's item 3) —
+    * the missing incremental dual of the index appends: instead of
+    * recomputing components over the full pair graph, the ingest
+    * batch's verified edges MERGE into the persisted assignment
+    * touching only affected components. Work is O(batch-adjacent):
+    *  - new edges = verified pairs with ≥1 odd endpoint (the batch's
+    *    own SRP keys; the base side's keys are per-vector hashes — in
+    *    production they are served from the persisted vector index
+    *    rather than recomputed);
+    *  - affected components = base labels incident to a new edge; ONLY
+    *    their members re-enter CC, carried as star edges
+    *    (member → label), which span exactly the same connectivity the
+    *    full even-even edge set did;
+    *  - every untouched component's rows pass through VERBATIM from the
+    *    persisted assignment — they never see a shuffle, join, or CC
+    *    round (SemCcAppendSpec witnesses the row counts).
+    * Because labels are component minima and the star edges preserve
+    * base connectivity, the merged assignment is IDENTICAL to the full
+    * recompute — so the keyed op carries `dedup_semantic_clusters`' own
+    * DuckDB oracle, end to end.
+    * Returns (untouched, subNodes, mergeEdges, merged) — the spec's
+    * bounded-work witness seams.
+    */
+  private[graft] def semClustersAppendParts(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = semClustersBase(s, sf)
+    val base = s.read.parquet(s"$dir/assign") // (node, label), even-parity corpus
+    val all = normed(s, sf)
+    val newEdges = cosineOfPairsOf(all, srpCandidatesOf(s, all)
+        .filter(pmod(col("a_vec_id"), lit(2)) === 1 ||
+          pmod(col("b_vec_id"), lit(2)) === 1))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+    val touchedNodes = newEdges.select(col("u").as("node"))
+      .union(newEdges.select(col("v").as("node"))).distinct()
+    val touchedLabels = base.join(touchedNodes, "node").select("label").distinct()
+    val touchedMembers = base.join(touchedLabels, "label")
+    val untouched = base.join(touchedLabels, Seq("label"), "left_anti")
+    val oddNodes = all.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("node"))
+    val subNodes = oddNodes.union(touchedMembers.select("node")).distinct()
+    val starEdges = touchedMembers.filter(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    val mergeEdges = newEdges.union(starEdges)
+    val merged = Clusters.connectedComponents(subNodes, mergeEdges)
+      .select("node", "label")
+      .union(untouched.select("node", "label"))
+    (untouched, subNodes, mergeEdges, merged)
+  }
+
+  /** The keyed op: merge the ingest batch into the persisted cluster
+    * assignment and emit the same keep/drop decision table as
+    * `dedup_semantic_clusters` — which the merged result must equal
+    * row-for-row (same oracle; the incremental path is an optimization,
+    * not a new semantic).
+    */
+  private val semanticClustersAppend = Op(
+    "dedup_semantic_clusters_append",
+    (s, sf) => {
+      val (_, _, _, merged) = semClustersAppendParts(s, sf)
+      merged.select(col("node").as("vec_id"), col("label").as("canonical_vec_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("canonical_vec_id"))))
+        .withColumn("keep", col("vec_id") === col("canonical_vec_id"))
+        .withColumn("reason",
+          when(col("vec_id") =!= col("canonical_vec_id"), "semantic_near_dup")
+            .when(col("cluster_size") === 1, "unique")
+            .otherwise("cluster_canonical"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""),
+  )
+
   /** Top principal component of the embedding corpus (r9) — the
     * whitening / dominant-direction-removal primitive (Mu & Viswanath
     * 2018's all-but-the-top post-processing starts exactly here). The
@@ -1598,6 +1700,7 @@ object Vectors extends OpGroup {
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
+    semanticClustersAppend,
     pqIndexReload, pqProbeFilteredOp, pqIndexAppend, pqIndexCompact,
     mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
     recallSignVsExact, normAudit, dupExact)
