@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Op-scoped registry of RESULT pins (r14, the r13 verdict's item 5).
+  *
+  * The graph/phash ops pin their final result RDD (persist + count) to
+  * truncate the logical plan before the output sort — deliberate, and
+  * the loop INTERMEDIATES were already persist/unpersist-managed — but
+  * through r13 each invocation's result pin stayed in the block manager
+  * forever, so a long-lived session (a min-of-2 bench sweep, a
+  * notebook) accumulated one small pinned RDD per invocation. The same
+  * class of leak was fixed for the LSH probe's checkpoint in r12
+  * (commit a3d25dd); this finishes the job for the result pins.
+  *
+  * Registering a pin under its op key SWAPS OUT the previous
+  * invocation's pin (non-blocking unpersist), so the block manager
+  * holds at most ONE result pin per (op, corpus) at any time — flat,
+  * not monotonic. The swapped-out DataFrame stays CORRECT if a caller
+  * still holds it (the RDD lineage recomputes on demand); only its
+  * cached blocks are released. [[releaseAll]] frees everything —
+  * spec/bench teardown hygiene, asserted by ResultPinsSpec via
+  * `sparkContext.getPersistentRDDs`.
+  */
+object ResultPins {
+  private val pins = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
+  /** Materialize and pin `df`'s rows, replacing — and freeing — the
+    * previous pin registered under `key`. Returns the rewrapped
+    * DataFrame (plan truncated at the pinned RDD, the clusterCc
+    * discipline).
+    */
+  def swap(s: SparkSession, key: String, df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.persist(); rdd.count(): Unit
+    val old = pins.put(key, rdd)
+    if (old != null && old.id != rdd.id) old.unpersist(false)
+    s.createDataFrame(rdd, df.schema)
+  }
+
+  /** Release every registered result pin (long-session / spec hygiene). */
+  def releaseAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val keys = pins.keySet().asScala.toList
+    keys.foreach { k =>
+      val rdd = pins.remove(k)
+      if (rdd != null) rdd.unpersist(false)
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpGroup, Tables}
+import graft.{Op, OpGroup, ResultPins, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +43,8 @@ object Clusters extends OpGroup {
     * @param edges (u: LONG, v: LONG) — undirected, u != v
     * @return (node, label) with label = min node id of the component
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      pinKey: String = "shared"): DataFrame = {
     val spark = nodes.sparkSession
     var handles = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     // Pin a loop intermediate: materialize to a persisted RDD[Row] and
@@ -177,12 +178,11 @@ object Clusters extends OpGroup {
         .select(col("node"), coalesce(col("l"), col("label")).as("label"))
     }
     // Materialize the small final table (|nodes| rows of two longs) off
-    // the loop's lineage, then free every intermediate — only the
-    // result's own blocks outlive the op in the block manager.
-    val outRdd = labels.rdd
-    outRdd.persist(); outRdd.count(): Unit
+    // the loop's lineage, then free every intermediate — and register
+    // the result pin in the per-caller swap registry (r14, r13 verdict
+    // item 5) so repeat invocations don't stack pinned blocks.
+    val out = ResultPins.swap(spark, s"cc:$pinKey", labels)
     dbg("labels composed")
-    val out = spark.createDataFrame(outRdd, labels.schema)
     handles.foreach(_.unpersist(false))
     out
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -221,7 +221,7 @@ object Clusters extends OpGroup {
         .union(Dedup.simhashHammingPairs(s, sf, Some(sh)).select(
           col("a_doc_id").as("u"), col("b_doc_id").as("v")))
       val nodes = Tables.documents(s, sf).select(col("doc_id").as("node"))
-      val cc = connectedComponents(nodes, edges)
+      val cc = connectedComponents(nodes, edges, "dedup_cluster_cc@" + sf)
       Seq(sigs, masks, sh).foreach(_.unpersist(false))
       cc
         .select(col("node").as("member_doc_id"), col("label").as("canonical_doc_id"))
@@ -351,10 +351,10 @@ object Clusters extends OpGroup {
       // then free the edge blocks (clusterCc's hygiene: nothing but the
       // result outlives the op in the block manager). The output sort
       // runs on the pinned relation.
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("p_partkey")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_copurchase_triangles@" + sf, out).orderBy("p_partkey")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), deg AS (SELECT node, COUNT(*) AS degree FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) s GROUP BY node), tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), tpn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) s GROUP BY node) SELECT d.node AS p_partkey, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles, ROUND(1e-9 + COALESCE(t.n_triangles, 0) * 2.0 / NULLIF(d.degree * (d.degree - 1), 0), 6) AS clustering FROM deg d LEFT JOIN tpn t ON t.node = d.node ORDER BY p_partkey"""),
   )
@@ -433,9 +433,13 @@ object Clusters extends OpGroup {
             r6(lit(150000.0) / col("nn") +
               lit(0.85) * col("sc").cast("double")).as("pr"))
       }
-      val out = pin(pr.select(col("node").as("p_partkey"), col("deg").as("degree"),
-        col("pr").as("pagerank_ppm")))
-      handles.tail.foreach(_.unpersist(false))
+      // Result pin via the per-op swap registry (r14, r13 verdict item
+      // 5); the meta pin — the only entry left in `handles` — is freed
+      // here as before.
+      val out = ResultPins.swap(s, "graph_copurchase_pagerank@" + sf,
+        pr.select(col("node").as("p_partkey"), col("deg").as("degree"),
+          col("pr").as("pagerank_ppm")))
+      handles.foreach(_.unpersist(false))
       out.orderBy("p_partkey")
       }
     },
@@ -485,10 +489,10 @@ object Clusters extends OpGroup {
       val out = labels.join(sizes, "label")
         .select(col("node").as("p_partkey"), col("label").as("community"),
           col("community_size"))
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("p_partkey")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_label_propagation@" + sf, out).orderBy("p_partkey")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym), v1 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l0 l ON l.node = s.u GROUP BY 1, 2), l1 AS (SELECT node, label FROM v1 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v2 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l1 l ON l.node = s.u GROUP BY 1, 2), l2 AS (SELECT node, label FROM v2 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), v3 AS (SELECT s.v AS node, l.label, COUNT(*) AS c FROM sym s JOIN l2 l ON l.node = s.u GROUP BY 1, 2), l3 AS (SELECT node, label FROM v3 QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1), cs AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY label) SELECT l3.node AS p_partkey, l3.label AS community, cs.community_size FROM l3 JOIN cs ON cs.label = l3.label ORDER BY p_partkey"""),
   )
@@ -535,10 +539,10 @@ object Clusters extends OpGroup {
             (col("deg_a") + col("deg_b") - col("shared"))).as("jaccard"))
       // Result pin off the shared edge lineage, then free (clusterCc
       // hygiene: only the result's blocks outlive the op).
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("u", "v")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_neighbor_jaccard@" + sf, out).orderBy("u", "v")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT w.a AS u, w.b AS v, CAST(w.shared AS BIGINT) AS shared, CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b, ROUND(1e-9 + CAST(w.shared AS DOUBLE) / (da.deg + db.deg - w.shared), 6) AS jaccard FROM w JOIN deg da ON da.node = w.a JOIN deg db ON db.node = w.b ORDER BY u, v"""),
   )
@@ -579,10 +583,10 @@ object Clusters extends OpGroup {
       val out = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_degree"))
         .join(deg0, "node")
         .select(col("node").as("p_partkey"), col("degree0"), col("core_degree"))
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("p_partkey")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_kcore_peel@" + sf, out).orderBy("p_partkey")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), d0 AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1), k1 AS (SELECT node FROM d0 WHERE d >= 3), s1 AS (SELECT s.u, s.v FROM sym s JOIN k1 a ON a.node = s.u JOIN k1 b ON b.node = s.v), d1 AS (SELECT u AS node, COUNT(*) AS d FROM s1 GROUP BY 1), k2 AS (SELECT node FROM d1 WHERE d >= 3), s2 AS (SELECT s.u, s.v FROM s1 s JOIN k2 a ON a.node = s.u JOIN k2 b ON b.node = s.v), d2 AS (SELECT u AS node, COUNT(*) AS d FROM s2 GROUP BY 1), k3 AS (SELECT node FROM d2 WHERE d >= 3), s3 AS (SELECT s.u, s.v FROM s2 s JOIN k3 a ON a.node = s.u JOIN k3 b ON b.node = s.v), cd AS (SELECT u AS node, COUNT(*) AS d FROM s3 GROUP BY 1) SELECT cd.node AS p_partkey, CAST(d0.d AS BIGINT) AS degree0, CAST(cd.d AS BIGINT) AS core_degree FROM cd JOIN d0 ON d0.node = cd.node ORDER BY p_partkey"""),
   )
@@ -743,10 +747,10 @@ object Clusters extends OpGroup {
         .filter(col("shared") >= 3)
         .select(col("a").as("u"), col("b").as("v"), col("shared"),
           col("aa").cast("double").as("adamic_adar"))
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("u", "v")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_adamic_adar@" + sf, out).orderBy("u", "v")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1), w AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS shared, SUM(CAST(ROUND(1e-9 + 1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6))) AS aa FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v JOIN deg ON deg.node = s1.u GROUP BY 1, 2 HAVING COUNT(*) >= 3) SELECT a AS u, b AS v, CAST(shared AS BIGINT) AS shared, CAST(aa AS DOUBLE) AS adamic_adar FROM w ORDER BY u, v"""),
   )
@@ -787,10 +791,10 @@ object Clusters extends OpGroup {
         // filter at the deployment's own similarity floor.
         .filter(col("cos_sim") >= 0.05)
         .select("u", "v", "w", "n_u", "n_v", "cos_sim")
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("u", "v")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_item_cf_cosine@" + sf, out).orderBy("u", "v")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), co AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), n AS (SELECT l_partkey AS node, COUNT(*) AS n_orders FROM items GROUP BY 1), s AS (SELECT co.u, co.v, co.w, nu.n_orders AS n_u, nv.n_orders AS n_v, ROUND(1e-9 + CAST(co.w AS DOUBLE) / (sqrt(CAST(nu.n_orders AS DOUBLE)) * sqrt(CAST(nv.n_orders AS DOUBLE))), 6) AS cos_sim FROM co JOIN n nu ON nu.node = co.u JOIN n nv ON nv.node = co.v) SELECT u, v, w, n_u, n_v, cos_sim FROM s WHERE cos_sim >= 0.05 ORDER BY u, v"""),
   )
@@ -820,10 +824,10 @@ object Clusters extends OpGroup {
       val out = deg.join(reach2, Seq("u"))
         .select(col("u").as("p_partkey"), col("degree"), col("n_reach2"),
           r6(col("degree").cast("double") / col("n_reach2")).as("direct_share"))
-      val rdd = out.rdd
-      rdd.persist(); rdd.count(): Unit
-      val pinned = s.createDataFrame(rdd, out.schema)
-      pinned.orderBy("p_partkey")
+      // Result pin registered per-op (r14, r13 verdict item 5): the swap
+      // frees the previous invocation's pin, keeping the block manager
+      // flat across a long session (ResultPinsSpec).
+      ResultPins.swap(s, "graph_2hop_reach@" + sf, out).orderBy("p_partkey")
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1), r2 AS (SELECT u, COUNT(*) AS n_reach2 FROM (SELECT DISTINCT u, r FROM (SELECT u, v AS r FROM sym UNION ALL SELECT s1.u, s2.v AS r FROM sym s1 JOIN sym s2 ON s2.u = s1.v) z WHERE u <> r) d GROUP BY u) SELECT deg.u AS p_partkey, deg.degree, r2.n_reach2, ROUND(1e-9 + CAST(deg.degree AS DOUBLE) / r2.n_reach2, 6) AS direct_share FROM deg JOIN r2 ON r2.u = deg.u ORDER BY p_partkey"""),
   )

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpGroup, Tables}
+import graft.{Op, OpGroup, ResultPins, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extension): image/audio/video
@@ -441,9 +441,10 @@ object Multimodal extends OpGroup {
           lpad(hex(col("ahash")), 16, "0").as("ahash_hex"),
           lpad(hex(col("dhash")), 16, "0").as("dhash_hex"),
           coalesce(col("n_near"), lit(0L)).as("n_near"))
-      val outRdd = out.rdd
-      outRdd.persist(); outRdd.count(): Unit
-      val pinned = s.createDataFrame(outRdd, out.schema)
+      // Result pin via the per-op swap registry (r14, r13 verdict item
+      // 5): previous invocations' pins are freed, only the hash-catalog
+      // intermediate is released here as before.
+      val pinned = ResultPins.swap(s, "mm_phash_hamming@" + sf, out)
       hashesRdd.unpersist(false)
       pinned.orderBy("doc_id")
     },

@@ -1078,7 +1078,7 @@ object Vectors extends OpGroup {
         .filter(col("sim") >= 0.4)
         .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
       val nodes = Tables.embeddings(s, sf).select(col("vec_id").as("node"))
-      val cc = Clusters.connectedComponents(nodes, verified)
+      val cc = Clusters.connectedComponents(nodes, verified, "dedup_semantic_clusters@" + sf)
       cc.select(col("node").as("vec_id"), col("label").as("canonical_vec_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("canonical_vec_id"))))
@@ -1115,7 +1115,8 @@ object Vectors extends OpGroup {
       val edges = cosineOfPairsOf(even, srpCandidatesOf(s, even))
         .filter(col("sim") >= 0.4)
         .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
-      Clusters.connectedComponents(even.select(col("vec_id").as("node")), edges)
+      Clusters.connectedComponents(even.select(col("vec_id").as("node")), edges,
+        "semcc_base@" + sf)
         .write.mode("overwrite").parquet(s"$dir/assign")
     }
     dir
@@ -1165,7 +1166,8 @@ object Vectors extends OpGroup {
     val starEdges = touchedMembers.filter(col("node") =!= col("label"))
       .select(col("node").as("u"), col("label").as("v"))
     val mergeEdges = newEdges.union(starEdges)
-    val merged = Clusters.connectedComponents(subNodes, mergeEdges)
+    val merged = Clusters.connectedComponents(subNodes, mergeEdges,
+        "dedup_semantic_clusters_append@" + sf)
       .select("node", "label")
       .union(untouched.select("node", "label"))
     (untouched, subNodes, mergeEdges, merged)
