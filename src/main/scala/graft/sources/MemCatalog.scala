@@ -128,9 +128,18 @@ object MemCatalog {
   private[graft] val DefaultMaxRows: Int = 1 << 22
 
   private[sources] def maxRows: Int =
-    try org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.graft.memcatalog.maxRows", DefaultMaxRows.toString).toInt
-    catch { case _: IllegalStateException => DefaultMaxRows } // no active session
+    try {
+      val raw = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.memcatalog.maxRows", DefaultMaxRows.toString)
+      // r13 ADVICE: a malformed conf value used to surface as a bare
+      // NumberFormatException from inside every commit; fail loudly and
+      // name the conf key instead.
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.memcatalog.maxRows must be an integer, got '$raw'")
+      }
+    } catch { case _: IllegalStateException => DefaultMaxRows } // no active session
 
   /** Audit hook: how many groups the last row-level commit on each
     * table REPLACED — the number MergeIntoSpec pins against the
@@ -300,6 +309,13 @@ private[sources] class MemBatchWrite(storeKey: String, schema: StructType,
     * over-cap commit fails with the same atomicity as any aborted job.
     */
   private def guarded(entry: MemCatalog.Entry, rows: Array[InternalRow]): MemCatalog.Entry = {
+    // maxRows resolves via SparkSession.active: commit() runs on the
+    // driver inside the writing query's execution thread, where the
+    // active session IS the writing one. A DSv2 BatchWrite carries no
+    // session handle to plumb instead (r13 ADVICE considered); in an
+    // exotic multi-session JVM that commits on a foreign thread the
+    // guard would fall back to that session's conf or the default —
+    // still a bounded cap, never a silent bypass.
     val cap = MemCatalog.maxRows
     require(rows.length <= cap,
       s"MemCatalog table $storeKey would hold ${rows.length} rows, over the " +
@@ -370,7 +386,15 @@ private[sources] class MemWriterFactory(schema: StructType) extends DataWriterFa
         require(extra == 0 || extra == 1,
           s"unexpected write row width ${row.numFields} for schema width ${schema.length}")
         if (extra == 1) {
-          val op = if (row.isNullAt(0)) Int.MinValue else row.getInt(0)
+          // r13 ADVICE: read the marker defensively — on a hypothetical
+          // Spark where the extra column isn't IntegerType, getInt would
+          // die with a ClassCastException instead of the crafted
+          // diagnostic below, so any read failure maps to the same
+          // out-of-domain sentinel.
+          val op =
+            if (row.isNullAt(0)) Int.MinValue
+            else try row.getInt(0)
+            catch { case _: RuntimeException => Int.MinValue }
           require(op >= 1 && op <= 6,
             s"extra-width row's leading field ($op) is outside the __row_operation " +
               "marker domain 1..6 — the operation column is no longer leading; " +
