@@ -218,6 +218,58 @@ object Scalars extends OpGroup {
     Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(json_extract_string(props, '$.tag')) AS n_tagged, MIN(length(CAST(json(props) AS VARCHAR))) AS min_canon_len FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** Fingerprint-keyed home of the persisted variant-column table
+    * (r14): a regenerated events fixture invalidates the artifact.
+    */
+  private[graft] def variantDir(s: org.apache.spark.sql.SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_variant_rt",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "events"))
+
+  /** VARIANT WRITE ROUND-TRIP (r14, the r13 verdict's item 7) — the
+    * other half of the Spark 4 semi-structured story:
+    * `json_variant_decode` covers parse + typed read; this key WRITES a
+    * VariantType column to parquet (Spark 4.1's variant storage — the
+    * binary metadata/value pair persisted as the parquet variant
+    * logical type), reads the table back in a separate scan, and runs
+    * the same typed `variant_get` extraction + aggregate over the
+    * RELOADED variant values. If the storage layer dropped, re-encoded,
+    * or truncated anything, the aggregate diverges from the DuckDB JSON
+    * dual computed from the raw strings — so the round-trip itself is
+    * under the hash gate. VariantRoundtripSpec additionally pins that
+    * the persisted physical schema really is VariantType (not a string
+    * fallback) and that the reloaded aggregate equals the decode key's.
+    */
+  private val jsonVariantRoundtrip = Op(
+    "json_variant_roundtrip",
+    (s, sf) => {
+      val dir = variantDir(s, sf)
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        Tables.events(s, sf)
+          .select(col("event_id"), col("event_type"),
+            parse_json(col("props")).as("v"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .select(
+          col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.tag', 'string')").as("tag"),
+          expr("to_json(v)").as("props_canonical"),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          count(col("tag")).as("n_tagged"),
+          min(length(col("props_canonical"))).as("min_canon_len"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, COUNT(json_extract_string(props, '$.tag')) AS n_tagged, MIN(length(CAST(json(props) AS VARCHAR))) AS min_canon_len FROM events GROUP BY event_type ORDER BY event_type"""),
+  )
+
   /** String-function breadth: translate, lpad, reverse, levenshtein —
     * the remaining scalar string surface (edit distance is also the
     * primitive behind fuzzy synonym matching in the reference's Synonym
@@ -347,7 +399,8 @@ object Scalars extends OpGroup {
   )
 
   val ops: Seq[Op] = Seq(idNormalize, tokenizeWordcount, dateExtractBucket,
-    mathScalarExpr, jsonExtractTyped, jsonStructDecode, jsonVariantDecode, arrayHofNorm,
+    mathScalarExpr, jsonExtractTyped, jsonStructDecode, jsonVariantDecode,
+    jsonVariantRoundtrip, arrayHofNorm,
     mapEntriesBuild, strFunctions, dateFunctions, tryArithmetic, regexSuite,
     businessDays)
 }
