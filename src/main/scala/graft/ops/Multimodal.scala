@@ -488,6 +488,50 @@ object Multimodal extends OpGroup {
     Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'bmp' END AS format, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded, CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined FROM documents WHERE doc_id % 3 = 2 GROUP BY 1 ORDER BY format"""),
   )
 
+  /** AU-CONTAINER AUDIO DECODE (r14, the r13 verdict's item 6) through
+    * the JDK's OWN audio codec — javax.sound.sampled.AudioSystem, the
+    * audio twin of the r13 javax.imageio JPEG key: a genuinely linked
+    * decoder, no third-party jar (MP3/FLAC stay justified-absent —
+    * javax.sound reads only AU/AIFF/WAV offline and zero egress forbids
+    * a service-provider jar; SURVEY §2 absence row). The audio-parity
+    * docs carry a deterministic big-endian 16-bit PCM AU built from the
+    * SAME waveform as the WAV twin ([[Wav.samplesOf]]), so AuSpec pins
+    * cross-container feature equality EXACTLY (not statistically — PCM
+    * is lossless in both containers). Truncated payloads (doc_id % 17
+    * == 0) fail AudioSystem's parse and route to quarantine rows, never
+    * failing the batch. Per-row compute-over-bytes behind the typed
+    * mapPartitions seam — scales as the scan does. No oracle (container
+    * decode); AuSpec re-derives via the WAV parser and pins the
+    * quarantine set.
+    */
+  private val audioAu = Op(
+    "mm_audio_au_features",
+    (s, sf) => {
+      import s.implicits._
+      val src = Tables.spread(s, Tables.documents(s, sf))
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val whole = Au.synthesize(docId, bytes)
+          val payload = if (docId % 17 == 0) whole.take(16) else whole
+          Au.decode(payload) match {
+            case Some(p) =>
+              (docId, payload.length, "au_pcm16", p.sampleRate, p.nSamples,
+                math.rint(p.durationMs * 1000) / 1000,
+                math.rint(p.rms * 1000) / 1000, p.peak)
+            case None =>
+              (docId, payload.length, "quarantined", 0, 0, 0.0, 0.0, 0)
+          }
+        }
+      }.toDF("doc_id", "n_bytes", "status", "sample_rate", "n_samples",
+          "duration_ms", "rms", "peak")
+        .orderBy("doc_id")
+    },
+    None,
+  )
+
   /** FRAME-LEVEL ACTIVITY DETECTION (r11) — the energy-gate VAD shape
     * every speech pipeline runs before transcription: WAV docs frame
     * into 160-sample (20 ms @ 8 kHz) non-overlapping windows, each
@@ -542,5 +586,5 @@ object Multimodal extends OpGroup {
 
   val ops: Seq[Op] = Seq(binaryMeta, frameSample, decodeStub, audioSpectral,
     imageFeatures, jpegFeatures, byteStats, chunkDedup, phashHamming,
-    imageQuarantine, audioVad)
+    imageQuarantine, audioVad, audioAu)
 }

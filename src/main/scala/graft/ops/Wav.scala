@@ -73,10 +73,11 @@ object Wav {
     }
   }
 
-  /** Deterministic PCM16 mono 8 kHz WAV from seed bytes: sample count
-    * and waveform derive from (seed, bytes) by integer arithmetic only.
+  /** The deterministic PCM16 waveform shared by every audio-container
+    * synth (WAV here, AU in [[Au]] — r14): same (seed, bytes) ⇒ same
+    * samples, so cross-container features must agree exactly.
     */
-  def synthesize(seed: Long, src: Array[Byte]): Array[Byte] = {
+  def samplesOf(seed: Long, src: Array[Byte]): Array[Short] = {
     val n = 200 + (math.abs(seed) % 56).toInt + (src.length % 256)
     val samples = new Array[Short](n)
     val l = math.max(src.length, 1)
@@ -86,6 +87,15 @@ object Wav {
       samples(i) = ((((base * 131 + i * 7 + seed % 251) % 65536) + 65536) % 65536 - 32768).toShort
       i += 1
     }
+    samples
+  }
+
+  /** Deterministic PCM16 mono 8 kHz WAV from seed bytes: sample count
+    * and waveform derive from (seed, bytes) by integer arithmetic only.
+    */
+  def synthesize(seed: Long, src: Array[Byte]): Array[Byte] = {
+    val samples = samplesOf(seed, src)
+    val n = samples.length
     val dataLen = 2 * n
     val out = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
