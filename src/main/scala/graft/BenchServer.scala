@@ -12,10 +12,21 @@ package graft
   *
   * Protocol (line-oriented over stdin/stdout, JSON out):
   *   → (after warmup) {"ready":true,"warm_fails":N,"keys":[...]}
-  *   ← <key>\n        → {"key":"<key>","sec":T} or {...,"err":"Cls"}
+  *   ← <key>\n        → {"key":"<key>","sec":T,"cpu_sec":C} or {...,"err":"Cls"}
   *   ← EXIT\n         → session stops, process exits 0.
+  *
+  * cpu_sec (r14, the r13 verdict's item 9) is the JVM-wide process CPU
+  * consumed across the key's min-of-2 reps (both reps — wall `sec` is
+  * the min, but CPU attribution per rep is not separable from the MX
+  * bean; the artifact documents this). It makes the next host-weather
+  * episode diagnosable from the artifact itself: a wall spike with
+  * flat CPU = external contention; wall and CPU moving together = the
+  * plan really changed.
   */
 object BenchServer {
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   def main(args: Array[String]): Unit = {
     val (spark, sfDir, warmFails) = Bench.warmedSession()
     val keys = SparkEntry.queries.keys.toSeq.sorted
@@ -30,9 +41,11 @@ object BenchServer {
           case None =>
             println(s"""{"key":"$key","err":"unknown_key"}""")
           case Some(fn) =>
+            val cpu0 = osBean.getProcessCpuTime
             val (t, e) = Bench.timeKey(spark, sfDir, fn)
+            val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
             val es = e.map(c => s""","err":"$c"""").getOrElse("")
-            println(s"""{"key":"$key","sec":$t$es}""")
+            println(f"""{"key":"$key","sec":$t%s,"cpu_sec":$cpuSec%.3f$es}""")
         }
         Console.out.flush()
       }

@@ -79,26 +79,34 @@ for k in sorted(oracle):
         pass
 
 def duck_time(sql):
+    # Returns (best wall of 2, process CPU across both reps) — the CPU
+    # column (r14, r13 verdict item 9) makes host-weather diagnosable
+    # from the artifact: wall spike + flat CPU = external contention,
+    # wall and CPU moving together = the work itself changed.
+    # time.process_time() sums ALL threads of this process, so a
+    # 32-thread DuckDB key can show cpu >> wall; the Spark cpu_sec
+    # column is the JVM-wide analog from OperatingSystemMXBean.
     best = None
+    c0 = time.process_time()
     for _ in range(2):  # min-of-2, same spike discipline as the server
         t0 = time.time()
         con.execute(sql).fetchall()
         t = time.time() - t0
         best = t if best is None else min(best, t)
-    return best
+    return best, time.process_time() - c0
 
 pairs, errors = {}, {}
 for k in keys:
     proc.stdin.write(k + "\n")
     proc.stdin.flush()
     r = read_json()
-    srow = {"spark": r.get("sec")}
+    srow = {"spark": r.get("sec"), "spark_cpu": r.get("cpu_sec")}
     if "err" in r:
         errors[k] = r["err"]
         srow["spark_err"] = r["err"]
     if k in oracle:
         try:
-            srow["duckdb"] = duck_time(oracle[k])
+            srow["duckdb"], srow["duckdb_cpu"] = duck_time(oracle[k])
         except Exception as e:
             errors[k] = f"duckdb: {str(e)[:80]}"
             srow["duckdb"] = None
@@ -118,8 +126,14 @@ spark_common = sum(pairs[k]["spark"] for k in common)
 duck_common = sum(pairs[k]["duckdb"] for k in common)
 spark_all = sum(v["spark"] for v in pairs.values()
                 if v.get("spark") is not None and "spark_err" not in v)
+spark_cpu_common = sum(pairs[k].get("spark_cpu") or 0 for k in common)
+duck_cpu_common = sum(pairs[k].get("duckdb_cpu") or 0 for k in common)
 summary = {
     "metric": "paired_interleaved", "sf": SF, "threads": THREADS,
+    "cpu_note": "per-key cpu columns (r14): process CPU across both min-of-2 reps "
+                "(wall is the min of 2) — spark_cpu from OperatingSystemMXBean "
+                "(whole JVM), duckdb_cpu from time.process_time() (all threads)",
+    "spark_cpu_common_sec": spark_cpu_common, "duckdb_cpu_common_sec": duck_cpu_common,
     "n_keys": len(keys), "n_common": len(common),
     "spark_total_all_sec": spark_all,
     "spark_common_sec": spark_common, "duckdb_common_sec": duck_common,
