@@ -997,7 +997,16 @@ object Vectors extends OpGroup {
     * the corpus-agnostic seam VectorSpec drives with planted near-dup
     * clusters to witness the recall side of the blocking trade.
     */
-  private[graft] def srpCandidatesOf(s: SparkSession, v: DataFrame): DataFrame = {
+  private[graft] def srpCandidatesOf(s: SparkSession, v: DataFrame): DataFrame =
+    srpCandidatesFromKeys(srpKeysOf(s, v))
+
+  /** The SRP key relation (vec_id, k0, k1) — the expensive half of the
+    * candidate build (16 decimal-summed 64-dim projections per vector),
+    * split out (r14) so the incremental cluster-maintenance lineage can
+    * PERSIST the base corpus's keys and compute only the batch's at
+    * append time.
+    */
+  private[graft] def srpKeysOf(s: SparkSession, v: DataFrame): DataFrame = {
     val e = v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d"), col("xf").cast("double").as("x"))
     // Constant relation seeded from range(1) (the pqAdcFixed pattern)
@@ -1012,11 +1021,17 @@ object Vectors extends OpGroup {
     val dots = e.join(broadcast(planes), "d")
       .groupBy("vec_id", "j")
       .agg(sum(dec(r6(col("h") * col("x")))).as("dot"))
-    val keys = dots.groupBy("vec_id").agg(
+    dots.groupBy("vec_id").agg(
       sum(when(col("j") < 8 && col("dot") >= 0,
         expr("shiftleft(1, cast(j as int))")).otherwise(0)).cast("int").as("k0"),
       sum(when(col("j") >= 8 && col("dot") >= 0,
         expr("shiftleft(1, cast(j - 8 as int))")).otherwise(0)).cast("int").as("k1"))
+  }
+
+  /** Band-collision candidates from a key relation (first-collision
+    * emission — see [[srpCandidatesOf]]'s doc above).
+    */
+  private[graft] def srpCandidatesFromKeys(keys: DataFrame): DataFrame = {
     val bands = keys.select(col("vec_id"), col("k0"),
       posexplode(array(col("k0"), col("k1"))).as(Seq("band_idx", "bkey")))
     def side(p: String) = bands.select(col("vec_id").as(s"${p}_vec_id"),
@@ -1110,9 +1125,17 @@ object Vectors extends OpGroup {
     */
   private[graft] def semClustersBase(s: SparkSession, sf: String): String = {
     val dir = semCcDir(s, sf)
-    if (!new java.io.File(s"$dir/assign", "_SUCCESS").exists()) {
+    if (!(new java.io.File(s"$dir/assign", "_SUCCESS").exists() &&
+        new java.io.File(s"$dir/keys", "_SUCCESS").exists())) {
       val even = normed(s, sf).filter(pmod(col("vec_id"), lit(2)) === 0)
-      val edges = cosineOfPairsOf(even, srpCandidatesOf(s, even))
+      // Persist the base SRP keys alongside the assignment (r14 bench
+      // finding): the append must compute projections for the BATCH
+      // only — recomputing the base side's 16×64-dim decimal dots each
+      // ingest made the "incremental" op cost more than the full
+      // recompute at fixture scale.
+      srpKeysOf(s, even).write.mode("overwrite").parquet(s"$dir/keys")
+      val edges = cosineOfPairsOf(even,
+          srpCandidatesFromKeys(s.read.parquet(s"$dir/keys")))
         .filter(col("sim") >= 0.4)
         .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
       Clusters.connectedComponents(even.select(col("vec_id").as("node")), edges,
@@ -1150,11 +1173,26 @@ object Vectors extends OpGroup {
     val dir = semClustersBase(s, sf)
     val base = s.read.parquet(s"$dir/assign") // (node, label), even-parity corpus
     val all = normed(s, sf)
-    val newEdges = cosineOfPairsOf(all, srpCandidatesOf(s, all)
-        .filter(pmod(col("a_vec_id"), lit(2)) === 1 ||
-          pmod(col("b_vec_id"), lit(2)) === 1))
-      .filter(col("sim") >= 0.4)
-      .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+    // Batch-only projections: the base keys come from the persisted
+    // generation-0 relation; only the odd half pays the 16-projection
+    // pass at append time (per-vector hashes, so persisted ∪ fresh =
+    // the full-corpus key relation exactly).
+    val allKeys = s.read.parquet(s"$dir/keys").unionByName(
+      srpKeysOf(s, all.filter(pmod(col("vec_id"), lit(2)) === 1)))
+    // PIN the verified batch edges (batch-adjacent-sized): every
+    // downstream consumer (the CC merge's edge list, the affected-
+    // component semi-joins, the untouched anti-join) reuses the one
+    // materialization — unpinned, each re-ran the SRP + cosine-verify
+    // pipeline and the "incremental" op cost more than the full
+    // recompute (r14 bench finding). Registered in the swap registry,
+    // so repeat invocations stay flat in the block manager.
+    val newEdges = graft.ResultPins.swap(s,
+      "dedup_semantic_clusters_append:edges@" + sf,
+      cosineOfPairsOf(all, srpCandidatesFromKeys(allKeys)
+          .filter(pmod(col("a_vec_id"), lit(2)) === 1 ||
+            pmod(col("b_vec_id"), lit(2)) === 1))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v")))
     val touchedNodes = newEdges.select(col("u").as("node"))
       .union(newEdges.select(col("v").as("node"))).distinct()
     val touchedLabels = base.join(touchedNodes, "node").select("label").distinct()
