@@ -1071,21 +1071,43 @@ object Dedup extends OpGroup {
     */
   private[graft] def lshCompactedIndex(s: SparkSession, sf: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    lshAppendedIndex(s, sf) // ensure gen1 is committed first
     val dir = lshAppendDir(s, sf)
-    Tables.commitStaged(dir, "compact") { tmp =>
-      lshAppendedPart(s, dir, "bands").repartition(col("band_idx"))
-        .write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
-      // Masks/vocab are unpartitioned; the fixture-right size is one
-      // file (at scale: bytes-targeted file count, same knob as above).
-      lshAppendedPart(s, dir, "masks").repartition(1)
-        .write.mode("overwrite").parquet(s"$tmp/masks")
-      lshAppendedPart(s, dir, "vocab").repartition(1)
-        .write.mode("overwrite").parquet(s"$tmp/vocab")
+    // A committed compaction serves on its own: do NOT touch the
+    // generation dirs once compact exists, or a vacuumed index (fifth
+    // act, [[lshVacuumGenerations]]) would re-materialize the
+    // generations it just retired.
+    if (!new java.io.File(dir, "compact").exists()) {
+      lshAppendedIndex(s, sf) // ensure gen1 is committed first
+      Tables.commitStaged(dir, "compact") { tmp =>
+        lshAppendedPart(s, dir, "bands").repartition(col("band_idx"))
+          .write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
+        // Masks/vocab are unpartitioned; the fixture-right size is one
+        // file (at scale: bytes-targeted file count, same knob as above).
+        lshAppendedPart(s, dir, "masks").repartition(1)
+          .write.mode("overwrite").parquet(s"$tmp/masks")
+        lshAppendedPart(s, dir, "vocab").repartition(1)
+          .write.mode("overwrite").parquet(s"$tmp/vocab")
+      }
     }
     (s.read.parquet(s"$dir/compact/bands"),
       s.read.parquet(s"$dir/compact/masks"),
       s.read.parquet(s"$dir/compact/vocab"))
+  }
+
+  /** VACUUM (r14) — the FIFTH lifecycle act: once a compaction is
+    * committed, the generation dirs it absorbed are dead weight (their
+    * rows live in `compact/`, byte-equal — LshCompactSpec pins the
+    * multiset) and a production layout retires them on a retention
+    * schedule (the `etl_vacuum_retention` recipe applied to the index).
+    * Refuses unless the compaction is committed — the guard that makes
+    * vacuum safe to crash through: every deletion target is redundant
+    * by the time any deletion starts.
+    */
+  private[graft] def lshVacuumGenerations(dir: String): Unit = {
+    require(new java.io.File(dir, "compact").exists(),
+      s"refusing to vacuum $dir: no committed compaction — generations are still the only copy")
+    Seq("bands", "masks", "vocab", "gen1")
+      .foreach(p => Tables.rmTree(new java.io.File(dir, p)))
   }
 
   /** The keyed op: compact the append-aged index, then run the append

@@ -875,15 +875,30 @@ object Vectors extends OpGroup {
     */
   private[graft] def pqCompactedIndex(s: SparkSession, sf: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    pqAppendedIndex(s, sf) // ensure gen1 is committed first
     val dir = pqAppendDir(s, sf)
-    Tables.commitStaged(dir, "compact") { tmp =>
-      pqAppendedCodes(s, dir).repartition(col("ccid"))
-        .write.mode("overwrite").partitionBy("ccid").parquet(s"$tmp/codes")
+    // A committed compaction serves on its own (see the LSH twin): the
+    // generation code dirs stay untouched so the vacuum act can retire
+    // them. The model relations (coarse/codebook) are NOT generations —
+    // they are the serve artifacts themselves and survive vacuum.
+    if (!new java.io.File(dir, "compact").exists()) {
+      pqAppendedIndex(s, sf) // ensure gen1 is committed first
+      Tables.commitStaged(dir, "compact") { tmp =>
+        pqAppendedCodes(s, dir).repartition(col("ccid"))
+          .write.mode("overwrite").partitionBy("ccid").parquet(s"$tmp/codes")
+      }
     }
     (s.read.parquet(s"$dir/coarse"),
       s.read.parquet(s"$dir/codebook"),
       s.read.parquet(s"$dir/compact/codes"))
+  }
+
+  /** VACUUM (r14) — retire the generation CODE dirs once compaction is
+    * committed (the LSH twin's fifth act; model artifacts stay).
+    */
+  private[graft] def pqVacuumGenerations(dir: String): Unit = {
+    require(new java.io.File(dir, "compact").exists(),
+      s"refusing to vacuum $dir: no committed compaction — generations are still the only copy")
+    Seq("codes", "gen1").foreach(p => Tables.rmTree(new java.io.File(dir, p)))
   }
 
   /** The keyed op: compact the append-grown index, then serve the

@@ -71,5 +71,19 @@ class LshCompactSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/compact/vocab")
         .filter(org.apache.spark.sql.functions.col("word") === "POISON").count() == 0,
       "retry resumed the poisoned staging instead of discarding it")
+
+    // FIFTH ACT — VACUUM (r14): with the compaction committed, the
+    // generation dirs are redundant and retire; the compacted index
+    // keeps serving the same answer from its own files alone.
+    val uncompacted = java.nio.file.Files.createTempDirectory("graft_no_compact").toString
+    assertThrows[IllegalArgumentException](ops.Dedup.lshVacuumGenerations(uncompacted))
+    ops.Dedup.lshVacuumGenerations(dir)
+    for (p <- Seq("bands", "masks", "vocab", "gen1"))
+      assert(!new java.io.File(dir, p).exists(), s"vacuum left generation dir $p")
+    val served = SparkEntry.queries("dedup_minhash_index_compact")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(served.toSeq == appended.toSeq,
+      "post-vacuum serve diverged — the compacted index is not self-sufficient")
+    Tables.rmTree(new java.io.File(uncompacted))
   }
 }

@@ -61,5 +61,17 @@ class PqCompactSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("ccid") && l.contains("dynamicpruning")),
       s"compacted codes scan lost ccid directory pruning:\n$plan")
+
+    // FIFTH ACT — VACUUM (r14): generation code dirs retire once the
+    // compaction is committed; the model relations + compacted codes
+    // keep serving the identical probe.
+    val uncompacted = java.nio.file.Files.createTempDirectory("graft_no_compact_pq").toString
+    assertThrows[IllegalArgumentException](ops.Vectors.pqVacuumGenerations(uncompacted))
+    ops.Vectors.pqVacuumGenerations(dir)
+    for (p <- Seq("codes", "gen1"))
+      assert(!new java.io.File(dir, p).exists(), s"vacuum left generation dir $p")
+    val served = SparkEntry.queries("vec_pq_index_compact")(spark, sf).collect().toSet
+    assert(served == full, "post-vacuum serve diverged from the reload answer")
+    Tables.rmTree(new java.io.File(uncompacted))
   }
 }
