@@ -950,7 +950,12 @@ object Dedup extends OpGroup {
     */
   private[graft] def lshAppendDir(s: SparkSession, sf: String): String =
     Tables.cachedDir(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index_app_g",
+      // _v2: the prefix carries the LAYOUT version (multi-generation
+      // dirs since r14) — a layout change must bump it so stale
+      // artifacts from an older build can never half-serve the new
+      // read path (the fingerprint in the dir NAME only invalidates on
+      // data changes, not code-layout changes).
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lsh_index_app_v2",
       sf.replaceAll("[^a-zA-Z0-9.]", "_"),
       Tables.fingerprint(sf, "documents"))
 
@@ -1011,31 +1016,53 @@ object Dedup extends OpGroup {
     // after generation 0, so a retry restages from scratch and can
     // never double-ingest (LshIndexSpec's kill-between-write-and-commit
     // negative test).
-    Tables.commitStaged(dir, "gen1") { tmp =>
-      // Generation 1: ingest the odd-parity batch.
-      val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
-      val baseVocab = s.read.parquet(s"$dir/vocab")
-      val baseBits = baseVocab.count() // bounded: one scalar, the dictionary size
-      numberWords(s,
-        batchTok.join(baseVocab.select("word"), Seq("word"), "left_anti"),
-        baseBits)
-        .write.mode("overwrite").parquet(s"$tmp/vocab")
-      val vocabAll = baseVocab.unionByName(s.read.parquet(s"$tmp/vocab"))
-      bandKeys(batchTok).write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
-      lshMasks(batchTok, vocabAll).write.mode("overwrite").parquet(s"$tmp/masks")
-    }
+    // MULTI-GENERATION ingest (r14): the odd half arrives as TWO daily
+    // batches (gen g ingests doc_id % 4 == 2g − 1), each committed by
+    // its own atomic rename — so the dictionary extension COMPOSES:
+    // gen2's new words number after base + gen1, and a near-dup pair
+    // spanning generations (a gen2 doc sharing gen1-vocabulary words)
+    // still popcounts exactly (LshIndexSpec's cross-generation OOV
+    // pair). Membership converges to the same all-odd batch either
+    // way, so the keyed op's oracle is unchanged.
+    for (g <- 1 to LshIngestGens)
+      Tables.commitStaged(dir, s"gen$g") { tmp =>
+        val batchTok = docTokens(s, sf)
+          .filter(pmod(col("doc_id"), lit(4)) === (2 * g - 1))
+        val priorVocab = lshVocabThrough(s, dir, g - 1)
+        val baseBits = priorVocab.count() // bounded: one scalar, the dictionary size
+        numberWords(s,
+          batchTok.join(priorVocab.select("word"), Seq("word"), "left_anti"),
+          baseBits)
+          .write.mode("overwrite").parquet(s"$tmp/vocab")
+        val vocabAll = priorVocab.unionByName(s.read.parquet(s"$tmp/vocab"))
+        bandKeys(batchTok).write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
+        lshMasks(batchTok, vocabAll).write.mode("overwrite").parquet(s"$tmp/masks")
+      }
     (lshAppendedPart(s, dir, "bands"),
       lshAppendedPart(s, dir, "masks"),
       lshAppendedPart(s, dir, "vocab"))
   }
 
-  /** One relation of the append-maintained index: generation 0 ∪ the
-    * committed gen1 (each read from its own root so band_idx partition
-    * discovery — and therefore per-band directory pruning — applies to
-    * both branches of the union).
+  /** Number of daily ingest generations the append lineage commits. */
+  private[graft] val LshIngestGens = 2
+
+  /** The word→bit dictionary through generation `g` (0 = base only). */
+  private def lshVocabThrough(s: SparkSession, dir: String, g: Int): DataFrame =
+    (0 to g).map {
+      case 0 => s.read.parquet(s"$dir/vocab")
+      case i => s.read.parquet(s"$dir/gen$i/vocab")
+    }.reduce(_.unionByName(_))
+
+  /** One relation of the append-maintained index: generation 0 ∪ every
+    * committed ingest generation (each read from its own root so
+    * band_idx partition discovery — and therefore per-band directory
+    * pruning — applies to every branch of the union).
     */
   private[graft] def lshAppendedPart(s: SparkSession, dir: String, part: String): DataFrame =
-    s.read.parquet(s"$dir/$part").unionByName(s.read.parquet(s"$dir/gen1/$part"))
+    (0 to LshIngestGens).map {
+      case 0 => s.read.parquet(s"$dir/$part")
+      case g => s.read.parquet(s"$dir/gen$g/$part")
+    }.reduce(_.unionByName(_))
 
   /** The keyed op: append the ingest batch into the persisted index,
     * then probe that SAME batch against the appended index — each
@@ -1106,7 +1133,7 @@ object Dedup extends OpGroup {
   private[graft] def lshVacuumGenerations(dir: String): Unit = {
     require(new java.io.File(dir, "compact").exists(),
       s"refusing to vacuum $dir: no committed compaction — generations are still the only copy")
-    Seq("bands", "masks", "vocab", "gen1")
+    (Seq("bands", "masks", "vocab") ++ (1 to LshIngestGens).map(g => s"gen$g"))
       .foreach(p => Tables.rmTree(new java.io.File(dir, p)))
   }
 

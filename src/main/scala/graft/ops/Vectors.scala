@@ -772,7 +772,12 @@ object Vectors extends OpGroup {
     */
   private[graft] def pqAppendDir(s: SparkSession, sf: String): String =
     Tables.cachedDir(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app_g",
+      // _v2: the prefix carries the LAYOUT version (multi-generation
+      // dirs since r14) — a layout change must bump it so stale
+      // artifacts from an older build can never half-serve the new
+      // read path (the fingerprint in the dir NAME only invalidates on
+      // data changes, not code-layout changes).
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app_v2",
       sf.replaceAll("[^a-zA-Z0-9.]", "_"),
       Tables.fingerprint(sf, "embeddings"))
 
@@ -823,28 +828,40 @@ object Vectors extends OpGroup {
     // ONE atomic rename ([[Tables.commitStaged]]); the base codes are
     // never written after generation 0 (PqIndexSpec's crash-retry
     // negative test pins exactly-once membership).
-    Tables.commitStaged(dir, "gen1") { tmp =>
-      // Encode the ingest batch with the PERSISTED model — the frozen
-      // artifact, not the in-session memo (a cold session appends from
-      // files alone; no training counter movement, spec-pinned).
-      val coarseR = s.read.parquet(s"$dir/coarse")
-      val cbR = s.read.parquet(s"$dir/codebook")
-      pqNearest(pqSubvectors(s, sf, coarseR), cbR)
-        .filter(pmod(col("vec_id"), lit(2)) === 1)
-        .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
-        .write.mode("overwrite").partitionBy("ccid").parquet(s"$tmp/codes")
-    }
+    // MULTI-GENERATION ingest (r14, the LSH twin's shape): the odd half
+    // arrives as two daily batches (gen g encodes doc vec_id % 4 ==
+    // 2g − 1), each encode-only against the frozen persisted model and
+    // each committed by its own atomic rename. Membership converges to
+    // all vectors, so probe ≡ reload holds per generation count.
+    for (g <- 1 to PqIngestGens)
+      Tables.commitStaged(dir, s"gen$g") { tmp =>
+        // Encode the ingest batch with the PERSISTED model — the frozen
+        // artifact, not the in-session memo (a cold session appends from
+        // files alone; no training counter movement, spec-pinned).
+        val coarseR = s.read.parquet(s"$dir/coarse")
+        val cbR = s.read.parquet(s"$dir/codebook")
+        pqNearest(pqSubvectors(s, sf, coarseR), cbR)
+          .filter(pmod(col("vec_id"), lit(4)) === (2 * g - 1))
+          .select(col("vec_id"), col("ccid"), col("m"), col("cid"))
+          .write.mode("overwrite").partitionBy("ccid").parquet(s"$tmp/codes")
+      }
     (s.read.parquet(s"$dir/coarse"),
       s.read.parquet(s"$dir/codebook"),
       pqAppendedCodes(s, dir))
   }
 
-  /** The append-grown codes relation: generation 0 ∪ the committed
-    * gen1, each read from its own root so ccid partition discovery
-    * applies per branch.
+  /** Number of daily ingest generations the append lineage commits. */
+  private[graft] val PqIngestGens = 2
+
+  /** The append-grown codes relation: generation 0 ∪ every committed
+    * ingest generation, each read from its own root so ccid partition
+    * discovery applies per branch.
     */
   private[graft] def pqAppendedCodes(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/codes").unionByName(s.read.parquet(s"$dir/gen1/codes"))
+    (0 to PqIngestGens).map {
+      case 0 => s.read.parquet(s"$dir/codes")
+      case g => s.read.parquet(s"$dir/gen$g/codes")
+    }.reduce(_.unionByName(_))
 
   /** The keyed op: serve `vec_pq_adc_probe`'s nprobe=4 query path from
     * the append-grown index. No oracle (trained quantizer); PqIndexSpec
@@ -898,7 +915,8 @@ object Vectors extends OpGroup {
   private[graft] def pqVacuumGenerations(dir: String): Unit = {
     require(new java.io.File(dir, "compact").exists(),
       s"refusing to vacuum $dir: no committed compaction — generations are still the only copy")
-    Seq("codes", "gen1").foreach(p => Tables.rmTree(new java.io.File(dir, p)))
+    (Seq("codes") ++ (1 to PqIngestGens).map(g => s"gen$g"))
+      .foreach(p => Tables.rmTree(new java.io.File(dir, p)))
   }
 
   /** The keyed op: compact the append-grown index, then serve the

@@ -105,7 +105,7 @@ class PqIndexSpec extends SparkSpec {
 
     // Clean append lineage: generation 0 (model + even codes), snapshot.
     Tables.rmTree(new java.io.File(
-      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app_g"))
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_pq_index_app_v2"))
     val dir = ops.Vectors.pqAppendBase(spark, sf)
     def files(root: String): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
