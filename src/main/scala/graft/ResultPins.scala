@@ -39,13 +39,39 @@ object ResultPins {
     s.createDataFrame(rdd, df.schema)
   }
 
+  private val ckPins = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[swap]] for LARGE relations: pin via `localCheckpoint` (eager),
+    * which caches InternalRow blocks — no per-row Row decode on
+    * materialization and no re-serialization when downstream plans scan
+    * the pin (the r14 cc-append profile: the same 1M-row pipeline cost
+    * 23 s through `df.rdd` + Row conversion vs ~6 s checkpointed).
+    * Same swap semantics: the superseded checkpoint's blocks are
+    * released.
+    */
+  def swapCheckpoint(key: String, df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val old = ckPins.put(key, ck)
+    if (old != null) releaseCheckpoint(old)
+    ck
+  }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Release every registered result pin (long-session / spec hygiene). */
   def releaseAll(): Unit = {
     import scala.jdk.CollectionConverters._
-    val keys = pins.keySet().asScala.toList
-    keys.foreach { k =>
+    pins.keySet().asScala.toList.foreach { k =>
       val rdd = pins.remove(k)
       if (rdd != null) rdd.unpersist(false)
+    }
+    ckPins.keySet().asScala.toList.foreach { k =>
+      val df = ckPins.remove(k)
+      if (df != null) releaseCheckpoint(df)
     }
   }
 }

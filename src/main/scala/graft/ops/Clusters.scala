@@ -188,6 +188,46 @@ object Clusters extends OpGroup {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** INCREMENTAL COMPONENT MERGE (r14, shared by the embedding-side
+    * `dedup_semantic_clusters_append` and the text-side
+    * `dedup_cluster_cc_append`): fold a batch's verified edges into a
+    * persisted (node, label) assignment touching only affected
+    * components. Affected components = base labels incident to a new
+    * edge; ONLY their members re-enter CC, carried as star edges
+    * (member → label, which span exactly the connectivity the base
+    * edge set did); every untouched component's rows pass through
+    * VERBATIM from the persisted assignment. Labels are component
+    * minima and batch singletons label themselves, so the merged
+    * assignment is IDENTICAL to a full recompute — both append keys
+    * carry their full-recompute key's own DuckDB oracle.
+    *
+    * @return (untouched, subNodes, mergeEdges, merged) — the first
+    *         three are the bounded-work witness seams the append specs
+    *         count rows on.
+    */
+  def incrementalMerge(s: org.apache.spark.sql.SparkSession, base: DataFrame,
+      newEdges: DataFrame, batchNodes: DataFrame, pinKey: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val touchedNodes = newEdges.select(col("u").as("node"))
+      .union(newEdges.select(col("v").as("node"))).distinct()
+    // Pinned: the affected-label set is consumed by THREE downstream
+    // joins (members ×2, untouched anti-join) — unpinned, each re-ran
+    // the 2|E|-row distinct + base join (r14 bench finding on the
+    // dup-dense fixture).
+    val touchedLabels = graft.ResultPins.swapCheckpoint(s"$pinKey:touched",
+      base.join(touchedNodes, "node").select("label").distinct())
+    val touchedMembers = base.join(touchedLabels, "label")
+    val untouched = base.join(touchedLabels, Seq("label"), "left_anti")
+    val subNodes = batchNodes.union(touchedMembers.select("node")).distinct()
+    val starEdges = touchedMembers.filter(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    val mergeEdges = newEdges.union(starEdges)
+    val merged = connectedComponents(subNodes, mergeEdges, pinKey)
+      .select("node", "label")
+      .union(untouched.select("node", "label"))
+    (untouched, subNodes, mergeEdges, merged)
+  }
+
   /** Canonical-group assignment over the UNION of the two production
     * near-dup pairers (banded MinHash-LSH Jaccard ≥ 0.9 + pigeonhole
     * SimHash Hamming ≤ 8): every document maps to its component's min
@@ -244,6 +284,113 @@ object Clusters extends OpGroup {
     // multiply-referenced CTEs — DuckDB otherwise inlines them and
     // re-executes the LSH pipeline once per reference. Validated
     // cell-exact against a union-find ground truth at sf0.1 (6.9 s).
+    Some("""WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""),
+  )
+
+  /** Fingerprint-keyed home of the persisted text-side cluster
+    * assignment (r14) — the keep-one table's incremental lineage.
+    */
+  private[graft] def ccAppendDir(s: org.apache.spark.sql.SparkSession, sf: String): String =
+    Tables.cachedDir(
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_cc_app_v2",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"),
+      Tables.fingerprint(sf, "documents"))
+
+  /** Generation 0 of the text-side incremental lineage: the even-half
+    * keep-one assignment (both pairers restricted to even-even pairs —
+    * a one-time O(corpus) build, like every index base) plus the even
+    * half's SimHash fingerprints, persisted so the append recomputes
+    * signatures for the BATCH only (the MinHash side needs no extra
+    * artifact: the r13/r14 APPEND-MAINTAINED LSH INDEX already serves
+    * base signatures, and its probe IS the odd-incident verified
+    * Jaccard edge set).
+    */
+  private[graft] def ccAppendBase(s: org.apache.spark.sql.SparkSession, sf: String): String = {
+    val dir = ccAppendDir(s, sf)
+    if (Seq("assign", "simhash").exists(p =>
+        !new java.io.File(s"$dir/$p", "_SUCCESS").exists())) {
+      Dedup.simhashFingerprints(s, sf)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 1)
+        .write.mode("overwrite").parquet(s"$dir/simhash")
+      val basePairs = Dedup.minhashLshPairs(s, sf)
+        .select(col("a_doc_id").as("u"), col("b_doc_id").as("v"))
+        .union(Dedup.simhashHammingPairs(s, sf)
+          .select(col("a_doc_id").as("u"), col("b_doc_id").as("v")))
+        .filter(pmod(col("u"), lit(10)) =!= 1 && pmod(col("v"), lit(10)) =!= 1)
+      val baseNodes = Tables.documents(s, sf)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 1)
+        .select(col("doc_id").as("node"))
+      connectedComponents(baseNodes, basePairs, "cc_append_base@" + sf)
+        .write.mode("overwrite").parquet(s"$dir/assign")
+    }
+    dir
+  }
+
+  /** TEXT-SIDE INCREMENTAL CLUSTER MAINTENANCE (r14) — the keep-one
+    * table's daily-ingest dual, completing the symmetry with
+    * `dedup_semantic_clusters_append`: merge the ingest batch's
+    * verified near-dup edges into the persisted assignment via
+    * [[incrementalMerge]], touching only affected components. The
+    * batch's MinHash edges come FROM THE PERSISTED LSH INDEX — the
+    * append key's probe (batch signatures only, candidates from the
+    * band directories, exact ≥ 0.9 popcount verify) emits exactly the
+    * batch-incident verified Jaccard pairs, and its md5-banded candidate
+    * scheme derives from the same 16 signatures as the pair op's
+    * xxhash64 banding, so the VERIFIED sets coincide (a band collision
+    * can only add a candidate, which the exact verify kills). SimHash
+    * edges: the base corpus's fingerprints serve from generation 0,
+    * only the batch pays the hashing pass (the doc_id filter pushes
+    * below the fingerprint aggregation to the scan). Merged ≡ the full
+    * recompute, so the key carries `dedup_cluster_cc`'s own
+    * min-contraction oracle.
+    */
+  /** The merge pipeline behind the keyed op, parts exposed for
+    * CcAppendSpec's bounded-work row counts.
+    */
+  private[graft] def ccAppendParts(s: org.apache.spark.sql.SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = ccAppendBase(s, sf)
+    val base = s.read.parquet(s"$dir/assign")
+    // The ingest batch is a 10% daily slice (doc_id % 10 == 1 — every
+    // batch doc is odd, hence already a member of the append-maintained
+    // LSH index): the batch predicate is internal to the op, and the
+    // full-recompute oracle is split-independent, so the slice size is
+    // chosen for the REALISTIC maintenance shape (a day's ingest is a
+    // small fraction of the corpus, not half of it).
+    val lshPairs = Dedup.lshProbe(s, sf, Dedup.lshAppendedIndex(s, sf),
+        excludeSelf = true, batchMod = 10, batchRem = 1)
+      .select(col("batch_doc_id").as("u"), col("base_doc_id").as("v"))
+    val batchSh = Dedup.simhashFingerprints(s, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 1)
+    // spread: the persisted fingerprint relation is a handful of small
+    // files -> one input partition, and the 9-band explode + self-join
+    // inherit it (the docs/scale.md narrow-stage lesson: 2.3 s -> 19 s
+    // measured when unspread).
+    val shAll = Tables.spread(s, s.read.parquet(s"$dir/simhash")).unionByName(batchSh)
+    val shPairs = Dedup.simhashHammingPairs(s, sf, Some(shAll))
+      .filter(pmod(col("a_doc_id"), lit(10)) === 1 ||
+        pmod(col("b_doc_id"), lit(10)) === 1)
+      .select(col("a_doc_id").as("u"), col("b_doc_id").as("v"))
+    // Pin the verified batch edges once for their three consumers
+    // (the semantic-clusters append's r14 bench lesson).
+    val newEdges = graft.ResultPins.swapCheckpoint("dedup_cluster_cc_append:edges@" + sf,
+      lshPairs.union(shPairs))
+    val batchNodes = Tables.documents(s, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 1)
+      .select(col("doc_id").as("node"))
+    incrementalMerge(s, base, newEdges, batchNodes, "dedup_cluster_cc_append@" + sf)
+  }
+
+  private val clusterCcAppend = Op(
+    "dedup_cluster_cc_append",
+    (s, sf) => {
+      val (_, _, _, merged) = ccAppendParts(s, sf)
+      merged
+        .select(col("node").as("member_doc_id"), col("label").as("canonical_doc_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("canonical_doc_id"))))
+        .orderBy("member_doc_id")
+    },
     Some("""WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""),
   )
 
@@ -832,7 +979,7 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1), r2 AS (SELECT u, COUNT(*) AS n_reach2 FROM (SELECT DISTINCT u, r FROM (SELECT u, v AS r FROM sym UNION ALL SELECT s1.u, s2.v AS r FROM sym s1 JOIN sym s2 ON s2.u = s1.v) z WHERE u <> r) d GROUP BY u) SELECT deg.u AS p_partkey, deg.degree, r2.n_reach2, ROUND(1e-9 + CAST(deg.degree AS DOUBLE) / r2.n_reach2, 6) AS direct_share FROM deg JOIN r2 ON r2.u = deg.u ORDER BY p_partkey"""),
   )
 
-  val ops: Seq[Op] = Seq(clusterCc, copurchaseTriangles, copurchasePagerank,
+  val ops: Seq[Op] = Seq(clusterCc, clusterCcAppend, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
     bfsHops, adamicAdar, itemCfCosine, twoHopReach)
 }

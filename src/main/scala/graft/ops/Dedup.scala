@@ -882,10 +882,16 @@ object Dedup extends OpGroup {
     */
   private[graft] def lshProbe(s: SparkSession, sf: String,
       index: (DataFrame, DataFrame, DataFrame),
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      batchMod: Int = 2, batchRem: Int = 1): DataFrame = {
     val B = LshIndexB // shared with bandKeys (r13 ADVICE: one scheme definition)
     val (idxBands, idxMasks, vocab) = index
-    val batchTok = docTokens(s, sf).filter(pmod(col("doc_id"), lit(2)) === 1)
+    // batchMod/batchRem select the incremental batch (default: the odd
+    // half, the index keys' oracled contract; the r14 cc-append lineage
+    // probes a 10% daily slice instead — any residue class works, the
+    // signature pass is batch-only either way).
+    val batchTok = docTokens(s, sf)
+      .filter(pmod(col("doc_id"), lit(batchMod)) === batchRem)
     val batchBands = bandKeys(batchTok)
     // Candidates per band: the persisted index is PARTITIONED by
     // band_idx (lshPersistedIndex), so probing band b reads only its
@@ -898,7 +904,7 @@ object Dedup extends OpGroup {
     // stacking fresh checkpoint blocks in the block manager — the
     // clusterCc leak class the r10 round already paid for once.
     val batchB = {
-      val k = (s, sf, Tables.fingerprint(sf, "documents"))
+      val k = (s, sf, s"${Tables.fingerprint(sf, "documents")}|$batchMod:$batchRem")
       val hit = batchBandsCache.get(k)
       if (hit != null) hit
       else {

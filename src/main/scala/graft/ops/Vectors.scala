@@ -1219,29 +1219,17 @@ object Vectors extends OpGroup {
     // pipeline and the "incremental" op cost more than the full
     // recompute (r14 bench finding). Registered in the swap registry,
     // so repeat invocations stay flat in the block manager.
-    val newEdges = graft.ResultPins.swap(s,
+    val newEdges = graft.ResultPins.swapCheckpoint(
       "dedup_semantic_clusters_append:edges@" + sf,
       cosineOfPairsOf(all, srpCandidatesFromKeys(allKeys)
           .filter(pmod(col("a_vec_id"), lit(2)) === 1 ||
             pmod(col("b_vec_id"), lit(2)) === 1))
         .filter(col("sim") >= 0.4)
         .select(col("a_vec_id").as("u"), col("b_vec_id").as("v")))
-    val touchedNodes = newEdges.select(col("u").as("node"))
-      .union(newEdges.select(col("v").as("node"))).distinct()
-    val touchedLabels = base.join(touchedNodes, "node").select("label").distinct()
-    val touchedMembers = base.join(touchedLabels, "label")
-    val untouched = base.join(touchedLabels, Seq("label"), "left_anti")
     val oddNodes = all.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id").as("node"))
-    val subNodes = oddNodes.union(touchedMembers.select("node")).distinct()
-    val starEdges = touchedMembers.filter(col("node") =!= col("label"))
-      .select(col("node").as("u"), col("label").as("v"))
-    val mergeEdges = newEdges.union(starEdges)
-    val merged = Clusters.connectedComponents(subNodes, mergeEdges,
-        "dedup_semantic_clusters_append@" + sf)
-      .select("node", "label")
-      .union(untouched.select("node", "label"))
-    (untouched, subNodes, mergeEdges, merged)
+    Clusters.incrementalMerge(s, base, newEdges, oddNodes,
+      "dedup_semantic_clusters_append@" + sf)
   }
 
   /** The keyed op: merge the ingest batch into the persisted cluster
