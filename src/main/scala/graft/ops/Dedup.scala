@@ -1087,6 +1087,51 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
+  /** TOMBSTONE DELETES (r14) — the SIXTH lifecycle act: retiring
+    * members from a persisted index whose data files are immutable.
+    * Production deletions (takedowns, contamination retractions, user
+    * erasure) cannot rewrite band files per request; the standard
+    * design is a LOGICAL tombstone set — committed crash-safe like
+    * every other generation ([[Tables.commitStaged]]) — consulted at
+    * probe time and folded physically at the next compaction. The
+    * fixture's retired set is doc_id % 7 == 0 (spans the base and both
+    * ingest generations), read back from the committed parquet — the
+    * op's dataflow treats it as an arbitrary id set, never a
+    * predicate.
+    */
+  private[graft] def lshTombstoneSet(s: SparkSession, sf: String): DataFrame = {
+    val dir = lshAppendBase(s, sf)
+    Tables.commitStaged(dir, "tombstones") { tmp =>
+      Tables.documents(s, sf).filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("doc_id").write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    s.read.parquet(s"$dir/tombstones/docs")
+  }
+
+  /** The keyed op: the append key's rolling-dedup probe with the
+    * tombstoned members RETIRED — the index side is anti-joined out
+    * BEFORE the band joins and the mask verify (a retired doc costs no
+    * candidate or popcount work), the batch side drops retired probes
+    * from the result (batch-sized, so the late filter is bounded by the
+    * day's ingest). ORACLED end-to-end: the append oracle with the
+    * retired set excluded on both endpoints.
+    */
+  private val minhashIndexDelete = Op(
+    "dedup_minhash_index_delete",
+    (s, sf) => {
+      val ts = lshTombstoneSet(s, sf)
+      val (bands, masks, vocab) = lshAppendedIndex(s, sf)
+      val liveBands = bands.join(ts, Seq("doc_id"), "left_anti")
+      val liveMasks = masks.join(ts, Seq("doc_id"), "left_anti")
+      lshProbe(s, sf, (liveBands, liveMasks, vocab), excludeSelf = true)
+        .join(ts.select(col("doc_id").as("batch_doc_id")),
+          Seq("batch_doc_id"), "left_anti")
+        .withColumnRenamed("base_doc_id", "other_doc_id")
+        .orderBy("batch_doc_id", "other_doc_id")
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND a.doc_id % 7 <> 0 AND b.doc_id <> a.doc_id AND b.doc_id % 7 <> 0), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
+  )
+
   /** INDEX COMPACTION (r14, the r13 verdict's item 2) — the FOURTH
     * lifecycle act (build → serve → append → compact): each ingest
     * generation adds small files per band_idx directory, and after ~365
@@ -1216,5 +1261,5 @@ object Dedup extends OpGroup {
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
     ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
     bloomPrefilter, minhashIndexReload, minhashIndexAppend,
-    minhashIndexCompact, shingleMinhash)
+    minhashIndexCompact, minhashIndexDelete, shingleMinhash)
 }
