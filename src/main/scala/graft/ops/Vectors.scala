@@ -877,6 +877,40 @@ object Vectors extends OpGroup {
     None,
   )
 
+  /** TOMBSTONE DELETES (r14) — the vector twin of
+    * `dedup_minhash_index_delete`, closing the lifecycle at six acts on
+    * both index families: retired vectors commit as a crash-safe
+    * tombstone generation, the probe anti-joins them out of the codes
+    * relation BEFORE the ADC table joins (a retired member costs no
+    * lookup work — the same placement as the filtered probe's keep
+    * gate), retired queries drop from the result, and the top-5 REFILLS
+    * from the exact ADC ranking (rank-6 promotion — PqDeleteSpec pins
+    * the promote semantics: common hits keep their relative order and
+    * every query still gets 5 live hits). No oracle (trained
+    * quantizer).
+    */
+  private[graft] def pqTombstoneSet(s: SparkSession, sf: String): DataFrame = {
+    val dir = pqAppendBase(s, sf)
+    Tables.commitStaged(dir, "tombstones") { tmp =>
+      Tables.embeddings(s, sf).filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select("vec_id").write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    s.read.parquet(s"$dir/tombstones/ids")
+  }
+
+  private val pqIndexDelete = Op(
+    "vec_pq_index_delete",
+    (s, sf) => {
+      val (coarse, cb, codes) = pqAppendedIndex(s, sf)
+      val ts = pqTombstoneSet(s, sf)
+      val live = codes.join(ts, Seq("vec_id"), "left_anti")
+      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, live), 4)
+        .join(ts.select(col("vec_id").as("q_vec_id")), Seq("q_vec_id"), "left_anti")
+        .orderBy("q_vec_id", "rk")
+    },
+    None,
+  )
+
   /** INDEX COMPACTION (r14, the r13 verdict's item 2) — the vector dual
     * of `dedup_minhash_index_compact`, closing the build → serve →
     * append → compact lifecycle: the append-grown codes relation
@@ -1762,7 +1796,7 @@ object Vectors extends OpGroup {
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
     semanticClustersAppend,
-    pqIndexReload, pqProbeFilteredOp, pqIndexAppend, pqIndexCompact,
+    pqIndexReload, pqProbeFilteredOp, pqIndexAppend, pqIndexCompact, pqIndexDelete,
     mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
     recallSignVsExact, normAudit, dupExact)
 }
