@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ExplodeDnf, FloatVecDot, SimHash60, VecTopK}
+import graft.functions.{ExplodeDnf, FloatVecDot, MaskIntersect, SimHash60, VecTopK}
 
 /** Session-extension entry point: registers the engine's custom Catalyst
   * expressions at session build time —
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         checkArity("simhash60", "simhash60(hashes ARRAY<BIGINT>)", 1, children)
         SimHash60(children.head)
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("mask_intersect"),
+      new ExpressionInfo(classOf[MaskIntersect].getName, "mask_intersect"),
+      (children: Seq[Expression]) => {
+        checkArity("mask_intersect", "mask_intersect(a ARRAY<BIGINT>, b ARRAY<BIGINT>)", 2, children)
+        MaskIntersect(children.head, children(1))
       },
     ))
     ext.injectFunction((

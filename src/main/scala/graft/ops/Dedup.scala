@@ -122,7 +122,11 @@ object Dedup extends OpGroup {
           size(col("bits")).as("n"))
     val interExpr =
       if (maskWords == 1) expr("bit_count(a_mask & b_mask)")
-      else expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+      else { graft.functions.MaskIntersect.register(s)
+        // Codegen'd fused popcount loop (r15) in place of the
+        // interpreted two-HOF pass — this runs once per candidate pair,
+        // the innermost loop of every mask verify.
+        expr("mask_intersect(a_mask, b_mask)") }
     (masks, interExpr)
   }
 
@@ -233,7 +237,11 @@ object Dedup extends OpGroup {
         expr(s"aggregate(rs, array_repeat(0L, $maskWords), (acc, b) -> transform(acc, (x, j) -> if(j = cast(b div 64 as int), x | shiftleft(1L, cast(b % 64 as int)), x)))")
     val interCol =
       if (maskWords == 1) expr("bit_count(a_mask & b_mask)")
-      else expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+      else { graft.functions.MaskIntersect.register(s)
+        // Codegen'd fused popcount loop (r15) in place of the
+        // interpreted two-HOF pass — this runs once per candidate pair,
+        // the innermost loop of every mask verify.
+        expr("mask_intersect(a_mask, b_mask)") }
     // Rank of the lowest set bit of a_mask & b_mask (nonzero by join
     // construction: both docs contain the joined word). ctz(x) =
     // popcount((x & -x) - 1), pure codegen on the narrow path.
@@ -437,7 +445,7 @@ object Dedup extends OpGroup {
     * split out so multi-pairer consumers ([[Clusters]]' near-dup graph
     * build) can persist it across both band-join sides.
     */
-  private[ops] def simhashFingerprints(s: SparkSession, sf: String): DataFrame = {
+  private[graft] def simhashFingerprints(s: SparkSession, sf: String): DataFrame = {
       graft.functions.SimHash60.register(s)
       Tables.spread(s, Tables.documents(s, sf))
         .withColumn("hs",
@@ -461,42 +469,84 @@ object Dedup extends OpGroup {
         .repartition(col("doc_id"))
   }
 
-  private[ops] def simhashHammingPairs(s: SparkSession, sf: String,
+  private val shBandLens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
+  private val shBandOffs = shBandLens.scanLeft(0)(_ + _).init.zip(shBandLens)
+
+  /** Explode a (doc_id, simhash) relation into its 9 pigeonhole band
+    * rows (band_idx, bval = the band's bit-slice).
+    */
+  private def shBands(sh: DataFrame): DataFrame = {
+    val bandCols = shBandOffs.zipWithIndex.map { case ((o, l), i) =>
+      struct(lit(i).as("band_idx"),
+        expr(s"shiftright(simhash, $o) & ${(1L << l) - 1}").as("bval"))
+    }
+    sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.bval").as("bval"))
+  }
+
+  // FIRST-COLLISION emission (the LSH op's trick, free here): band
+  // values are bit-slices of the fingerprint both sides already
+  // carry, so "no earlier band agrees" is pure codegen'd long
+  // arithmetic on (a_sh, b_sh) — each colliding pair is emitted
+  // from its smallest shared band only, and the post-filter
+  // distinct shuffle disappears.
+  private def shFirstCollision: org.apache.spark.sql.Column = {
+    def bandNe(j: Int): org.apache.spark.sql.Column = {
+      val (o, l) = shBandOffs(j)
+      expr(s"(shiftright(a_sh, $o) & ${(1L << l) - 1}) != (shiftright(b_sh, $o) & ${(1L << l) - 1})")
+    }
+    (1 until shBandLens.size).map(i =>
+      col("band_idx") === i && (0 until i).map(bandNe).reduce(_ && _))
+      .foldLeft(col("band_idx") === 0)(_ || _)
+  }
+
+  private def shSide(bands: DataFrame, pfx: String): DataFrame =
+    bands.select(col("doc_id").as(s"${pfx}_doc_id"), col("simhash").as(s"${pfx}_sh"),
+      col("band_idx"), col("bval"))
+
+  private def shVerify(cand: DataFrame, r: Int): DataFrame =
+    cand.filter(shFirstCollision)
+      .filter(expr("bit_count(a_sh ^ b_sh)") <= r)
+      .select(col("a_doc_id"), col("b_doc_id"),
+        expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
+
+  private[graft] def simhashHammingPairs(s: SparkSession, sf: String,
       shIn: Option[DataFrame] = None): DataFrame = {
-      val R = 8
-      val lens = Seq(7, 7, 7, 7, 7, 7, 6, 6, 6) // 9 bands cover 60 bits
-      val offs = lens.scanLeft(0)(_ + _).init.zip(lens)
       val sh = shIn.getOrElse(simhashFingerprints(s, sf))
-      val bandCols = offs.zipWithIndex.map { case ((o, l), i) =>
-        struct(lit(i).as("band_idx"),
-          expr(s"shiftright(simhash, $o) & ${(1L << l) - 1}").as("bval"))
-      }
-      val bands = sh
-        .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.band_idx").as("band_idx"), col("b.bval").as("bval"))
-      val cand = bands
-        .select(col("doc_id").as("a_doc_id"), col("simhash").as("a_sh"), col("band_idx"), col("bval"))
-        .join(bands.select(col("doc_id").as("b_doc_id"), col("simhash").as("b_sh"),
-          col("band_idx"), col("bval")), Seq("band_idx", "bval"))
-        .filter(col("a_doc_id") < col("b_doc_id"))
-      // FIRST-COLLISION emission (the LSH op's trick, free here): band
-      // values are bit-slices of the fingerprint both sides already
-      // carry, so "no earlier band agrees" is pure codegen'd long
-      // arithmetic on (a_sh, b_sh) — each colliding pair is emitted
-      // from its smallest shared band only, and the post-filter
-      // distinct shuffle disappears.
-      def bandNe(j: Int): org.apache.spark.sql.Column = {
-        val (o, l) = offs(j)
-        expr(s"(shiftright(a_sh, $o) & ${(1L << l) - 1}) != (shiftright(b_sh, $o) & ${(1L << l) - 1})")
-      }
-      val first = (1 until lens.size).map(i =>
-        col("band_idx") === i && (0 until i).map(bandNe).reduce(_ && _))
-        .foldLeft(col("band_idx") === 0)(_ || _)
-      cand
-        .filter(first)
-        .filter(expr("bit_count(a_sh ^ b_sh)") <= R)
-        .select(col("a_doc_id"), col("b_doc_id"),
-          expr("bit_count(a_sh ^ b_sh)").cast("int").as("hamming"))
+      val bands = shBands(sh)
+      shVerify(shSide(bands, "a").join(shSide(bands, "b"), Seq("band_idx", "bval"))
+        .filter(col("a_doc_id") < col("b_doc_id")), 8)
+  }
+
+  /** BATCH-INCIDENT SimHash Hamming pairs (r15, the r14 verdict's item
+    * 1): the incremental cluster merge only needs pairs touching the
+    * ingest batch, so instead of self-joining the whole corpus's band
+    * rows and filtering (O(Σ bucket²) join output — the full pair op's
+    * cost paid for a 10% answer), probe the batch's bands against the
+    * corpus's: O(Σ batch_bucket · bucket). The batch side is broadcast —
+    * an ingest batch is small relative to the corpus BY CONTRACT (the
+    * same assumption the LSH probe's localCheckpoint encodes), so the
+    * band join never shuffles the corpus and never serializes the giant
+    * near-dup bucket through one sort-merge task. Each incident pair
+    * surfaces exactly once under the a < b convention: batch×all covers
+    * pairs whose smaller id is a batch doc (including batch-batch);
+    * base×batch covers the rest (the left leg excludes batch docs, so
+    * nothing double-emits). Same first-collision dedup + exact Hamming
+    * verify as the full op — the result IS the full op's output
+    * restricted to batch-incident pairs, which CcAppendSpec asserts.
+    */
+  private[graft] def simhashHammingPairsIncident(baseSh: DataFrame,
+      batchSh: DataFrame): DataFrame = {
+    val batchBands = shBands(batchSh)
+    val baseBands = shBands(baseSh)
+    val allBands = batchBands.unionByName(baseBands)
+    val cand = shSide(broadcast(batchBands), "a")
+      .join(shSide(allBands, "b"), Seq("band_idx", "bval"))
+      .filter(col("a_doc_id") < col("b_doc_id"))
+      .unionByName(shSide(baseBands, "a")
+        .join(shSide(broadcast(batchBands), "b"), Seq("band_idx", "bval"))
+        .filter(col("a_doc_id") < col("b_doc_id")))
+    shVerify(cand, 8)
   }
 
   private val simhashHamming = Op(
@@ -937,7 +987,10 @@ object Dedup extends OpGroup {
     // no bits.
     cand.join(bm, "batch_doc_id").join(im, "base_doc_id")
       .withColumn("i",
-        expr("aggregate(zip_with(a_mask, b_mask, (x, y) -> bit_count(coalesce(x, 0L) & coalesce(y, 0L))), 0, (acc, v) -> acc + v)"))
+        { graft.functions.MaskIntersect.register(s)
+          // mask_intersect stops at the shorter mask's length — the
+          // codegen'd dual of the zip_with null-pad + coalesce (r15).
+          expr("mask_intersect(a_mask, b_mask)") })
       .filter(col("i").cast("double") / (col("a_n") + col("b_n") - col("i")) >= 0.9)
       .select(col("batch_doc_id"), col("base_doc_id"),
         r6(col("i").cast("double") / (col("a_n") + col("b_n") - col("i"))).as("jaccard"))

@@ -1246,20 +1246,16 @@ object Vectors extends OpGroup {
     // the full-corpus key relation exactly).
     val allKeys = s.read.parquet(s"$dir/keys").unionByName(
       srpKeysOf(s, all.filter(pmod(col("vec_id"), lit(2)) === 1)))
-    // PIN the verified batch edges (batch-adjacent-sized): every
-    // downstream consumer (the CC merge's edge list, the affected-
-    // component semi-joins, the untouched anti-join) reuses the one
-    // materialization — unpinned, each re-ran the SRP + cosine-verify
-    // pipeline and the "incremental" op cost more than the full
-    // recompute (r14 bench finding). Registered in the swap registry,
-    // so repeat invocations stay flat in the block manager.
-    val newEdges = graft.ResultPins.swapCheckpoint(
-      "dedup_semantic_clusters_append:edges@" + sf,
+    // NOT pre-pinned (r15): incrementalMerge's label contraction is the
+    // single consumer of the verified edges and pins the (far smaller)
+    // contracted relation itself, so the SRP + cosine-verify pipeline
+    // runs exactly once with no extra full-width materialization.
+    val newEdges =
       cosineOfPairsOf(all, srpCandidatesFromKeys(allKeys)
           .filter(pmod(col("a_vec_id"), lit(2)) === 1 ||
             pmod(col("b_vec_id"), lit(2)) === 1))
         .filter(col("sim") >= 0.4)
-        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v")))
+        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
     val oddNodes = all.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id").as("node"))
     Clusters.incrementalMerge(s, base, newEdges, oddNodes,
