@@ -43,9 +43,17 @@ object BenchServer {
           case Some(fn) =>
             val cpu0 = osBean.getProcessCpuTime
             val (t, e) = Bench.timeKey(spark, sfDir, fn)
-            val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+            val cpu1 = osBean.getProcessCpuTime
             val es = e.map(c => s""","err":"$c"""").getOrElse("")
-            println(f"""{"key":"$key","sec":$t%s,"cpu_sec":$cpuSec%.3f$es}""")
+            // Locale.ROOT: under a comma-decimal default locale an
+            // f-interpolated %.3f emits invalid JSON. getProcessCpuTime
+            // returns -1 where unsupported — omit the column rather
+            // than emit a nonsense negative.
+            val cs =
+              if (cpu0 < 0 || cpu1 < 0) ""
+              else String.format(java.util.Locale.ROOT,
+                ""","cpu_sec":%.3f""", Double.box((cpu1 - cpu0) / 1e9))
+            println(s"""{"key":"$key","sec":$t$cs$es}""")
         }
         Console.out.flush()
       }

@@ -16,11 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Registering a pin under its op key SWAPS OUT the previous
   * invocation's pin (non-blocking unpersist), so the block manager
   * holds at most ONE result pin per (op, corpus) at any time — flat,
-  * not monotonic. The swapped-out DataFrame stays CORRECT if a caller
-  * still holds it (the RDD lineage recomputes on demand); only its
-  * cached blocks are released. [[releaseAll]] frees everything —
-  * spec/bench teardown hygiene, asserted by ResultPinsSpec via
-  * `sparkContext.getPersistentRDDs`.
+  * not monotonic. A [[swap]]-pinned DataFrame stays CORRECT if a
+  * caller still holds it after being swapped out (the RDD lineage
+  * recomputes on demand); only its cached blocks are released. A
+  * [[swapCheckpoint]]-pinned DataFrame does NOT — localCheckpoint
+  * TRUNCATES lineage, so releasing the superseded checkpoint's blocks
+  * leaves the old DataFrame unrecomputable (missing-block errors on
+  * next action). Callers must treat a swapCheckpoint result as valid
+  * only until the same key is swapped again — i.e. don't consume a
+  * prior invocation's pinned relation (or anything derived lazily from
+  * it, like the append ops' witness seams) after re-invoking the op.
+  * [[releaseAll]] frees everything — spec/bench teardown hygiene,
+  * asserted by ResultPinsSpec via `sparkContext.getPersistentRDDs`.
   */
 object ResultPins {
   private val pins = new java.util.concurrent.ConcurrentHashMap[
@@ -46,8 +53,10 @@ object ResultPins {
     * materialization and no re-serialization when downstream plans scan
     * the pin (the r14 cc-append profile: the same 1M-row pipeline cost
     * 23 s through `df.rdd` + Row conversion vs ~6 s checkpointed).
-    * Same swap semantics: the superseded checkpoint's blocks are
-    * released.
+    * Swap semantics differ from [[swap]] in one load-bearing way (r15
+    * advice): the superseded checkpoint's blocks are released AND its
+    * lineage is already truncated, so the swapped-out DataFrame is
+    * INVALIDATED, not merely evicted — see the class doc.
     */
   def swapCheckpoint(key: String, df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()

@@ -209,6 +209,18 @@ object Tables {
     * doesn't accumulate one copy per fingerprint in /tmp.
     */
   def cachedDir(parent: String, prefix: String, fp: String): String = {
+    // A `_vN` layout-version suffix on the parent supersedes the
+    // unsuffixed tree and every lower version: sweep them, or stale
+    // artifacts from retired layouts accumulate under tmpdir forever on
+    // long-lived hosts (the generation vacuum below only covers
+    // superseded fingerprints INSIDE one parent — r14 advice).
+    parent match {
+      case s"${base}_v${n}" if n.forall(_.isDigit) =>
+        (new java.io.File(base) +:
+          (1 until n.toInt).map(i => new java.io.File(s"${base}_v$i")))
+          .filter(_.isDirectory).foreach(rmTree)
+      case _ => ()
+    }
     val keep = s"${prefix}_$fp"
     Option(new java.io.File(parent).listFiles()).getOrElse(Array.empty)
       .filter(d => d.getName.startsWith(s"${prefix}_") && d.getName != keep)

@@ -306,6 +306,13 @@ object Clusters extends OpGroup {
     * recursive CTE — so the whole pairs→graph→components path is
     * hash-checked.
     */
+  /** The full-recompute min-contraction oracle, shared verbatim by the
+    * append key (merged == recompute) and — live-filtered — by the
+    * delete key (r15).
+    */
+  private[graft] val ccOracleSql: String =
+    """WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""
+
   private val clusterCc = Op(
     "dedup_cluster_cc",
     (s, sf) => {
@@ -352,7 +359,7 @@ object Clusters extends OpGroup {
     // multiply-referenced CTEs — DuckDB otherwise inlines them and
     // re-executes the LSH pipeline once per reference. Validated
     // cell-exact against a union-find ground truth at sf0.1 (6.9 s).
-    Some("""WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""),
+    Some(ccOracleSql),
   )
 
   /** Fingerprint-keyed home of the persisted text-side cluster
@@ -462,7 +469,121 @@ object Clusters extends OpGroup {
           count(lit(1)).over(Window.partitionBy(col("canonical_doc_id"))))
         .orderBy("member_doc_id")
     },
-    Some("""WITH RECURSIVE tok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), lcand AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id), sets AS MATERIALIZED (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), lshp AS (SELECT c.a_doc_id, c.b_doc_id FROM lcand c JOIN sets sa ON sa.doc_id = c.a_doc_id JOIN sets sb ON sb.doc_id = c.b_doc_id WHERE CAST(len(list_intersect(sa.ws, sb.ws)) AS DOUBLE) / (sa.n + sb.n - len(list_intersect(sa.ws, sb.ws))) >= 0.9), sh AS (SELECT doc_id, list_reduce(list_transform(generate_series(0, 59), j -> CASE WHEN list_reduce(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END), (a, b) -> a | b) AS simhash FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '), w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs FROM documents) t), hbands(i, o, l) AS (SELECT * FROM (VALUES (0,0,7),(1,7,7),(2,14,7),(3,21,7),(4,28,7),(5,35,7),(6,42,6),(7,48,6),(8,54,6)) AS v(i,o,l)), bv AS MATERIALIZED (SELECT doc_id, simhash, i, (simhash >> o) & ((CAST(1 AS BIGINT) << l) - 1) AS bval FROM sh CROSS JOIN hbands), hamp AS (SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id FROM bv a JOIN bv b ON a.i = b.i AND a.bval = b.bval AND a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), e0 AS MATERIALIZED (SELECT a_doc_id AS u, b_doc_id AS v FROM lshp UNION SELECT a_doc_id, b_doc_id FROM hamp), s0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), m1 AS MATERIALIZED (SELECT d.doc_id AS node, LEAST(d.doc_id, COALESCE(MIN(s0.v), d.doc_id)) AS l FROM documents d LEFT JOIN s0 ON s0.u = d.doc_id GROUP BY d.doc_id), e1 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e0 JOIN m1 a ON e0.u = a.node JOIN m1 b ON e0.v = b.node WHERE a.l <> b.l), s1 AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1), m2 AS MATERIALIZED (SELECT n.node, LEAST(n.node, COALESCE(MIN(s1.v), n.node)) AS l FROM (SELECT DISTINCT l AS node FROM m1) n LEFT JOIN s1 ON s1.u = n.node GROUP BY n.node), e2 AS MATERIALIZED (SELECT DISTINCT a.l AS u, b.l AS v FROM e1 JOIN m2 a ON e1.u = a.node JOIN m2 b ON e1.v = b.node WHERE a.l <> b.l), s2 AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2), reach(n, r) AS (SELECT u, u FROM s2 UNION SELECT reach.n, s2.v FROM reach JOIN s2 ON reach.r = s2.u), canon2 AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), assign AS (SELECT d.doc_id AS member_doc_id, COALESCE(c2.c, m2x.l) AS canonical_doc_id FROM documents d JOIN m1 ON m1.node = d.doc_id JOIN m2 m2x ON m2x.node = m1.l LEFT JOIN canon2 c2 ON c2.n = m2x.l) SELECT member_doc_id, canonical_doc_id, COUNT(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size FROM assign ORDER BY member_doc_id"""),
+    Some(ccOracleSql),
+  )
+
+  /** Rewrite a full-corpus oracle to run over the live (un-retired)
+    * subset: filter the base table FIRST (the replace runs before the
+    * live CTE is prepended, so the CTE's own FROM survives), then point
+    * every reference at the filtered CTE. Shared by both cluster-delete
+    * keys (r15).
+    */
+  private[graft] def liveFilteredOracle(sql: String, table: String, idCol: String): String = {
+    val rewritten = sql.replace(s"FROM $table", s"FROM live_$table")
+    rewritten.replaceFirst("WITH RECURSIVE ",
+      s"WITH RECURSIVE live_$table AS MATERIALIZED (SELECT * FROM $table WHERE $idCol % 10 <> 7), ")
+  }
+
+  /** Generation 0 of the text-side DELETE lineage: the FULL-corpus
+    * keep-one assignment plus its verified near-dup EDGE relation,
+    * persisted together under one crash-safe staged commit. The edge
+    * relation is the load-bearing artifact: near-dup candidacy and
+    * verification are strictly PAIRWISE (band keys, mask popcounts and
+    * Hamming distances depend only on the two docs), so the live
+    * corpus's edge set is exactly the persisted set with both endpoints
+    * live — a delete never re-hashes or re-pairs anything.
+    */
+  private[graft] def ccFullBase(s: org.apache.spark.sql.SparkSession, sf: String): String = {
+    val dir = ccAppendDir(s, sf)
+    Tables.commitStaged(dir, "full") { tmp =>
+      // Same shared-stage fold as the full-recompute op: pin the three
+      // O(docs)-row intermediates both pairers consume twice.
+      val sigs = Dedup.minhashSigs(s, sf, 16).persist()
+      val (masksDf, interExpr) = Dedup.tokenMasks(s, sf)
+      val masks = masksDf.persist()
+      val sh = Dedup.simhashFingerprints(s, sf).persist()
+      Dedup.minhashLshPairs(s, sf, Some(sigs), Some((masks, interExpr)))
+        .select(col("a_doc_id").as("u"), col("b_doc_id").as("v"))
+        .union(Dedup.simhashHammingPairs(s, sf, Some(sh))
+          .select(col("a_doc_id").as("u"), col("b_doc_id").as("v")))
+        .write.parquet(s"$tmp/edges")
+      connectedComponents(
+          Tables.documents(s, sf).select(col("doc_id").as("node")),
+          s.read.parquet(s"$tmp/edges"), "cc_full@" + sf)
+        .write.parquet(s"$tmp/assign")
+      Seq(sigs, masks, sh).foreach(_.unpersist(false))
+    }
+    dir
+  }
+
+  /** TOMBSTONE DELETE on the persisted cluster assignment (r15, the r14
+    * verdict's item 3) — the sixth lifecycle act the INDEXES already
+    * had, now on the keep-one table itself: retire a committed id set
+    * and re-label ONLY the components that contained a retired member.
+    * Unlike the append (where new edges can only MERGE components, so
+    * label granularity suffices), deletions can SPLIT a component —
+    * connectivity through the retired member is lost — so the touched
+    * components' live members re-enter CC over the PERSISTED edge
+    * relation restricted to them (no re-hashing, no re-pairing; see
+    * [[ccFullBase]]). Untouched components pass through verbatim from
+    * the persisted assignment. Labels are component minima, so the
+    * result is IDENTICAL to a full recompute over the live corpus — the
+    * key carries the full-recompute oracle with the base table
+    * live-filtered.
+    *
+    * 100 TB shape: one semi/anti join pass over the persisted edges
+    * (broadcast tombstones), CC bounded by the touched components'
+    * edges, and the assignment pass-through never shuffles.
+    */
+  private[graft] def ccDeleteParts(s: org.apache.spark.sql.SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = ccFullBase(s, sf)
+    // The retirement set is COMMITTED (crash-safe staged rename), like
+    // the index tombstones: a GDPR/takedown batch is durable state, not
+    // a query parameter.
+    Tables.commitStaged(dir, "cc_tombstones") { tmp =>
+      Tables.documents(s, sf).filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select("doc_id").write.parquet(s"$tmp/docs")
+    }
+    val retired = s.read.parquet(s"$dir/cc_tombstones/docs")
+    val assign = s.read.parquet(s"$dir/full/assign")
+    val edges = s.read.parquet(s"$dir/full/edges")
+    // Touched labels: tiny (≤ |retired|), pinned for its three
+    // consumers; broadcast by AQE in each.
+    val touchedLabels = graft.ResultPins.swapCheckpoint(
+      s"dedup_cluster_cc_delete:touched@$sf",
+      assign.join(retired.select(col("doc_id").as("node")), "node")
+        .select("label").distinct())
+    val untouched = assign.join(touchedLabels, Seq("label"), "left_anti")
+    val liveMembers = assign.join(touchedLabels, Seq("label"))
+      .join(retired.select(col("doc_id").as("node")), Seq("node"), "left_anti")
+      .select("node")
+    // Component edges have both endpoints in one component, so one
+    // semi-join on u against the touched live members both restricts to
+    // touched components AND drops retired-u edges; the anti-join on v
+    // drops the retired-v side.
+    val liveEdges = edges
+      .join(liveMembers.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(retired.select(col("doc_id").as("v")), Seq("v"), "left_anti")
+      .select("u", "v")
+    val relabeled = connectedComponents(liveMembers, liveEdges,
+      "dedup_cluster_cc_delete@" + sf)
+    val merged = relabeled.select("node", "label")
+      .union(untouched.select("node", "label"))
+    (untouched, liveMembers, merged)
+  }
+
+  private val clusterCcDelete = Op(
+    "dedup_cluster_cc_delete",
+    (s, sf) => {
+      val (_, _, merged) = ccDeleteParts(s, sf)
+      merged
+        .select(col("node").as("member_doc_id"), col("label").as("canonical_doc_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("canonical_doc_id"))))
+        .orderBy("member_doc_id")
+    },
+    Some(liveFilteredOracle(ccOracleSql, "documents", "doc_id")),
   )
 
   /** TRIANGLE COUNTING + clustering coefficient (r6) over the
@@ -1050,7 +1171,7 @@ object Clusters extends OpGroup {
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size >= 40), e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY 1), r2 AS (SELECT u, COUNT(*) AS n_reach2 FROM (SELECT DISTINCT u, r FROM (SELECT u, v AS r FROM sym UNION ALL SELECT s1.u, s2.v AS r FROM sym s1 JOIN sym s2 ON s2.u = s1.v) z WHERE u <> r) d GROUP BY u) SELECT deg.u AS p_partkey, deg.degree, r2.n_reach2, ROUND(1e-9 + CAST(deg.degree AS DOUBLE) / r2.n_reach2, 6) AS direct_share FROM deg JOIN r2 ON r2.u = deg.u ORDER BY p_partkey"""),
   )
 
-  val ops: Seq[Op] = Seq(clusterCc, clusterCcAppend, copurchaseTriangles, copurchasePagerank,
+  val ops: Seq[Op] = Seq(clusterCc, clusterCcAppend, clusterCcDelete, copurchaseTriangles, copurchasePagerank,
     labelPropagation, neighborJaccard, kcorePeel, degreeAssortativity,
     bfsHops, adamicAdar, itemCfCosine, twoHopReach)
 }

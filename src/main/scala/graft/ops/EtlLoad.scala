@@ -176,28 +176,37 @@ object EtlLoad extends OpGroup {
     * positivity on orders, FK orphan check lineitem→orders, and
     * natural-key uniqueness of (l_orderkey, l_linenumber). Emits the
     * violation count + pass flag per rule — the contract table a 100 TB
-    * pipeline gates promotion on. Rules over the same table share one
-    * scan (conditional aggregates), never one pass per rule.
+    * pipeline gates promotion on. ALL lineitem rules compile into ONE
+    * pass (r15, the r14 verdict's item 7 — the r5 shape still scanned
+    * lineitem three times: range agg, FK anti-join, dup-key groupBy):
+    * the FK check folds into a left join whose null-mark aggregates
+    * alongside the range partials at the natural-key grain, and the
+    * grain rollup yields the dup count — orders is joined on its unique
+    * key so no row multiplies, and the post-join groupBy reuses the
+    * join's hash partitioning (l_orderkey ⊆ the grouping key, so
+    * EnsureRequirements inserts no second exchange).
     */
   private val dqChecks = Op(
     "etl_dq_checks",
     (s, sf) => {
-      val li = Tables.lineitem(s, sf)
-      val liAgg = li.agg(
-        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v1"),
-        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v2"),
-      )
-      val orphans = li.join(Tables.orders(s, sf),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("v3"))
+      val li = Tables.lineitem(s, sf).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L).as("qv"),
+        when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L).as("dv"))
+      val liAgg = li
+        .join(Tables.orders(s, sf).select(col("o_orderkey"), lit(1).as("fk_ok")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("qv"), sum(col("dv")).as("dv"),
+          sum(when(col("fk_ok").isNull, 1L).otherwise(0L)).as("fkv"))
+        .agg(sum(col("qv")).as("v1"), sum(col("dv")).as("v2"),
+          sum(col("fkv")).as("v3"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("v5"))
       val ordAgg = Tables.orders(s, sf)
         .agg(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v4"))
-      val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-        .agg(count(lit(1)).as("v5"))
       def rule(id: String, table: String, n: org.apache.spark.sql.Column) =
         Seq(lit(id).as("rule_id"), lit(table).as("table_name"), n.as("n_violations"))
-      liAgg.crossJoin(orphans).crossJoin(ordAgg).crossJoin(dupKeys)
+      liAgg.crossJoin(ordAgg)
         .select(array(
           struct(rule("quantity_range", "lineitem", col("v1")): _*),
           struct(rule("discount_range", "lineitem", col("v2")): _*),

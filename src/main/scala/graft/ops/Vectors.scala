@@ -1153,6 +1153,13 @@ object Vectors extends OpGroup {
     * the cluster assignment — is oracled (recursive-CTE closure over
     * the identically-derived pair graph in DuckDB).
     */
+  /** The full-recompute SRP+cosine+closure oracle, shared verbatim by
+    * the append key (merged == recompute) and — live-filtered — by the
+    * delete key (r15).
+    */
+  private[graft] val semCcOracleSql: String =
+    """WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""
+
   private val semanticClusters = Op(
     "dedup_semantic_clusters",
     (s, sf) => {
@@ -1171,7 +1178,7 @@ object Vectors extends OpGroup {
             .otherwise("cluster_canonical"))
         .orderBy("vec_id")
     },
-    Some("""WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""),
+    Some(semCcOracleSql),
   )
 
   /** Fingerprint-keyed home of the persisted semantic-cluster
@@ -1282,7 +1289,85 @@ object Vectors extends OpGroup {
             .otherwise("cluster_canonical"))
         .orderBy("vec_id")
     },
-    Some("""WITH RECURSIVE pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), nv AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings), vp AS (SELECT c.a_vec_id AS pu, c.b_vec_id AS pv FROM cand c JOIN nv a ON a.vec_id = c.a_vec_id JOIN nv b ON b.vec_id = c.b_vec_id WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4), s0 AS (SELECT pu, pv FROM vp UNION ALL SELECT pv, pu FROM vp), reach(n, r) AS (SELECT pu, pu FROM s0 UNION SELECT reach.n, s0.pv FROM reach JOIN s0 ON reach.r = s0.pu), canon AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n), asg AS (SELECT emb.vec_id, COALESCE(canon.c, emb.vec_id) AS canonical_vec_id FROM embeddings emb LEFT JOIN canon ON canon.n = emb.vec_id) SELECT vec_id, canonical_vec_id, COUNT(*) OVER (PARTITION BY canonical_vec_id) AS cluster_size, vec_id = canonical_vec_id AS keep, CASE WHEN vec_id <> canonical_vec_id THEN 'semantic_near_dup' WHEN COUNT(*) OVER (PARTITION BY canonical_vec_id) = 1 THEN 'unique' ELSE 'cluster_canonical' END AS reason FROM asg ORDER BY vec_id"""),
+    Some(semCcOracleSql),
+  )
+
+  /** Generation 0 of the embedding-side DELETE lineage: the FULL-corpus
+    * semantic-cluster assignment plus its verified edge relation, one
+    * crash-safe staged commit. SRP candidacy and the cosine verify are
+    * strictly pairwise, so the live corpus's edges are exactly the
+    * persisted set with both endpoints live — the delete never
+    * recomputes a projection or a cosine (the text-side rationale at
+    * [[Clusters.ccFullBase]]).
+    */
+  private[graft] def semFullBase(s: SparkSession, sf: String): String = {
+    val dir = semCcDir(s, sf)
+    Tables.commitStaged(dir, "full") { tmp =>
+      cosineOfPairs(s, sf, srpCandidates(s, sf))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_vec_id").as("u"), col("b_vec_id").as("v"))
+        .write.parquet(s"$tmp/edges")
+      Clusters.connectedComponents(
+          Tables.embeddings(s, sf).select(col("vec_id").as("node")),
+          s.read.parquet(s"$tmp/edges"), "semcc_full@" + sf)
+        .write.parquet(s"$tmp/assign")
+    }
+    dir
+  }
+
+  /** TOMBSTONE DELETE on the persisted semantic-cluster assignment
+    * (r15, the r14 verdict's item 3) — the embedding-side twin of
+    * [[Clusters.ccDeleteParts]]: retire a committed vec_id set,
+    * re-label only components containing a retired member (CC over the
+    * persisted edges restricted to their live members — deletions can
+    * split), pass every untouched component through verbatim. Identical
+    * to a full recompute over the live corpus, so the key carries the
+    * full key's oracle live-filtered.
+    */
+  private[graft] def semDeleteParts(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = semFullBase(s, sf)
+    Tables.commitStaged(dir, "sem_tombstones") { tmp =>
+      Tables.embeddings(s, sf).filter(pmod(col("vec_id"), lit(10)) === 7)
+        .select("vec_id").write.parquet(s"$tmp/ids")
+    }
+    val retired = s.read.parquet(s"$dir/sem_tombstones/ids")
+    val assign = s.read.parquet(s"$dir/full/assign")
+    val edges = s.read.parquet(s"$dir/full/edges")
+    val touchedLabels = graft.ResultPins.swapCheckpoint(
+      s"dedup_semantic_clusters_delete:touched@$sf",
+      assign.join(retired.select(col("vec_id").as("node")), "node")
+        .select("label").distinct())
+    val untouched = assign.join(touchedLabels, Seq("label"), "left_anti")
+    val liveMembers = assign.join(touchedLabels, Seq("label"))
+      .join(retired.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+      .select("node")
+    val liveEdges = edges
+      .join(liveMembers.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(retired.select(col("vec_id").as("v")), Seq("v"), "left_anti")
+      .select("u", "v")
+    val relabeled = Clusters.connectedComponents(liveMembers, liveEdges,
+      "dedup_semantic_clusters_delete@" + sf)
+    val merged = relabeled.select("node", "label")
+      .union(untouched.select("node", "label"))
+    (untouched, liveMembers, merged)
+  }
+
+  private val semanticClustersDelete = Op(
+    "dedup_semantic_clusters_delete",
+    (s, sf) => {
+      val (_, _, merged) = semDeleteParts(s, sf)
+      merged.select(col("node").as("vec_id"), col("label").as("canonical_vec_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("canonical_vec_id"))))
+        .withColumn("keep", col("vec_id") === col("canonical_vec_id"))
+        .withColumn("reason",
+          when(col("vec_id") =!= col("canonical_vec_id"), "semantic_near_dup")
+            .when(col("cluster_size") === 1, "unique")
+            .otherwise("cluster_canonical"))
+        .orderBy("vec_id")
+    },
+    Some(Clusters.liveFilteredOracle(semCcOracleSql, "embeddings", "vec_id")),
   )
 
   /** Top principal component of the embedding corpus (r9) — the
@@ -1791,7 +1876,7 @@ object Vectors extends OpGroup {
   val ops: Seq[Op] = Seq(cosineTopk, centroidPerLabel, annIvf, embeddingNearDup,
     quantizeInt8, truncateRenorm, pqCodes, pqAdcTopk, pqAdcProbeOp, pqAdcFixed,
     srpLshPairs, pcaTopComponent, knnGraph, centroidDistances, semanticClusters,
-    semanticClustersAppend,
+    semanticClustersAppend, semanticClustersDelete,
     pqIndexReload, pqProbeFilteredOp, pqIndexAppend, pqIndexCompact, pqIndexDelete,
     mipsTopk, signHammingTopk, jlProjection, kmeansFixed,
     recallSignVsExact, normAudit, dupExact)
