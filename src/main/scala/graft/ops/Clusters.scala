@@ -660,6 +660,46 @@ object Clusters extends OpGroup {
     }
   }
 
+  private val symDegCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Degree-annotated symmetric co-purchase edges — (symD: u, v, deg_u,
+    * deg_v; deg: node, deg) — localCheckpoint-cached per corpus like
+    * [[copurchaseEdges]] (r15, the r14 verdict's item 6): the wedge
+    * family (adamic_adar, neighbor_jaccard, 2hop_reach) shares this
+    * prefix but each key re-derived the degree groupBy + joins per
+    * invocation. Carrying BOTH endpoint degrees on the edge row lets
+    * the wedge aggregations read center and endpoint degrees without
+    * any post-join (degree is functionally dependent on the node, so
+    * grouping by it adds no granularity).
+    */
+  private[graft] def copurchaseSymDeg(s: org.apache.spark.sql.SparkSession,
+      sf: String): (DataFrame, DataFrame) = {
+    val k = (s, sf)
+    val hit = symDegCache.get(k)
+    if (hit != null) hit
+    else {
+      val built = Tables.withConfs(s, Seq(
+        "spark.sql.shuffle.partitions" -> "8")) {
+        val edges = copurchaseEdges(s, sf)
+        val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        val deg = sym.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint()
+        val symD = sym
+          .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+          .select("u", "v", "deg_u", "deg_v").localCheckpoint()
+        (symD, deg)
+      }
+      val raced = symDegCache.putIfAbsent(k, built)
+      if (raced == null) built
+      else {
+        Vectors.releaseCheckpoint(built._1); Vectors.releaseCheckpoint(built._2)
+        raced
+      }
+    }
+  }
+
   private val copurchaseTriangles = Op(
     "graph_copurchase_triangles",
     (s, sf) => Tables.withConfs(s, Seq(
@@ -858,20 +898,23 @@ object Clusters extends OpGroup {
   private val neighborJaccard = Op(
     "graph_neighbor_jaccard",
     (s, sf) => Tables.withConfs(s, Seq(
-      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
-      "spark.sql.shuffle.partitions" -> "8")) {
+      // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1;
+      // AQE off per the adamic_adar job-floor note.
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")) {
       import graft.ops.parity.r6
-      val edges = copurchaseEdges(s, sf)
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      val shared = sym.as("s1").join(sym.as("s2"),
+      // Shared cached prefix (r15): endpoint degrees ride the edge rows
+      // (deg_v of each wedge leg IS deg_a/deg_b — functionally
+      // dependent on the endpoint, so grouping by them adds no
+      // granularity), eliminating the two post-aggregation degree joins
+      // the r9c shape paid per invocation.
+      val (symD, _) = copurchaseSymDeg(s, sf)
+      val out = symD.as("s1").join(symD.as("s2"),
           col("s1.u") === col("s2.u") && col("s1.v") < col("s2.v"))
-        .groupBy(col("s1.v").as("a"), col("s2.v").as("b"))
+        .groupBy(col("s1.v").as("a"), col("s2.v").as("b"),
+          col("s1.deg_v").as("deg_a"), col("s2.deg_v").as("deg_b"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 3)
-      val out = shared
-        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
         .select(col("a").as("u"), col("b").as("v"), col("shared"),
           col("deg_a"), col("deg_b"),
           r6(col("shared").cast("double") /
@@ -1042,7 +1085,17 @@ object Clusters extends OpGroup {
     */
   private[graft] def saltedWedges(sym: DataFrame, hubDeg: Int, salts: Int): DataFrame = {
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    val symD = sym.join(deg.select(col("node").as("u"), col("deg").as("deg_ctr")), "u")
+    saltedWedgesD(
+      sym.join(deg.select(col("node").as("u"), col("deg").as("deg_ctr")), "u"),
+      hubDeg, salts)
+  }
+
+  /** [[saltedWedges]] over an edge relation that ALREADY carries the
+    * center degree (deg_ctr) — the shared-prefix entry point (r15):
+    * adamic_adar feeds the cached [[copurchaseSymDeg]] relation here so
+    * the degree groupBy + join never re-runs per invocation.
+    */
+  private[graft] def saltedWedgesD(symD: DataFrame, hubDeg: Int, salts: Int): DataFrame = {
     val low = symD.filter(col("deg_ctr") <= hubDeg)
     val hub = symD.filter(col("deg_ctr") > hubDeg)
     val wLow = low.as("s1").join(low.as("s2"),
@@ -1075,11 +1128,20 @@ object Clusters extends OpGroup {
     "graph_adamic_adar",
     (s, sf) => Tables.withConfs(s, Seq(
       // Graph-kernel sizing (see triangles): ~57k edge rows at sf0.1.
-      "spark.sql.shuffle.partitions" -> "8")) {
+      "spark.sql.shuffle.partitions" -> "8",
+      // AQE off (r15, r14 verdict item 6): on this ≤57k-row graph every
+      // adaptively re-planned exchange materializes as its own job, and
+      // the job floor WAS the cost — measured 4.4 s → 2.4 s warm at
+      // sf0.1 with identical output. The static plan's 8-partition
+      // SMJ/HashAgg shapes are already right for the family; at
+      // production scale the graph ops run under the session default
+      // (AQE on) because the exchanges carry real data.
+      "spark.sql.adaptive.enabled" -> "false")) {
       import graft.ops.parity.{dec, r6}
-      val edges = copurchaseEdges(s, sf)
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val out = saltedWedges(sym, hubDeg = 64, salts = 8)
+      val (symD, _) = copurchaseSymDeg(s, sf)
+      val out = saltedWedgesD(
+          symD.select(col("u"), col("v"), col("deg_u").as("deg_ctr")),
+          hubDeg = 64, salts = 8)
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("shared"),
           sum(dec(r6(lit(1.0) / log(col("deg_ctr").cast("double"))))).as("aa"))
@@ -1148,11 +1210,15 @@ object Clusters extends OpGroup {
   private val twoHopReach = Op(
     "graph_2hop_reach",
     (s, sf) => Tables.withConfs(s, Seq(
-      "spark.sql.shuffle.partitions" -> "8")) {
+      // AQE off per the adamic_adar job-floor note (r15).
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")) {
       import graft.ops.parity.r6
-      val edges = copurchaseEdges(s, sf)
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val deg = sym.groupBy("u").agg(count(lit(1)).as("degree"))
+      // Shared cached prefix (r15): the degree relation serves from the
+      // same checkpoint the other wedge keys read.
+      val (symD, degRel) = copurchaseSymDeg(s, sf)
+      val sym = symD.select("u", "v")
+      val deg = degRel.select(col("node").as("u"), col("deg").as("degree"))
       // nodes ≤ 2 hops: direct neighbors ∪ neighbors-of-neighbors.
       val reach2 = sym.select(col("u"), col("v").as("r"))
         .union(sym.as("s1").join(sym.as("s2"), col("s1.v") === col("s2.u"))

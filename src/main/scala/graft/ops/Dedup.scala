@@ -1085,21 +1085,33 @@ object Dedup extends OpGroup {
     // way, so the keyed op's oracle is unchanged.
     for (g <- 1 to LshIngestGens)
       Tables.commitStaged(dir, s"gen$g") { tmp =>
-        val batchTok = docTokens(s, sf)
-          .filter(pmod(col("doc_id"), lit(4)) === (2 * g - 1))
-        val priorVocab = lshVocabThrough(s, dir, g - 1)
-        val baseBits = priorVocab.count() // bounded: one scalar, the dictionary size
-        numberWords(s,
-          batchTok.join(priorVocab.select("word"), Seq("word"), "left_anti"),
-          baseBits)
-          .write.mode("overwrite").parquet(s"$tmp/vocab")
-        val vocabAll = priorVocab.unionByName(s.read.parquet(s"$tmp/vocab"))
-        bandKeys(batchTok).write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
-        lshMasks(batchTok, vocabAll).write.mode("overwrite").parquet(s"$tmp/masks")
+        stageLshIngest(s, sf, tmp, g, lshVocabThrough(s, dir, g - 1))
       }
     (lshAppendedPart(s, dir, "bands"),
       lshAppendedPart(s, dir, "masks"),
       lshAppendedPart(s, dir, "vocab"))
+  }
+
+  /** Stage daily-ingest generation `g` (doc_id % 4 == 2g − 1) under
+    * `tmp`: append-only dictionary extension against `priorVocab` (new
+    * words number after the prior bit count, so every earlier mask
+    * stays valid bit-for-bit), band keys, and masks built against the
+    * extended dictionary. Shared by the pinned two-generation lineage
+    * ([[lshAppendedIndex]]) and the policy-maintained one
+    * ([[lshAutoMaintainedIndex]]).
+    */
+  private[graft] def stageLshIngest(s: SparkSession, sf: String, tmp: String,
+      g: Int, priorVocab: DataFrame): Unit = {
+    val batchTok = docTokens(s, sf)
+      .filter(pmod(col("doc_id"), lit(4)) === (2 * g - 1))
+    val baseBits = priorVocab.count() // bounded: one scalar, the dictionary size
+    numberWords(s,
+      batchTok.join(priorVocab.select("word"), Seq("word"), "left_anti"),
+      baseBits)
+      .write.mode("overwrite").parquet(s"$tmp/vocab")
+    val vocabAll = priorVocab.unionByName(s.read.parquet(s"$tmp/vocab"))
+    bandKeys(batchTok).write.mode("overwrite").partitionBy("band_idx").parquet(s"$tmp/bands")
+    lshMasks(batchTok, vocabAll).write.mode("overwrite").parquet(s"$tmp/masks")
   }
 
   /** Number of daily ingest generations the append lineage commits. */
@@ -1255,6 +1267,130 @@ object Dedup extends OpGroup {
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
+  /** POLICY-TRIGGERED COMPACTION (r15, the r14 verdict's item 5) — the
+    * production maintenance shape: compaction as an operator the user
+    * remembers to run (the r14 keyed op above) becomes compaction as a
+    * POLICY the append path enforces. After each ingest generation
+    * commits, the layout health check runs: once the number of live
+    * (un-folded) generations reaches [[AutoCompactMaxGens]], the
+    * current read set — previous fold (or the base build) ∪ live
+    * generations — folds into a new `auto_compact_g<highwater>` root
+    * and the folded inputs are vacuumed immediately (the fold is
+    * committed first, crash-safe, so the rows always have a live home).
+    * Folds are VERSIONED by the high-water generation they cover, which
+    * makes the fold commit idempotent under [[Tables.commitStaged]] and
+    * the read-set derivation pure directory listing: highest fold ∪
+    * generations committed after it.
+    *
+    * File sizing is BYTES-TARGETED (the r14 `repartition(1)` fixture
+    * shortcut generalized): records-per-file = targetBytes / measured
+    * avg row bytes (from [[Tables.dirBytes]] over the fold's inputs),
+    * enforced via maxRecordsPerFile — bands cluster per band_idx
+    * partition first so each band directory gets ceil(bandBytes /
+    * target) files, never one giant or thousands of tiny ones. At
+    * 100 TB this is the whole point: the policy bounds file-count decay
+    * without a human in the loop, and the target keeps every file in
+    * the scanner's sweet spot.
+    *
+    * The base build at the dir root is SHARED with the pinned
+    * reload/append lineages, so the first fold copies it rather than
+    * vacuuming it; only `auto_*` dirs are ever deleted.
+    */
+  private[graft] val AutoCompactMaxGens = 2
+  private[graft] val AutoCompactTargetBytes = 64L << 20 // 64 MB: parquet-scanner sweet spot
+
+  /** (highest committed fold, generations committed after it). */
+  private[graft] def lshAutoRoots(dir: String): (Option[Int], Seq[Int]) = {
+    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq
+    val folds = names.filter(_.startsWith("auto_compact_g"))
+      .map(_.stripPrefix("auto_compact_g").toInt)
+    val top = folds.maxOption
+    val gens = names.filter(_.startsWith("auto_gen"))
+      .map(_.stripPrefix("auto_gen").toInt)
+      .filter(g => top.forall(g > _)).sorted
+    (top, gens)
+  }
+
+  private def lshAutoRootDirs(dir: String): Seq[String] = {
+    val (top, gens) = lshAutoRoots(dir)
+    (top match {
+      case Some(k) => Seq(s"$dir/auto_compact_g$k")
+      case None => Seq(dir) // the shared base build lives at the root
+    }) ++ gens.map(g => s"$dir/auto_gen$g")
+  }
+
+  private def lshAutoPart(s: SparkSession, dir: String, part: String): DataFrame =
+    lshAutoRootDirs(dir).map(r => s.read.parquet(s"$r/$part")).reduce(_.unionByName(_))
+
+  /** The append-commit-time policy check. Returns true iff a fold
+    * committed. Exposed with explicit policy knobs so the spec can
+    * exercise the bytes-targeted splitting with a tiny target.
+    */
+  private[graft] def lshAutoMaybeCompact(s: SparkSession, dir: String,
+      maxGens: Int, targetBytes: Long): Boolean = {
+    val (top, gens) = lshAutoRoots(dir)
+    if (gens.size < maxGens) false
+    else {
+      val hw = gens.max
+      val srcRoots = lshAutoRootDirs(dir)
+      Tables.commitStaged(dir, s"auto_compact_g$hw") { tmp =>
+        Seq("bands", "masks", "vocab").foreach { part =>
+          val rel = srcRoots.map(r => s.read.parquet(s"$r/$part")).reduce(_.unionByName(_))
+          val bytes = srcRoots.map(r => Tables.dirBytes(new java.io.File(s"$r/$part"))).sum
+          val rows = rel.count()
+          val perFile = math.max(1L, targetBytes / math.max(1L, bytes / math.max(1L, rows)))
+          val clustered =
+            if (part == "bands") rel.repartition(col("band_idx")) else rel.repartition(1)
+          val w = clustered.write.mode("overwrite").option("maxRecordsPerFile", perFile)
+          (if (part == "bands") w.partitionBy("band_idx") else w).parquet(s"$tmp/$part")
+        }
+      }
+      // Vacuum the folded inputs — AFTER the fold is live, and never
+      // the shared base build at the dir root.
+      gens.foreach(g => Tables.rmTree(new java.io.File(dir, s"auto_gen$g")))
+      top.foreach(k => Tables.rmTree(new java.io.File(dir, s"auto_compact_g$k")))
+      true
+    }
+  }
+
+  /** The policy-maintained index: same two daily ingest generations as
+    * the pinned lineage, but committed as `auto_gen*` with the health
+    * check after each commit — on this fixture gen2's commit trips the
+    * policy and the read set becomes exactly one fold. Membership
+    * converges to the same all-odd batch as the append key, so the
+    * probe result is row-identical (the compaction-content-neutrality
+    * contract, now enforced by the policy instead of the caller).
+    */
+  private[graft] def lshAutoMaintainedIndex(s: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = lshAppendBase(s, sf)
+    for (g <- 1 to LshIngestGens) {
+      val (top, gens) = lshAutoRoots(dir)
+      if (g > math.max(top.getOrElse(0), (0 +: gens).max)) {
+        Tables.commitStaged(dir, s"auto_gen$g") { tmp =>
+          stageLshIngest(s, sf, tmp, g, lshAutoPart(s, dir, "vocab"))
+        }
+        lshAutoMaybeCompact(s, dir, AutoCompactMaxGens, AutoCompactTargetBytes): Unit
+      }
+    }
+    (lshAutoPart(s, dir, "bands"),
+      lshAutoPart(s, dir, "masks"),
+      lshAutoPart(s, dir, "vocab"))
+  }
+
+  /** The keyed op: run the append key's rolling-dedup probe against the
+    * policy-maintained index — same answer, same oracle; what changed
+    * is WHO compacts (the append path's policy, not a caller).
+    */
+  private val minhashIndexAutoCompact = Op(
+    "dedup_minhash_index_auto_compact",
+    (s, sf) => lshProbe(s, sf, lshAutoMaintainedIndex(s, sf), excludeSelf = true)
+      .withColumnRenamed("base_doc_id", "other_doc_id")
+      .orderBy("batch_doc_id", "other_doc_id"),
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
+  )
+
   private val minhashIndexReload = Op(
     "dedup_minhash_index_reload",
     (s, sf) => lshProbe(s, sf, lshPersistedIndex(s, sf))
@@ -1314,5 +1450,5 @@ object Dedup extends OpGroup {
     containmentPairs, minhashPortable, minhashLsh, simhash, simhashHamming,
     ngramJaccard, editdistBrandPairs, substringExact, paragraphDedup,
     bloomPrefilter, minhashIndexReload, minhashIndexAppend,
-    minhashIndexCompact, minhashIndexDelete, shingleMinhash)
+    minhashIndexCompact, minhashIndexAutoCompact, minhashIndexDelete, shingleMinhash)
 }
