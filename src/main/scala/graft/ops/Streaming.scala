@@ -58,11 +58,19 @@ object Streaming extends OpGroup {
     val raw = schemaCache.computeIfAbsent(
       (s, sf, Tables.fingerprint(sf, "events")),
       _ => s.read.parquet(s"$sf/events.parquet").schema)
-    // The file stream source wants a directory; glob-filter down to the
-    // events file (the other tables' parquet share the directory).
+    // The file stream source wants a directory. The driver's fixtures
+    // ship events.parquet as a single FILE next to the other tables, so
+    // there the stream points at the tier dir glob-filtered to that
+    // leaf name; a Spark-written tier (GenSf1's sf1) ships it as a
+    // DIRECTORY of part files, which the stream can consume directly —
+    // the leaf glob would match nothing there (r15: every streaming key
+    // read 0 rows at sf1 until this became layout-aware).
     Tables.normalizeEventsTs(
-      s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
-        .parquet(sf))
+      if (new java.io.File(s"$sf/events.parquet").isDirectory)
+        s.readStream.schema(raw).parquet(s"$sf/events.parquet")
+      else
+        s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
+          .parquet(sf))
   }
 
   /** Run a (finite) streaming DataFrame to completion, return the sink. */

@@ -67,7 +67,10 @@ con = __import__("duckdb").connect()
 con.execute(f"SET threads={THREADS}")
 for p in glob.glob(f"{SF}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # Driver fixtures are single files; Spark-written tiers (GenSf1's
+    # sf1) are directories of part files — glob inside those.
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 oracle = json.load(open(ORACLE))
 
 # DuckDB warm pass — symmetric with the server's warm passes, so both
