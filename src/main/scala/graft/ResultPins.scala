@@ -39,6 +39,7 @@ object ResultPins {
     * discipline).
     */
   def swap(s: SparkSession, key: String, df: DataFrame): DataFrame = {
+    capturePlan(key, df)
     val rdd = df.rdd
     rdd.persist(); rdd.count(): Unit
     val old = pins.put(key, rdd)
@@ -59,6 +60,7 @@ object ResultPins {
     * INVALIDATED, not merely evicted — see the class doc.
     */
   def swapCheckpoint(key: String, df: DataFrame): DataFrame = {
+    capturePlan(key, df)
     val ck = df.localCheckpoint()
     val old = ckPins.put(key, ck)
     if (old != null) releaseCheckpoint(old)
@@ -70,6 +72,25 @@ object ResultPins {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** OPT-IN plan observability (r15): pinning materializes a result and
+    * rewraps it over the pinned RDD, which TRUNCATES the visible plan of
+    * the returned DataFrame — `explain` on a pinned op shows only the
+    * RDD scan + output sort. When the `graft.plan.capture` system
+    * property is set (plan-audit tooling only — never the bench; the
+    * formatted-explain render costs milliseconds per invocation), the
+    * pre-pin physical plan is recorded per pin key so audits can read
+    * the dataflow that actually executed inside the scope.
+    */
+  private val planLog = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def capturePlan(key: String, df: DataFrame): Unit =
+    if (sys.props.contains("graft.plan.capture"))
+      planLog.put(key, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)): Unit
+
+  /** The last captured pre-pin plan for `key`, if capture is enabled. */
+  def lastPlan(key: String): Option[String] = Option(planLog.get(key))
 
   /** Release every registered result pin (long-session / spec hygiene). */
   def releaseAll(): Unit = {

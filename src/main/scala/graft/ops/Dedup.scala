@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Op, OpGroup, Tables}
+import graft.{Op, OpGroup, ResultPins, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import parity.r6
@@ -934,7 +934,6 @@ object Dedup extends OpGroup {
       index: (DataFrame, DataFrame, DataFrame),
       excludeSelf: Boolean = false,
       batchMod: Int = 2, batchRem: Int = 1): DataFrame = {
-    val B = LshIndexB // shared with bandKeys (r13 ADVICE: one scheme definition)
     val (idxBands, idxMasks, vocab) = index
     // batchMod/batchRem select the incremental batch (default: the odd
     // half, the index keys' oracled contract; the r14 cc-append lineage
@@ -964,14 +963,23 @@ object Dedup extends OpGroup {
         else { Vectors.releaseCheckpoint(built); raced }
       }
     }
-    val candRaw = (0 until B).map { b =>
-      batchB.filter(col("band_idx") === b)
-        .select(col("doc_id").as("batch_doc_id"), col("bkey"))
-        .join(idxBands.filter(col("band_idx") === b)
-            .select(col("doc_id").as("base_doc_id"), col("bkey")),
-          Seq("bkey"))
-        .select("batch_doc_id", "base_doc_id")
-    }.reduce(_.union(_))
+    // ONE fused candidate join on the compound (band_idx, bkey) key
+    // (r15): the former per-band loop union'd B separate joins, each
+    // re-scanning the checkpointed batch side and BUILDING ITS OWN
+    // BroadcastExchange over the index side (×3 generation roots on the
+    // append lineages — 12 index scans and 4 broadcasts per probe,
+    // measured). An equi-join on (band_idx, bkey) is the same multiset
+    // of candidate rows — band_idx equality IS the per-band
+    // partitioning — with exactly one scan per side and one join. The
+    // on-disk band_idx partitioning is untouched (compaction and
+    // band-level rebuilds still address one directory); nothing is lost
+    // locally either: a probe touches every band, so per-band
+    // PartitionFilters never pruned a byte.
+    val candRaw = batchB
+      .select(col("doc_id").as("batch_doc_id"), col("band_idx"), col("bkey"))
+      .join(idxBands.select(col("doc_id").as("base_doc_id"), col("band_idx"), col("bkey")),
+        Seq("band_idx", "bkey"))
+      .select("batch_doc_id", "base_doc_id")
     // excludeSelf: against the r13 APPEND-maintained index the batch's
     // own docs are index members — a probe must not report a doc as its
     // own duplicate.
@@ -1135,6 +1143,30 @@ object Dedup extends OpGroup {
       case g => s.read.parquet(s"$dir/gen$g/$part")
     }.reduce(_.unionByName(_))
 
+  /** Execute a probe-serving keyed op's dataflow under the small-data
+    * conf scope and pin its (batch-bounded) result — the graph-kernel
+    * discipline (copurchaseTriangles) applied to the index-probe family
+    * (r15). Rationale, measured on the append key's plan: the probe
+    * moves only batch-bounded relations (band keys, candidate pairs,
+    * masks — never the corpus), yet at the session's core-count fan-out
+    * every one of its ~6 exchanges ran 32 tasks of ~nothing and AQE
+    * materialized each as its own job — the job floor WAS the cost
+    * (the wedge-family finding). 8 partitions size the shuffles to the
+    * data; at real scale this constant is sized to the DAILY BATCH
+    * (the only thing these shuffles ever carry), not the corpus — the
+    * index side streams through the candidate join unshuffled either
+    * way. The pin (ResultPins.swap) materializes inside the scope so
+    * the confs are honored at execution, and swaps out the previous
+    * invocation's blocks (flat block manager across a sweep).
+    */
+  private def probeScoped(s: SparkSession, key: String, sf: String)
+      (body: => DataFrame): DataFrame =
+    Tables.withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")) {
+      ResultPins.swap(s, s"$key@$sf", body)
+    }
+
   /** The keyed op: append the ingest batch into the persisted index,
     * then probe that SAME batch against the appended index — each
     * ingest doc's near-dups among EVERYTHING indexed so far, base and
@@ -1146,9 +1178,16 @@ object Dedup extends OpGroup {
     */
   private val minhashIndexAppend = Op(
     "dedup_minhash_index_append",
-    (s, sf) => lshProbe(s, sf, lshAppendedIndex(s, sf), excludeSelf = true)
-      .withColumnRenamed("base_doc_id", "other_doc_id")
-      .orderBy("batch_doc_id", "other_doc_id"),
+    (s, sf) => {
+      // Ingest commits run OUTSIDE the probe scope: staging a generation
+      // is corpus-era build work (session-sized parallelism), only the
+      // batch-bounded probe executes under the 8-partition scope.
+      val idx = lshAppendedIndex(s, sf)
+      probeScoped(s, "dedup_minhash_index_append", sf) {
+        lshProbe(s, sf, idx, excludeSelf = true)
+          .withColumnRenamed("base_doc_id", "other_doc_id")
+      }.orderBy("batch_doc_id", "other_doc_id")
+    },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
@@ -1188,11 +1227,12 @@ object Dedup extends OpGroup {
       val (bands, masks, vocab) = lshAppendedIndex(s, sf)
       val liveBands = bands.join(ts, Seq("doc_id"), "left_anti")
       val liveMasks = masks.join(ts, Seq("doc_id"), "left_anti")
-      lshProbe(s, sf, (liveBands, liveMasks, vocab), excludeSelf = true)
-        .join(ts.select(col("doc_id").as("batch_doc_id")),
-          Seq("batch_doc_id"), "left_anti")
-        .withColumnRenamed("base_doc_id", "other_doc_id")
-        .orderBy("batch_doc_id", "other_doc_id")
+      probeScoped(s, "dedup_minhash_index_delete", sf) {
+        lshProbe(s, sf, (liveBands, liveMasks, vocab), excludeSelf = true)
+          .join(ts.select(col("doc_id").as("batch_doc_id")),
+            Seq("batch_doc_id"), "left_anti")
+          .withColumnRenamed("base_doc_id", "other_doc_id")
+      }.orderBy("batch_doc_id", "other_doc_id")
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND a.doc_id % 7 <> 0 AND b.doc_id <> a.doc_id AND b.doc_id % 7 <> 0), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
@@ -1261,9 +1301,13 @@ object Dedup extends OpGroup {
     */
   private val minhashIndexCompact = Op(
     "dedup_minhash_index_compact",
-    (s, sf) => lshProbe(s, sf, lshCompactedIndex(s, sf), excludeSelf = true)
-      .withColumnRenamed("base_doc_id", "other_doc_id")
-      .orderBy("batch_doc_id", "other_doc_id"),
+    (s, sf) => {
+      val idx = lshCompactedIndex(s, sf) // compaction commit outside the probe scope
+      probeScoped(s, "dedup_minhash_index_compact", sf) {
+        lshProbe(s, sf, idx, excludeSelf = true)
+          .withColumnRenamed("base_doc_id", "other_doc_id")
+      }.orderBy("batch_doc_id", "other_doc_id")
+    },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
@@ -1385,16 +1429,24 @@ object Dedup extends OpGroup {
     */
   private val minhashIndexAutoCompact = Op(
     "dedup_minhash_index_auto_compact",
-    (s, sf) => lshProbe(s, sf, lshAutoMaintainedIndex(s, sf), excludeSelf = true)
-      .withColumnRenamed("base_doc_id", "other_doc_id")
-      .orderBy("batch_doc_id", "other_doc_id"),
+    (s, sf) => {
+      val idx = lshAutoMaintainedIndex(s, sf) // ingest+fold commits outside the probe scope
+      probeScoped(s, "dedup_minhash_index_auto_compact", sf) {
+        lshProbe(s, sf, idx, excludeSelf = true)
+          .withColumnRenamed("base_doc_id", "other_doc_id")
+      }.orderBy("batch_doc_id", "other_doc_id")
+    },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS other_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id <> a.doc_id), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.other_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.other_doc_id) SELECT batch_doc_id, other_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, other_doc_id"""),
   )
 
   private val minhashIndexReload = Op(
     "dedup_minhash_index_reload",
-    (s, sf) => lshProbe(s, sf, lshPersistedIndex(s, sf))
-      .orderBy("batch_doc_id", "base_doc_id"),
+    (s, sf) => {
+      val idx = lshPersistedIndex(s, sf) // base build (first demand) outside the probe scope
+      probeScoped(s, "dedup_minhash_index_reload", sf) {
+        lshProbe(s, sf, idx)
+      }.orderBy("batch_doc_id", "base_doc_id")
+    },
     Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents), sig AS (SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || '|' || word)) AS sig FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) bands GROUP BY doc_id, band), bk AS (SELECT doc_id, band // 4 AS band_idx, md5(string_agg(sig, '|' ORDER BY band)) AS bkey FROM sig GROUP BY doc_id, band // 4), cand AS (SELECT DISTINCT a.doc_id AS batch_doc_id, b.doc_id AS base_doc_id FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.bkey = b.bkey WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0), sets AS (SELECT doc_id, list(word ORDER BY word) AS ws, count(*) AS n FROM tok GROUP BY doc_id), v AS (SELECT c.batch_doc_id, c.base_doc_id, len(list_intersect(sa.ws, sb.ws)) AS i, sa.n + sb.n AS nn FROM cand c JOIN sets sa ON sa.doc_id = c.batch_doc_id JOIN sets sb ON sb.doc_id = c.base_doc_id) SELECT batch_doc_id, base_doc_id, ROUND(1e-9 + CAST(i AS DOUBLE) / (nn - i), 6) AS jaccard FROM v WHERE CAST(i AS DOUBLE) / (nn - i) >= 0.9 ORDER BY batch_doc_id, base_doc_id"""),
   )
 

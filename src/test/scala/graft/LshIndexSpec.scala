@@ -41,18 +41,25 @@ class LshIndexSpec extends SparkSpec {
     assert(r2 == r1, "warm-serve probe diverged from the first result")
   }
 
-  test("persisted-index probe prunes band directories (PartitionFilters on band_idx, r12)") {
-    // The bands relation is persisted partitionBy(band_idx); the probe
-    // joins per band, so each index scan must read exactly its own
-    // band directory — the src_partitioned_multifile discipline
-    // applied to the serve path (r11 verdict item 3).
+  test("persisted-index probe scans the bands root exactly once (fused compound-key join, r15)") {
+    // r12 pinned per-band PartitionFilters because the probe ran one
+    // join PER band — which also meant 4 scans of the index root and 4
+    // broadcast builds per probe. r15 fuses the candidate stage into a
+    // single equi-join on (band_idx, bkey): identical candidate
+    // multiset (band_idx equality IS the banding), ONE scan of the
+    // bands root. The on-disk band_idx partitioning is unchanged
+    // (compaction/band-rebuild still address single directories).
+    // The keyed op pins its result (plan truncated), so assert on the
+    // probe dataflow itself under the same artifacts.
     SparkEntry.queries("dedup_minhash_index_reload")(spark, sf).count() // ensure artifacts
-    val plan = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    val bandPruned = pf.filter(l => l.contains("band_idx") && l.contains("="))
-    assert(bandPruned.size >= 4,
-      s"expected >=4 band-pruned index scans, got ${bandPruned.size}:\n${pf.mkString("\n")}")
+    val probe = ops.Dedup.lshProbe(spark, sf, ops.Dedup.lshPersistedIndex(spark, sf))
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val bandScans = plan.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("/bands"))
+    assert(bandScans == 1,
+      s"expected exactly 1 scan of the persisted bands root, got $bandScans:\n" +
+        plan.linesIterator.filter(_.contains("/bands")).mkString("\n"))
   }
 
   test("a regenerated base corpus invalidates the persisted LSH index (fingerprint key)") {

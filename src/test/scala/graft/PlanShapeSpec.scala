@@ -103,7 +103,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup_minhash_index_reload serves from the persisted index with no forced broadcast") {
-    val q = SparkEntry.queries("dedup_minhash_index_reload")(spark, sf)
+    // The keyed op pins its result inside a conf scope (r15), which
+    // truncates the returned DataFrame's plan at the pinned RDD — so
+    // introspect the probe dataflow itself, under the same artifacts.
+    SparkEntry.queries("dedup_minhash_index_reload")(spark, sf).count() // ensure artifacts
+    val q = ops.Dedup.lshProbe(spark, sf, ops.Dedup.lshPersistedIndex(spark, sf))
     val analyzed = q.queryExecution.analyzed
     val hints = analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
