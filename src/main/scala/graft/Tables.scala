@@ -203,6 +203,30 @@ object Tables {
     }
   }
 
+  /** Execute a batch-bounded query path under the small-data conf scope
+    * and pin its result (r15) — the shared implementation of the
+    * graph-kernel discipline (copurchaseTriangles) now applied to the
+    * index-probe families (LSH text index, IVFADC vector index).
+    * Rationale, measured on the probe plans: these dataflows shuffle
+    * only batch/candidate/model-bounded relations — never the corpus —
+    * yet at the session's core-count fan-out every exchange ran 32
+    * tasks of ~nothing and AQE materialized each as its own job; the
+    * job floor was the dominant cost. 8 partitions size the shuffles
+    * to the data they actually carry; at real scale the constant is
+    * sized to the daily batch / candidate volume (conf at the call
+    * site), while corpus-scale relations stream through un-shuffled
+    * either way. The pin (ResultPins.swap) materializes inside the
+    * scope — a conf restored before a lazy plan executes would
+    * silently lose the scope — and swaps out the previous invocation's
+    * blocks, keeping the block manager flat across a sweep.
+    */
+  def scopedPin(s: SparkSession, key: String)(body: => DataFrame): DataFrame =
+    withConfs(s, Seq(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false")) {
+      ResultPins.swap(s, key, body)
+    }
+
   /** Fingerprint-keyed cache directory `parent/prefix_fp`. Superseded
     * sibling dirs (same prefix, different fingerprint — i.e. caches of an
     * older generation of the source) are deleted first, so regeneration

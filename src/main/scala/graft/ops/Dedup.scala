@@ -1161,11 +1161,7 @@ object Dedup extends OpGroup {
     */
   private def probeScoped(s: SparkSession, key: String, sf: String)
       (body: => DataFrame): DataFrame =
-    Tables.withConfs(s, Seq(
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.adaptive.enabled" -> "false")) {
-      ResultPins.swap(s, s"$key@$sf", body)
-    }
+    Tables.scopedPin(s, s"$key@$sf")(body)
 
   /** The keyed op: append the ingest batch into the persisted index,
     * then probe that SAME batch against the appended index — each

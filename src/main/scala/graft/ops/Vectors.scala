@@ -608,12 +608,18 @@ object Vectors extends OpGroup {
       // compressed-domain ranking; vec_pq_adc_probe is the nprobe-pruned
       // production variant of the same tables).
       val (codes, tabA, tabB, tabC) = adcTables(s, sf)
-      adcRank(codes
-        .join(broadcast(tabC), Seq("ccid", "m", "cid"))
-        .join(broadcast(tabB), Seq("m", "cid"))
-        .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
-        .groupBy(col("q_vec_id"), col("vec_id"))
-        .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
+      // Batch-bounded rank path under the probe conf scope (r15, see
+      // Tables.scopedPin): the shuffled relations here are the
+      // aggregated (query, vector) candidate rows and the top-k rank —
+      // queries × n, never corpus-scale float vectors.
+      Tables.scopedPin(s, s"vec_pq_adc_topk@$sf") {
+        adcRank(codes
+          .join(broadcast(tabC), Seq("ccid", "m", "cid"))
+          .join(broadcast(tabB), Seq("m", "cid"))
+          .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
+          .groupBy(col("q_vec_id"), col("vec_id"))
+          .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
+      }
     },
     None,
   )
@@ -670,7 +676,10 @@ object Vectors extends OpGroup {
 
   private val pqAdcProbeOp = Op(
     "vec_pq_adc_probe",
-    (s, sf) => pqAdcProbe(s, sf, 4),
+    (s, sf) => {
+      val t = adcTables(s, sf)
+      Tables.scopedPin(s, s"vec_pq_adc_probe@$sf") { pqAdcProbeFrom(t, 4) }
+    },
     None,
   )
 
@@ -732,8 +741,10 @@ object Vectors extends OpGroup {
   private val pqIndexReload = Op(
     "vec_pq_index_reload",
     (s, sf) => {
-      val (coarse, cb, codes) = pqPersistedModel(s, sf)
-      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      val (coarse, cb, codes) = pqPersistedModel(s, sf) // index write (first demand) outside the scope
+      Tables.scopedPin(s, s"vec_pq_index_reload@$sf") {
+        pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      }
     },
     None,
   )
@@ -761,6 +772,10 @@ object Vectors extends OpGroup {
 
   private val pqProbeFilteredOp = Op(
     "vec_pq_probe_filtered",
+    // Deliberately NOT under the probe conf scope (r15): the metadata
+    // keep-gate semi-join benefits from AQE's runtime broadcast
+    // election (measured 1.10 s unscoped vs 1.50-1.55 s scoped — the
+    // static planner picks a sort path for the hint-free keep join).
     (s, sf) => pqProbeFiltered(s, sf, lbl = 3, nprobe = 4),
     None,
   )
@@ -871,8 +886,10 @@ object Vectors extends OpGroup {
   private val pqIndexAppend = Op(
     "vec_pq_index_append",
     (s, sf) => {
-      val (coarse, cb, codes) = pqAppendedIndex(s, sf)
-      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      val (coarse, cb, codes) = pqAppendedIndex(s, sf) // ingest commits outside the scope
+      Tables.scopedPin(s, s"vec_pq_index_append@$sf") {
+        pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      }
     },
     None,
   )
@@ -901,12 +918,13 @@ object Vectors extends OpGroup {
   private val pqIndexDelete = Op(
     "vec_pq_index_delete",
     (s, sf) => {
-      val (coarse, cb, codes) = pqAppendedIndex(s, sf)
+      val (coarse, cb, codes) = pqAppendedIndex(s, sf) // ingest+tombstone commits outside the scope
       val ts = pqTombstoneSet(s, sf)
       val live = codes.join(ts, Seq("vec_id"), "left_anti")
-      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, live), 4)
-        .join(ts.select(col("vec_id").as("q_vec_id")), Seq("q_vec_id"), "left_anti")
-        .orderBy("q_vec_id", "rk")
+      Tables.scopedPin(s, s"vec_pq_index_delete@$sf") {
+        pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, live), 4)
+          .join(ts.select(col("vec_id").as("q_vec_id")), Seq("q_vec_id"), "left_anti")
+      }.orderBy("q_vec_id", "rk")
     },
     None,
   )
@@ -961,8 +979,10 @@ object Vectors extends OpGroup {
   private val pqIndexCompact = Op(
     "vec_pq_index_compact",
     (s, sf) => {
-      val (coarse, cb, codes) = pqCompactedIndex(s, sf)
-      pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      val (coarse, cb, codes) = pqCompactedIndex(s, sf) // compaction commit outside the scope
+      Tables.scopedPin(s, s"vec_pq_index_compact@$sf") {
+        pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
+      }
     },
     None,
   )
@@ -1128,10 +1148,12 @@ object Vectors extends OpGroup {
 
   private val srpLshPairs = Op(
     "vec_srp_lsh_pairs",
-    (s, sf) =>
+    (s, sf) => Tables.scopedPin(s, s"vec_srp_lsh_pairs@$sf") {
+      // Candidate pairs are ~2% of the pair space (blocked) and the
+      // verify touches candidates only — batch-bounded shuffles.
       cosineOfPairs(s, sf, srpCandidates(s, sf))
         .select(col("a_vec_id"), col("b_vec_id"), r6(col("sim")).as("cos_sim"))
-        .orderBy("a_vec_id", "b_vec_id"),
+    }.orderBy("a_vec_id", "b_vec_id"),
     Some("""WITH pl AS (SELECT j, d, ((1103515245 * (j * 64 + d) + 12345) % 2147483648) / 1073741824.0 - 1.0 AS h FROM generate_series(0, 15) t1(j), generate_series(0, 63) t2(d)), e AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)), dots AS (SELECT e.vec_id, pl.j, SUM(CAST(ROUND(1e-9 + pl.h * e.x, 6) AS DECIMAL(18, 6))) AS dot FROM e JOIN pl ON pl.d = e.d GROUP BY 1, 2), k AS (SELECT vec_id, CAST(SUM(CASE WHEN j < 8 AND dot >= 0 THEN (1 << j) ELSE 0 END) AS INT) AS k0, CAST(SUM(CASE WHEN j >= 8 AND dot >= 0 THEN (1 << (j - 8)) ELSE 0 END) AS INT) AS k1 FROM dots GROUP BY 1), cand AS (SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id FROM k a JOIN k b ON a.vec_id < b.vec_id AND (a.k0 = b.k0 OR a.k1 = b.k1)), v AS (SELECT vec_id, embedding, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm FROM embeddings) SELECT c.a_vec_id, c.b_vec_id, ROUND(1e-9 + list_reduce(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim FROM cand c JOIN v a ON a.vec_id = c.a_vec_id JOIN v b ON b.vec_id = c.b_vec_id ORDER BY c.a_vec_id, c.b_vec_id"""),
   )
 

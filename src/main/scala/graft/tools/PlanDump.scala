@@ -49,10 +49,14 @@ object PlanDump {
       }
       Files.writeString(dir.resolve(s"${k}_$suffix.txt"), plan)
       if (doTime) {
+        // Timed action = .count(), matching graft.Bench's methodology
+        // exactly (count prunes the output sort and unreferenced output
+        // columns on some keys, so a noop-sink number is NOT comparable
+        // to the driver's sweep artifact).
         val times = (1 to 3).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
-          fn(spark, sf).write.format("noop").mode("overwrite").save()
+          fn(spark, sf).count()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[plandump] $k%-36s min=${times.min}%.3f  reps=${times.map(t => f"$t%.3f").mkString(",")}")

@@ -56,8 +56,12 @@ class PqCompactSpec extends SparkSpec {
 
     // Single-root layout restores plain dynamic directory pruning on
     // the nprobe-pruned codes scan (the reload key's r12 contract).
-    val plan = SparkEntry.queries("vec_pq_index_compact")(spark, sf)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // Pre-pin plan via the capture seam (the keyed op pins its result
+    // inside a conf scope since r15, truncating the returned plan).
+    System.setProperty("graft.plan.capture", "1")
+    SparkEntry.queries("vec_pq_index_compact")(spark, sf).count()
+    val plan = ResultPins.lastPlan(s"vec_pq_index_compact@$sf")
+      .getOrElse(fail("no captured pre-pin plan for vec_pq_index_compact"))
     assert(plan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("ccid") && l.contains("dynamicpruning")),
       s"compacted codes scan lost ccid directory pruning:\n$plan")

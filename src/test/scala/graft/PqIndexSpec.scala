@@ -41,9 +41,13 @@ class PqIndexSpec extends SparkSpec {
     // persisted partitionBy(ccid), so the nprobe-pruned search must
     // show up as PartitionFilters on the scan — reading ~nprobe/Kc of
     // the index directories, not a full scan followed by a join filter.
+    // The keyed op pins its result inside a conf scope (r15), truncating
+    // the returned DataFrame's plan — read the executed dataflow's plan
+    // through the opt-in capture seam instead.
+    System.setProperty("graft.plan.capture", "1")
     SparkEntry.queries("vec_pq_index_reload")(spark, sf).count() // ensure artifacts exist
-    val plan = SparkEntry.queries("vec_pq_index_reload")(spark, sf)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val plan = ResultPins.lastPlan(s"vec_pq_index_reload@$sf")
+      .getOrElse(fail("no captured pre-pin plan for vec_pq_index_reload"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
     assert(pf.exists(l => l.contains("ccid") && l.contains("dynamicpruning")),
       s"codes scan carries no ccid partition pruning:\n${pf.mkString("\n")}\n$plan")
