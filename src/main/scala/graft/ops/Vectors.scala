@@ -1715,6 +1715,11 @@ object Vectors extends OpGroup {
     */
   private val kmeansFixed = Op(
     "vec_kmeans_fixed",
+    // NOT conf-scoped (r15): an 8-partition/AQE-off scope was tried and
+    // measured SLOWER (2.94 vs 2.68 s) — the cost here is the genuine
+    // 512k-row distance aggregations each Lloyd round, which want the
+    // session's full fan-out; the job floor is already amortized by the
+    // pinned exploded relation.
     (s, sf) => {
       import org.apache.spark.sql.expressions.Window
       // The exploded (vec_id, dim, x) relation feeds SEVEN downstream

@@ -28,6 +28,11 @@ class ModelStorageReleaseSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
         "expected the trained models to hold checkpointed storage before reset")
       ops.Vectors.pqModelReset()
+      // vec_pq_adc_topk also registers a RESULT pin (r15: the probe
+      // executes under Tables.scopedPin) — a flat one-per-op-key block
+      // whose lifecycle is ResultPins', not the model memo's; release it
+      // so this spec keeps witnessing MODEL checkpoint release only.
+      ResultPins.releaseAll()
       val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
       assert(leaked.isEmpty,
         s"pqModelReset left ${leaked.size} persisted RDD(s) in the block manager: $leaked")
