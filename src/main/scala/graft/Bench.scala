@@ -107,12 +107,16 @@ object Bench {
         (name, t, e)
       }
     val failed = results.collect { case (name, _, Some(e)) => name -> e }
-    // Driver capture is a bounded TAIL of stdout: one giant line loses its
-    // HEAD (r2 lost the `"metric":"total"` prefix and 22 query times). So
-    // (a) per-query times go out as small individual lines first, (b) the
-    // final line keeps the full map at 3-decimal precision with the total
-    // at the END of the object (survives head-truncation), and (c) the
-    // full-precision JSON also lands in bench_full.json next to the repo.
+    // Driver capture is a bounded TAIL of stdout (~2000 chars): a giant
+    // final line loses its HEAD and the driver's JSON parse fails — it
+    // has failed EVERY round since r10 (BENCH_r10..r15 all record
+    // `parsed: null`; the r15 verdict's item 1). So (a) per-query times
+    // go out as small individual lines first, (b) the full 334-key map
+    // still goes out as one (tail-beheaded but full-stdout-parseable)
+    // line plus full-precision bench_full.json, and (c) the VERY LAST
+    // stdout line is a compact total-only JSON (~150 bytes — intact in
+    // any tail window), which is the line the driver can actually parse.
+    // Measurement-bug fix only: the timed loop above is untouched.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (k, v, err) =>
       val e = err.map(c => s""","err":"$c"""").getOrElse("")
@@ -131,6 +135,10 @@ object Bench {
       w.close()
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":${failed.size},"errors":$errsJson,"queries":$qs3,"value":${r3(total)}}""")
+    // Compact duplicate of the total as the final line (r16): ≤200 bytes
+    // so the driver's bounded tail always holds it intact. Same numbers
+    // as the full line above — nothing removed, nothing renamed.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":${failed.size},"n":${timed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

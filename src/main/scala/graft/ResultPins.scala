@@ -92,6 +92,18 @@ object ResultPins {
   /** The last captured pre-pin plan for `key`, if capture is enabled. */
   def lastPlan(key: String): Option[String] = Option(planLog.get(key))
 
+  /** Release only the pin registered under `key` (r16, the r15 advice:
+    * specs that must clear ONE op's by-design pin before a leak
+    * assertion release it by key, keeping every other pin — and any
+    * genuine leak routed through ResultPins — on the witness surface).
+    */
+  def release(key: String): Unit = {
+    val rdd = pins.remove(key)
+    if (rdd != null) rdd.unpersist(false)
+    val df = ckPins.remove(key)
+    if (df != null) releaseCheckpoint(df)
+  }
+
   /** Release every registered result pin (long-session / spec hygiene). */
   def releaseAll(): Unit = {
     import scala.jdk.CollectionConverters._

@@ -211,21 +211,31 @@ object Tables {
     * only batch/candidate/model-bounded relations — never the corpus —
     * yet at the session's core-count fan-out every exchange ran 32
     * tasks of ~nothing and AQE materialized each as its own job; the
-    * job floor was the dominant cost. 8 partitions size the shuffles
-    * to the data they actually carry; at real scale the constant is
-    * sized to the daily batch / candidate volume (conf at the call
-    * site), while corpus-scale relations stream through un-shuffled
-    * either way. The pin (ResultPins.swap) materializes inside the
-    * scope — a conf restored before a lazy plan executes would
-    * silently lose the scope — and swaps out the previous invocation's
-    * blocks, keeping the block manager flat across a sweep.
+    * job floor was the dominant cost. The scope's partition count sizes
+    * the shuffles to the data they actually carry; it is a CONF
+    * (`spark.graft.probe.parallelism`, r16 — the r15 advice) so a real
+    * deployment sizes it to its daily batch / candidate volume instead
+    * of this fixture's default of 8. Scale caveat, stated honestly
+    * (r15 advice): AQE is off inside the scope, so joins keep their
+    * statically planned strategy — at THIS fixture's scale the
+    * index/codes side is broadcast by the static planner (measured in
+    * the probe plans); a deployment whose index side outgrows
+    * autoBroadcastJoinThreshold would see it shuffled into the scope's
+    * partitions and should raise `spark.graft.probe.parallelism` (or
+    * leave the op unscoped) accordingly. The pin (ResultPins.swap)
+    * materializes inside the scope — a conf restored before a lazy
+    * plan executes would silently lose the scope — and swaps out the
+    * previous invocation's blocks, keeping the block manager flat
+    * across a sweep.
     */
-  def scopedPin(s: SparkSession, key: String)(body: => DataFrame): DataFrame =
+  def scopedPin(s: SparkSession, key: String)(body: => DataFrame): DataFrame = {
+    val parts = s.conf.getOption("spark.graft.probe.parallelism").getOrElse("8")
     withConfs(s, Seq(
-      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.shuffle.partitions" -> parts,
       "spark.sql.adaptive.enabled" -> "false")) {
       ResultPins.swap(s, key, body)
     }
+  }
 
   /** Fingerprint-keyed cache directory `parent/prefix_fp`. Superseded
     * sibling dirs (same prefix, different fingerprint — i.e. caches of an

@@ -582,18 +582,24 @@ object Aggs extends OpGroup {
     "agg_weighted_median",
     (s, sf) => {
       import org.apache.spark.sql.expressions.Window
-      val byPrice = Tables.lineitem(s, sf)
-        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
-        .agg(sum(dec(col("l_quantity"))).as("w"))
-        .withColumn("bkt", floor(col("price") / 100).cast("long"))
-      // Pass 1: per-flag bucket sums (≤ ~1k rows/flag), running + total
-      // decimal windows over the bucket grid, first bucket whose
-      // cumulative weight reaches half the total. `off` = exact weight
-      // strictly before the median bucket.
+      // Pass 1 aggregates the FACT TABLE straight to per-flag bucket
+      // sums (r16, guide §2.3 "aggregate before you shuffle"): the r15
+      // formulation pre-aggregated per (flag, price) first — but
+      // l_extendedprice is ~unique per row (583k groups / 600k rows at
+      // sf0.1), so that exchange shuffled the whole fact table for a
+      // ~3% reduction and its partial aggregate was pure overhead.
+      // Bucketing first collapses the map-side partial agg to the
+      // ~1k-bucket grid — the shuffle carries buckets × partitions
+      // rows, not the fact table. Decimal addition is associative, so
+      // bucket sums are bit-identical to summing the per-price sums.
+      val fact = Tables.lineitem(s, sf)
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+          dec(col("l_quantity")).as("q"),
+          floor(col("l_extendedprice") / 100).cast("long").as("bkt"))
       val bRun = Window.partitionBy("l_returnflag").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val medBucket = byPrice
-        .groupBy(col("l_returnflag"), col("bkt")).agg(sum(col("w")).as("bw"))
+      val medBucket = fact
+        .groupBy(col("l_returnflag"), col("bkt")).agg(sum(col("q")).as("bw"))
         .withColumn("cumb", sum(col("bw")).over(bRun))
         .withColumn("tot", sum(col("bw")).over(Window.partitionBy("l_returnflag")))
         .filter(col("cumb") * 2 >= col("tot"))
@@ -602,15 +608,19 @@ object Aggs extends OpGroup {
         .filter(col("rk") === 1)
         .select(col("l_returnflag"), col("bkt"),
           (col("cumb") - col("bw")).as("off"), col("tot"))
-      // Pass 2: sort ONLY the median bucket's distinct prices; the
-      // first price whose offset-adjusted running weight crosses half
-      // the total is the weighted median. Prices in earlier buckets
-      // have cum ≤ cumb(bucket) < tot/2 so none can qualify; the median
+      // Pass 2: per-price sums for ONLY the median bucket's rows (the
+      // broadcast semi-gate drops ~99.9% of the fact table before the
+      // exchange), then sort that bucket's distinct prices; the first
+      // price whose offset-adjusted running weight crosses half the
+      // total is the weighted median. Prices in earlier buckets have
+      // cum ≤ cumb(bucket) < tot/2 so none can qualify; the median
       // bucket's last price reaches cumb ≥ tot/2 so one always does —
       // exact equivalence to the unbucketed scan by construction.
       val pRun = Window.partitionBy("l_returnflag").orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byPrice.join(broadcast(medBucket), Seq("l_returnflag", "bkt"))
+      fact.join(broadcast(medBucket), Seq("l_returnflag", "bkt"))
+        .groupBy(col("l_returnflag"), col("price"), col("off"), col("tot"))
+        .agg(sum(col("q")).as("w"))
         .withColumn("cum", col("off") + sum(col("w")).over(pRun))
         .filter(col("cum") * 2 >= col("tot"))
         .withColumn("rk", row_number().over(

@@ -942,10 +942,11 @@ object Dedup extends OpGroup {
     val batchTok = docTokens(s, sf)
       .filter(pmod(col("doc_id"), lit(batchMod)) === batchRem)
     val batchBands = bandKeys(batchTok)
-    // Candidates per band: the persisted index is PARTITIONED by
-    // band_idx (lshPersistedIndex), so probing band b reads only its
-    // directory — static PartitionFilters, not a full-index scan per
-    // band. The batch side is localCheckpoint'd ONCE PER (session, sf,
+    // The fused candidate join below reads ALL band directories in one
+    // scan (a probe touches every band, so per-band pruning never
+    // skipped a byte; the on-disk band_idx partitioning still serves
+    // compaction and band-level rebuilds, which DO address one
+    // directory). The batch side is localCheckpoint'd ONCE PER (session, sf,
     // fixture) — it is the bounded incremental increment (B rows per
     // batch doc, never the corpus) and the per-band filters must not
     // recompute the signature pass; the fingerprint-keyed cache (the

@@ -612,6 +612,10 @@ object Vectors extends OpGroup {
       // Tables.scopedPin): the shuffled relations here are the
       // aggregated (query, vector) candidate rows and the top-k rank —
       // queries × n, never corpus-scale float vectors.
+      // Output order re-applied OUTSIDE the pin (r16, the r15 advice):
+      // ordering is explicit on the returned frame, not an accident of
+      // partition-order preservation through the pinned RDD — the
+      // vec_pq_index_delete discipline, now uniform across the family.
       Tables.scopedPin(s, s"vec_pq_adc_topk@$sf") {
         adcRank(codes
           .join(broadcast(tabC), Seq("ccid", "m", "cid"))
@@ -619,7 +623,7 @@ object Vectors extends OpGroup {
           .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
           .groupBy(col("q_vec_id"), col("vec_id"))
           .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
-      }
+      }.orderBy("q_vec_id", "rk")
     },
     None,
   )
@@ -678,7 +682,9 @@ object Vectors extends OpGroup {
     "vec_pq_adc_probe",
     (s, sf) => {
       val t = adcTables(s, sf)
+      // orderBy outside the pin: explicit output order (see vec_pq_adc_topk).
       Tables.scopedPin(s, s"vec_pq_adc_probe@$sf") { pqAdcProbeFrom(t, 4) }
+        .orderBy("q_vec_id", "rk")
     },
     None,
   )
@@ -742,9 +748,10 @@ object Vectors extends OpGroup {
     "vec_pq_index_reload",
     (s, sf) => {
       val (coarse, cb, codes) = pqPersistedModel(s, sf) // index write (first demand) outside the scope
+      // orderBy outside the pin: explicit output order (see vec_pq_adc_topk).
       Tables.scopedPin(s, s"vec_pq_index_reload@$sf") {
         pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
-      }
+      }.orderBy("q_vec_id", "rk")
     },
     None,
   )
@@ -887,9 +894,10 @@ object Vectors extends OpGroup {
     "vec_pq_index_append",
     (s, sf) => {
       val (coarse, cb, codes) = pqAppendedIndex(s, sf) // ingest commits outside the scope
+      // orderBy outside the pin: explicit output order (see vec_pq_adc_topk).
       Tables.scopedPin(s, s"vec_pq_index_append@$sf") {
         pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
-      }
+      }.orderBy("q_vec_id", "rk")
     },
     None,
   )
@@ -980,9 +988,10 @@ object Vectors extends OpGroup {
     "vec_pq_index_compact",
     (s, sf) => {
       val (coarse, cb, codes) = pqCompactedIndex(s, sf) // compaction commit outside the scope
+      // orderBy outside the pin: explicit output order (see vec_pq_adc_topk).
       Tables.scopedPin(s, s"vec_pq_index_compact@$sf") {
         pqAdcProbeFrom(adcTablesFrom(s, sf, coarse, cb, codes), 4)
-      }
+      }.orderBy("q_vec_id", "rk")
     },
     None,
   )

@@ -30,9 +30,10 @@ class ModelStorageReleaseSpec extends SparkSpec {
       ops.Vectors.pqModelReset()
       // vec_pq_adc_topk also registers a RESULT pin (r15: the probe
       // executes under Tables.scopedPin) — a flat one-per-op-key block
-      // whose lifecycle is ResultPins', not the model memo's; release it
-      // so this spec keeps witnessing MODEL checkpoint release only.
-      ResultPins.releaseAll()
+      // whose lifecycle is ResultPins', not the model memo's; release
+      // EXACTLY that pin (r16, the r15 advice: a blanket releaseAll
+      // would also mask any genuine leak routed through ResultPins).
+      ResultPins.release(s"vec_pq_adc_topk@$dir")
       val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
       assert(leaked.isEmpty,
         s"pqModelReset left ${leaked.size} persisted RDD(s) in the block manager: $leaked")

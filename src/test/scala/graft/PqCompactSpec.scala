@@ -58,8 +58,11 @@ class PqCompactSpec extends SparkSpec {
     // the nprobe-pruned codes scan (the reload key's r12 contract).
     // Pre-pin plan via the capture seam (the keyed op pins its result
     // inside a conf scope since r15, truncating the returned plan).
+    // Scoped via finally (r16, the r15 advice): don't leak the capture
+    // property into every later pin of the shared JVM.
     System.setProperty("graft.plan.capture", "1")
-    SparkEntry.queries("vec_pq_index_compact")(spark, sf).count()
+    try SparkEntry.queries("vec_pq_index_compact")(spark, sf).count()
+    finally System.clearProperty("graft.plan.capture")
     val plan = ResultPins.lastPlan(s"vec_pq_index_compact@$sf")
       .getOrElse(fail("no captured pre-pin plan for vec_pq_index_compact"))
     assert(plan.linesIterator.exists(l =>

@@ -44,8 +44,12 @@ class PqIndexSpec extends SparkSpec {
     // The keyed op pins its result inside a conf scope (r15), truncating
     // the returned DataFrame's plan — read the executed dataflow's plan
     // through the opt-in capture seam instead.
+    // Scoped via finally (r16, the r15 advice): a leaked property would
+    // make every later pin in the shared JVM pay the formatted-explain
+    // render and accumulate planLog entries for the session.
     System.setProperty("graft.plan.capture", "1")
-    SparkEntry.queries("vec_pq_index_reload")(spark, sf).count() // ensure artifacts exist
+    try SparkEntry.queries("vec_pq_index_reload")(spark, sf).count() // ensure artifacts exist
+    finally System.clearProperty("graft.plan.capture")
     val plan = ResultPins.lastPlan(s"vec_pq_index_reload@$sf")
       .getOrElse(fail("no captured pre-pin plan for vec_pq_index_reload"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
