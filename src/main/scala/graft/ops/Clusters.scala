@@ -432,8 +432,12 @@ object Clusters extends OpGroup {
     // full-recompute oracle is split-independent, so the slice size is
     // chosen for the REALISTIC maintenance shape (a day's ingest is a
     // small fraction of the corpus, not half of it).
+    // dedupCandidates=false (r16): duplicate verified pairs are harmless
+    // under the merge's label contraction (its distinct runs over the
+    // contracted ~10³-label relation), so the probe skips its
+    // corpus-candidate-sized distinct exchange for this caller.
     val lshPairs = Dedup.lshProbe(s, sf, Dedup.lshAppendedIndex(s, sf),
-        excludeSelf = true, batchMod = 10, batchRem = 1)
+        excludeSelf = true, batchMod = 10, batchRem = 1, dedupCandidates = false)
       .select(col("batch_doc_id").as("u"), col("base_doc_id").as("v"))
     val batchSh = Dedup.simhashFingerprints(s, sf)
       .filter(pmod(col("doc_id"), lit(10)) === 1)
@@ -462,6 +466,13 @@ object Clusters extends OpGroup {
   private val clusterCcAppend = Op(
     "dedup_cluster_cc_append",
     (s, sf) => {
+      // NOT under the probe conf scope (r16, tried and reverted): on
+      // the dup-dense fixture this probe verifies ~174k pairs from
+      // ~600k candidate rows — ~40× the index keys' probe volume — and
+      // the 8-partition/AQE-off scope measured 5.60 s isolated vs
+      // 2.94 s unscoped (same session shape that gave the index keys
+      // their 1.5-2× win). Batch-bounded is not small enough here; the
+      // pair volume wants the session's fan-out.
       val (_, _, _, merged) = ccAppendParts(s, sf)
       merged
         .select(col("node").as("member_doc_id"), col("label").as("canonical_doc_id"))

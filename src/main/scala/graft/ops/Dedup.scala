@@ -933,7 +933,8 @@ object Dedup extends OpGroup {
   private[graft] def lshProbe(s: SparkSession, sf: String,
       index: (DataFrame, DataFrame, DataFrame),
       excludeSelf: Boolean = false,
-      batchMod: Int = 2, batchRem: Int = 1): DataFrame = {
+      batchMod: Int = 2, batchRem: Int = 1,
+      dedupCandidates: Boolean = true): DataFrame = {
     val (idxBands, idxMasks, vocab) = index
     // batchMod/batchRem select the incremental batch (default: the odd
     // half, the index keys' oracled contract; the r14 cc-append lineage
@@ -984,8 +985,16 @@ object Dedup extends OpGroup {
     // excludeSelf: against the r13 APPEND-maintained index the batch's
     // own docs are index members — a probe must not report a doc as its
     // own duplicate.
-    val cand = (if (excludeSelf) candRaw.filter(col("batch_doc_id") =!= col("base_doc_id"))
-                else candRaw).distinct()
+    // dedupCandidates=false (r16): callers that feed LABEL CONTRACTION
+    // (the cc-append merge) skip the candidate distinct — a pair
+    // colliding in m bands is verified m times (cheap codegen'd
+    // popcounts) instead of paying a corpus-candidate-sized exchange,
+    // and the contraction's own distinct dedups at label granularity
+    // (~10³ rows, not ~600k). Keyed probe OUTPUTS keep the distinct:
+    // their verified pair list is the oracle contract.
+    val exSelf = if (excludeSelf) candRaw.filter(col("batch_doc_id") =!= col("base_doc_id"))
+                 else candRaw
+    val cand = if (dedupCandidates) exSelf.distinct() else exSelf
     val bm = lshMasks(batchTok, vocab)
       .select(col("doc_id").as("batch_doc_id"), col("mask").as("a_mask"), col("n").as("a_n"))
     val im = idxMasks
