@@ -601,30 +601,31 @@ object Vectors extends OpGroup {
       graft.ops.parity.r6(col("adc_d2")).as("adc_d2"))
     .orderBy("q_vec_id", "rk")
 
+  /** The full compressed-domain ranking dataflow, pre-scope — the seam
+    * the same-session scoped-vs-plain A/B measurement drives (r16).
+    */
+  private[graft] def pqAdcTopkPlain(s: SparkSession, sf: String): DataFrame = {
+    val (codes, tabA, tabB, tabC) = adcTables(s, sf)
+    adcRank(codes
+      .join(broadcast(tabC), Seq("ccid", "m", "cid"))
+      .join(broadcast(tabB), Seq("m", "cid"))
+      .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
+      .groupBy(col("q_vec_id"), col("vec_id"))
+      .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
+  }
+
   private val pqAdcTopk = Op(
     "vec_pq_adc_topk",
-    (s, sf) => {
-      // Query-side residual tables vs EVERY cell (the spec's full
-      // compressed-domain ranking; vec_pq_adc_probe is the nprobe-pruned
-      // production variant of the same tables).
-      val (codes, tabA, tabB, tabC) = adcTables(s, sf)
-      // Batch-bounded rank path under the probe conf scope (r15, see
-      // Tables.scopedPin): the shuffled relations here are the
-      // aggregated (query, vector) candidate rows and the top-k rank —
-      // queries × n, never corpus-scale float vectors.
-      // Output order re-applied OUTSIDE the pin (r16, the r15 advice):
-      // ordering is explicit on the returned frame, not an accident of
-      // partition-order preservation through the pinned RDD — the
-      // vec_pq_index_delete discipline, now uniform across the family.
-      Tables.scopedPin(s, s"vec_pq_adc_topk@$sf") {
-        adcRank(codes
-          .join(broadcast(tabC), Seq("ccid", "m", "cid"))
-          .join(broadcast(tabB), Seq("m", "cid"))
-          .join(broadcast(tabA), Seq("q_vec_id", "ccid", "m"))
-          .groupBy(col("q_vec_id"), col("vec_id"))
-          .agg(sum(col("a") + col("b") + col("c")).as("adc_d2")))
-      }.orderBy("q_vec_id", "rk")
-    },
+    // Query-side residual tables vs EVERY cell (the spec's full
+    // compressed-domain ranking; vec_pq_adc_probe is the nprobe-pruned
+    // production variant of the same tables).
+    // Probe conf scope REVERTED (r16, the r15 verdict's item 4): the
+    // r15 keep rested on isolated one-window evidence that sweeps did
+    // not reproduce. Same-session INTERLEAVED A/B (graft.tools.AdcAb,
+    // 5 reps each): scoped min 1.450 / med 1.755 vs plain min 1.477 /
+    // med 1.764 — flat, far under the 10% keep bar; the plan-dump
+    // exchange-count drop is not a win by itself.
+    (s, sf) => pqAdcTopkPlain(s, sf).orderBy("q_vec_id", "rk"),
     None,
   )
 
@@ -680,12 +681,10 @@ object Vectors extends OpGroup {
 
   private val pqAdcProbeOp = Op(
     "vec_pq_adc_probe",
-    (s, sf) => {
-      val t = adcTables(s, sf)
-      // orderBy outside the pin: explicit output order (see vec_pq_adc_topk).
-      Tables.scopedPin(s, s"vec_pq_adc_probe@$sf") { pqAdcProbeFrom(t, 4) }
-        .orderBy("q_vec_id", "rk")
-    },
+    // Probe conf scope REVERTED (r16, the r15 verdict's item 4) — same
+    // interleaved A/B as vec_pq_adc_topk: scoped min 1.966 / med 2.054
+    // vs plain min 1.806 / med 2.037. Flat-to-negative; reverted.
+    (s, sf) => pqAdcProbe(s, sf, 4).orderBy("q_vec_id", "rk"),
     None,
   )
 

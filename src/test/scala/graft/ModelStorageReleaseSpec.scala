@@ -28,11 +28,12 @@ class ModelStorageReleaseSpec extends SparkSpec {
       assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
         "expected the trained models to hold checkpointed storage before reset")
       ops.Vectors.pqModelReset()
-      // vec_pq_adc_topk also registers a RESULT pin (r15: the probe
-      // executes under Tables.scopedPin) — a flat one-per-op-key block
-      // whose lifecycle is ResultPins', not the model memo's; release
-      // EXACTLY that pin (r16, the r15 advice: a blanket releaseAll
-      // would also mask any genuine leak routed through ResultPins).
+      // The r15-r16(early) vintage of vec_pq_adc_topk registered a
+      // RESULT pin (scope reverted r16 — flat A/B); the per-key release
+      // stays as a no-op guard so a future re-scoping can't silently
+      // turn this spec's leak assertion into a false failure, while a
+      // blanket releaseAll would mask any GENUINE leak routed through
+      // ResultPins (the r15 advice).
       ResultPins.release(s"vec_pq_adc_topk@$dir")
       val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
       assert(leaked.isEmpty,
