@@ -307,6 +307,15 @@ object Dedup extends OpGroup {
     * shingles) or the vocab/pair ratio collapses.
     */
   private[ops] def minhashSigs(s: SparkSession, sf: String, k: Int): DataFrame = {
+    // min over STRING cannot hash-aggregate (var-length buffer), so this
+    // pass plans as SortAggregate. A fixed-width two-long custom
+    // DeclarativeAggregate (min over the hex string's sign-flipped
+    // 128-bit halves — bit-identical output) was built and A/B'd in r16:
+    // same-session interleaved noop reps measured OLD 0.493/0.599 s
+    // (min/med) vs NEW 0.511/0.623 s at sf0.1 — the md5 evaluation
+    // dominates and the map-side sort of ~25k rows/partition is free, so
+    // the custom agg was REVERTED. Revisit only if the token relation's
+    // per-partition volume grows orders of magnitude.
     val sigCols = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
     docTokens(s, sf).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -840,6 +849,8 @@ object Dedup extends OpGroup {
     */
   private def bandKeys(tok: DataFrame): DataFrame = {
     val K = LshIndexK; val R = LshIndexR; val B = LshIndexB
+    // Same SortAggregate-vs-custom-HashAggregate A/B and revert as
+    // minhashSigs (r16): flat, builtin min kept.
     val sigCols = (0 until K).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")))).as(s"s$i"))
     tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)

@@ -84,4 +84,5 @@ class FunctionsSpec extends SparkSpec {
     assert(one == 7L)
     assert(spark.sql("SELECT simhash60(CAST(NULL AS ARRAY<BIGINT>)) AS sh").first().isNullAt(0))
   }
+
 }
