@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through RAW (r16): sbt's default LoggedOutput
+// re-tags every program line as "[info] …", so Bench's one-line JSON
+// contract reached the caller PREFIXED — one of the two reasons no
+// BENCH artifact ever parsed (the other was the giant-line tail
+// beheading, fixed in Bench.scala). StdoutOutput emits the child's
+// stdout/stderr verbatim; sbt's own [success]/[error] status lines are
+// unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
